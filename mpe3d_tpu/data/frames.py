@@ -1,0 +1,179 @@
+"""Frame wire-format parsing into fixed-shape masked buffers.
+
+The reference's de-facto API contract is one JSON schema (SURVEY.md §1): a
+file is a list of frames; a frame is ``{camera_name: [skeletons_json_str,
+timestamp, 'no_image', gt_3d_list?]}`` where each skeleton maps joint-id
+string → ``[id, x_pix, y_pix, valid, prob]`` (reference:
+panoptic_conversor/get_joints_from_panoptic_model_multi.py:287).  Skeleton
+dicts may carry an ``"ID"`` key which every consumer skips (reference:
+skeleton_matching/graph_generator.py:300).
+
+Instead of per-frame python object churn (the reference re-instantiates a
+DGLDataset per frame, SURVEY.md §3.3), frames are parsed once into padded
+``[C, S, J]`` numpy buffers that feed straight into jit-compiled programs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mpe3d_tpu.config import RigConfig
+
+
+class FrameArrays(NamedTuple):
+    """One frame as dense masked buffers.
+
+    C = number of rig cameras (order = rig.camera_names), S = skeleton slots
+    per camera, J = joints.
+    """
+
+    kp: np.ndarray        # [C, S, J, 2] raw pixel coords
+    valid: np.ndarray     # [C, S, J] the wire 'valid' flag (values[3])
+    prob: np.ndarray      # [C, S, J] detector confidence (values[4])
+    in_view: np.ndarray   # [C, S, J] bool: joint key present in the dict
+    present: np.ndarray   # [C, S] bool: skeleton slot occupied
+    timestamp: np.ndarray  # [C] float seconds (0 where absent)
+
+    @property
+    def n_cameras(self) -> int:
+        return self.kp.shape[0]
+
+    @property
+    def max_skeletons(self) -> int:
+        return self.kp.shape[1]
+
+
+class FrameGroundTruth(NamedTuple):
+    """Per-frame 3D ground truth (test files only).
+
+    gt3d is in the *dataset* frame in metres (wire stores cm; reference
+    divides by 100 at test/metrics_from_model.py:152).
+    """
+
+    gt3d: np.ndarray       # [P, J, 3]
+    gt_valid: np.ndarray   # [P, J] joint present in the GT dict
+    person_valid: np.ndarray  # [P] bool: '-1' marker present
+    camera: str            # camera whose GT list was used
+
+
+def parse_frame(frame: Dict, rig: RigConfig, max_skeletons: int = 10,
+                cameras: Optional[Sequence[str]] = None) -> FrameArrays:
+    """Parse one wire-format frame dict into FrameArrays.
+
+    ``cameras`` restricts/orders the camera axis (default: rig.camera_names).
+    Skeletons beyond ``max_skeletons`` are dropped; a skeleton with zero
+    listed joints is not given a slot, matching the reference's
+    ``num_joints == 0: continue`` (skeleton_matching/graph_generator.py:590-591).
+    """
+    cameras = tuple(cameras) if cameras is not None else rig.camera_names
+    C, S, J = len(cameras), max_skeletons, rig.n_joints
+    kp = np.zeros((C, S, J, 2), np.float32)
+    valid = np.zeros((C, S, J), np.float32)
+    prob = np.zeros((C, S, J), np.float32)
+    in_view = np.zeros((C, S, J), bool)
+    present = np.zeros((C, S), bool)
+    ts = np.zeros((C,), np.float64)
+
+    for ci, cam in enumerate(cameras):
+        if cam not in frame:
+            continue
+        entry = frame[cam]
+        skeletons = entry[0]
+        if isinstance(skeletons, str):
+            skeletons = json.loads(skeletons)
+        if len(entry) > 1 and isinstance(entry[1], (int, float)):
+            ts[ci] = entry[1]
+        slot = 0
+        for skeleton in skeletons:
+            if slot >= S:
+                break
+            n = 0
+            for j_key, values in skeleton.items():
+                if j_key == "ID":
+                    continue
+                j = int(j_key)
+                if j >= J:
+                    continue
+                kp[ci, slot, j] = (values[1], values[2])
+                valid[ci, slot, j] = values[3]
+                prob[ci, slot, j] = values[4]
+                in_view[ci, slot, j] = True
+                n += 1
+            if n > 0:
+                present[ci, slot] = True
+                slot += 1
+            else:
+                kp[ci, slot] = 0
+                valid[ci, slot] = 0
+                prob[ci, slot] = 0
+                in_view[ci, slot] = False
+    return FrameArrays(kp, valid, prob, in_view, present, ts)
+
+
+def parse_frame_gt(frame: Dict, rig: RigConfig) -> Optional[FrameGroundTruth]:
+    """Extract 3D ground truth, picking the camera with the most GT entries
+    (reference: test/metrics_from_model.py:128-140)."""
+    best_cam, best = None, []
+    for cam, entry in frame.items():
+        if len(entry) >= 4 and isinstance(entry[3], list):
+            if best_cam is None or len(entry[3]) > len(best):
+                best_cam, best = cam, entry[3]
+    if best_cam is None or len(best) == 0:
+        return None
+    P, J = len(best), rig.n_joints
+    gt = np.zeros((P, J, 3), np.float32)
+    gt_valid = np.zeros((P, J), bool)
+    person_valid = np.zeros((P,), bool)
+    for p, joints in enumerate(best):
+        person_valid[p] = "-1" in joints
+        for j_key, xyz in joints.items():
+            j = int(j_key)
+            if 0 <= j < J:
+                gt[p, j] = np.asarray(xyz, np.float32)[:3] / 100.0  # cm -> m
+                gt_valid[p, j] = True
+    return FrameGroundTruth(gt, gt_valid, person_valid, best_cam)
+
+
+def load_frames(path: str) -> List[Dict]:
+    """Load a wire-format JSON file (list of frames)."""
+    with open(path, "rb") as f:
+        return json.loads(f.read())
+
+
+def merge_frame_files(paths: Sequence[str], out_path: str) -> int:
+    """Concatenate N frame-JSON files into one (≙ utils/merge_jsons.py)."""
+    merged: List[Dict] = []
+    for p in paths:
+        merged.extend(load_frames(p))
+    with open(out_path, "w") as f:
+        json.dump(merged, f)
+    return len(merged)
+
+
+# ---------------------------------------------------------------------------
+# wire-format emission (used by the synthetic generator and the conversor)
+# ---------------------------------------------------------------------------
+
+
+def skeleton_dict(joint_ids: Sequence[int], pix: np.ndarray,
+                  prob: Optional[np.ndarray] = None) -> Dict[str, list]:
+    """Build one wire skeleton dict: joint-id str -> [id, x, y, valid, prob]
+    (reference: get_joints_from_panoptic_model_multi.py:281)."""
+    out = {}
+    for idx, j in enumerate(joint_ids):
+        p = 1.0 if prob is None else float(prob[idx])
+        out[str(int(j))] = [float(j), float(pix[idx, 0]), float(pix[idx, 1]),
+                            1, p]
+    return out
+
+
+def frame_entry(skeletons: List[Dict], timestamp: float,
+                gt3d: Optional[List[Dict]] = None) -> list:
+    """Build one camera's frame entry [skeletons_json, ts, 'no_image', gt?]."""
+    entry = [json.dumps(skeletons), timestamp, "no_image"]
+    if gt3d is not None:
+        entry.append(gt3d)
+    return entry
