@@ -156,7 +156,8 @@ def undistort_points(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
 def _hom_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply a [..,4,4] homogeneous transform to [..,3] points -> [..,3].
     Leading axes broadcast pointwise (einsum, not matmul-batch semantics)."""
-    return jnp.einsum("...ij,...j->...i", T[..., :3, :3], pts) + T[..., :3, 3]
+    return jnp.einsum("...ij,...j->...i", T[..., :3, :3], pts,
+                      precision="highest") + T[..., :3, 3]
 
 
 def project_points(pts_w: jnp.ndarray, T_wc: jnp.ndarray, K: jnp.ndarray,
@@ -199,8 +200,9 @@ def pixel_rays_world(pix: jnp.ndarray, K_inv: jnp.ndarray,
     """
     ones = jnp.ones_like(pix[..., :1])
     ph = jnp.concatenate([pix, ones], axis=-1)              # [..., 3]
-    v = jnp.einsum("...ij,...j->...i", K_inv, ph)
-    return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v)
+    v = jnp.einsum("...ij,...j->...i", K_inv, ph, precision="highest")
+    return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v,
+                      precision="highest")
 
 
 def undistorted_rays_world(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
@@ -214,4 +216,5 @@ def undistorted_rays_world(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
     xn = undistort_points(pix, K, dist, iters=iters)        # [..., 2]
     ones = jnp.ones_like(xn[..., :1])
     v = jnp.concatenate([xn, ones], axis=-1)
-    return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v)
+    return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v,
+                      precision="highest")

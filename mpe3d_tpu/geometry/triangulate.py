@@ -84,11 +84,14 @@ def triangulate_pair(xn1: jnp.ndarray, xn2: jnp.ndarray,
         xn2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :],
     ], axis=-2)                                              # [..., 4, 4]
     B, d = A[..., :3], A[..., 3]                             # B·x ≈ −d
-    M = jnp.swapaxes(B, -1, -2) @ B                          # [..., 3, 3]
-    x = _solve3x3(M, -jnp.einsum("...ij,...i->...j", B, d))
+    M = jnp.einsum("...ki,...kj->...ij", B, B, precision="highest")
+    x = _solve3x3(M, -jnp.einsum("...ij,...i->...j", B, d,
+                               precision="highest"))
     for _ in range(refine_steps):
-        r = jnp.einsum("...ij,...j->...i", B, x) + d         # residual
-        x = x + _solve3x3(M, -jnp.einsum("...ij,...i->...j", B, r))
+        r = jnp.einsum("...ij,...j->...i", B, x,
+                       precision="highest") + d         # residual
+        x = x + _solve3x3(M, -jnp.einsum("...ij,...i->...j", B, r,
+                                         precision="highest"))
     return x
 
 

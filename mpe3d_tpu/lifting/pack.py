@@ -1,0 +1,122 @@
+"""Lifter input packing — the 14-numbers-per-(camera, joint) feature builder.
+
+TPU-native re-implementation of the reference's ``PoseEstimatorDataset``
+feature engineering (reference: utils/pose_estimator_dataset_from_json.py:
+146-236 list/training path, :237-289 dict/inference path).  Instead of
+per-person python object churn + OpenCV calls, the whole packer is pure jax
+over fixed-shape buffers and is vmapped over persons (and frames).
+
+Feature layout per (used camera, joint) — flattened C-order [C, J, 14]:
+
+  [0]      wire 'valid' flag
+  [1]      (x − W/2) / (W/2)                     normalized pixel x
+  [2]      (y − H/2) / (H/2)                     normalized pixel y
+  [3]      detector probability
+  [4:7]    camera origin in world / 10
+  [7:10]   undistorted pixel ray rotated to world / 10   (rotation only)
+  [10]     triangulated prior available
+  [11:14]  coarse DLT-triangulated 3D / 10       (same point in every camera)
+
+Reference quirks reproduced deliberately (bit-parity with its semantics):
+  * The training path only packs joints whose wire valid flag is ≥ 1
+    (reference :194), while the inference path packs every listed joint
+    (reference :268-278) — selected with ``require_valid``.
+  * The triangulated prior skips joint id 0: the reference gates on
+    ``pos[0] > 0.`` (:75) where ``pos[0]`` is the *joint id*, so the nose
+    never contributes a prior.  Controlled with ``skip_joint0_prior``.
+
+The loss-side "error input" is 4 numbers per (camera, joint) of *raw* pixels
+(reference :181-184): [valid, x_pix, y_pix, prob].
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from mpe3d_tpu.geometry.camera import (CameraRig, cam_centers_world,
+                                       undistorted_rays_world)
+from mpe3d_tpu.geometry.triangulate import triangulate_mean
+
+
+def pack_error_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
+                     observed: jnp.ndarray) -> jnp.ndarray:
+    """Loss-side raw-pixel features (reference:
+    pose_estimator_dataset_from_json.py:181-184).
+
+    kp: [C, J, 2] raw pixels; valid/prob/observed: [C, J].
+    Returns [C*J*4] flat (C-order), zeros where not observed.
+    """
+    m = observed.astype(kp.dtype)
+    feats = jnp.stack([valid * m, kp[..., 0] * m, kp[..., 1] * m, prob * m],
+                      axis=-1)                                   # [C, J, 4]
+    return feats.reshape(-1)
+
+
+def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
+                      observed: jnp.ndarray, rig: CameraRig,
+                      image_size: Tuple[float, float],
+                      require_valid: bool = False,
+                      skip_joint0_prior: bool = True,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build the MLP input for ONE person from its per-used-camera skeleton.
+
+    kp: [C, J, 2] raw pixels; valid/prob: [C, J]; observed: [C, J] bool —
+    joint listed in the wire dict.  ``rig`` must already be restricted to the
+    used cameras, in used-camera order.
+
+    Returns (net_input [C*J*14] flat, include [C, J]) where ``include`` is the
+    per-slot packing mask (useful to reconstruct reference 'flags').
+    """
+    C, J, _ = kp.shape
+    W, H = image_size
+    include = observed & (valid >= 1.0) if require_valid else observed
+    m = include.astype(kp.dtype)[..., None]                      # [C, J, 1]
+
+    # fields 0-3
+    nx = (kp[..., 0:1] - W / 2.0) / (W / 2.0)
+    ny = (kp[..., 1:2] - H / 2.0) / (H / 2.0)
+    f03 = jnp.concatenate([valid[..., None], nx, ny, prob[..., None]],
+                          axis=-1) * m                           # [C, J, 4]
+
+    # fields 4-6: camera origin in world / 10 (reference :190,208)
+    centers = cam_centers_world(rig.T_cw)                        # [C, 3]
+    f46 = jnp.broadcast_to(centers[:, None, :] / 10.0, (C, J, 3)) * m
+
+    # fields 7-9: undistorted ray, rotation-only to world, / 10 (reference :204-209)
+    rays = undistorted_rays_world(kp, rig.K[:, None], rig.dist[:, None],
+                                  rig.T_cw[:, None])             # [C, J, 3]
+    f79 = rays / 10.0 * m
+
+    # fields 10-13: triangulated prior, same point in every camera block
+    # (reference :212-217).  Gate: joint listed (any valid value) AND joint
+    # id > 0 (the reference's pos[0] > 0 quirk).
+    tri_obs = observed.astype(kp.dtype)
+    if skip_joint0_prior:
+        joint_gate = (jnp.arange(J) > 0).astype(kp.dtype)
+        tri_obs = tri_obs * joint_gate[None, :]
+    tri_xyz, tri_ok = triangulate_mean(kp, tri_obs, rig)         # [J,3], [J]
+    okf = tri_ok.astype(kp.dtype)[:, None]                       # [J, 1]
+    f10 = jnp.broadcast_to(okf[None, :, :], (C, J, 1))
+    f1113 = jnp.broadcast_to((tri_xyz * okf / 10.0)[None], (C, J, 3))
+
+    net = jnp.concatenate([f03, f46, f79, f10, f1113], axis=-1)  # [C, J, 14]
+    return net.reshape(-1), include
+
+
+def apply_camera_dropout(net_input: jnp.ndarray, cam_keep: jnp.ndarray,
+                         n_joints: int) -> jnp.ndarray:
+    """Zero feature fields 0-9 of dropped cameras, keep the triangulated
+    prior fields 10-13 (reference:
+    pose_estimator_dataset_from_json.py:219-229).
+
+    net_input: [..., C*J*14]; cam_keep: [..., C] 0/1.
+    """
+    shape = net_input.shape
+    C = cam_keep.shape[-1]
+    x = net_input.reshape(*shape[:-1], C, n_joints, 14)
+    field_is_obs = (jnp.arange(14) < 10).astype(net_input.dtype)  # [14]
+    keep = cam_keep[..., :, None, None]                           # [..., C, 1, 1]
+    x = x * (keep * field_is_obs + (1.0 - field_is_obs))
+    return x.reshape(shape)

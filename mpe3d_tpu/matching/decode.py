@@ -1,0 +1,106 @@
+"""Person-proposal decoding from matcher pair scores.
+
+Re-implementation of the reference's greedy decode (reference:
+utils/skeleton_matching_utils.py:12-132): keep candidate pairs whose score
+exceeds the classification threshold, sort by score descending, greedily
+merge heads into person clusters under the camera-consistency constraints
+
+  * a cluster may contain at most one head per camera,
+  * two clusters may only merge if their camera sets are disjoint,
+  * a head pair is skipped if either head is already linked to the other's
+    camera,
+
+then keep the connected components with at least ``min_views`` members.
+
+The host version below operates on the static pair topology (numpy; no
+networkx — components follow directly from the cluster labels, which *are*
+connected components since an edge is only added when its endpoints' clusters
+merge).  An on-device ``lax`` variant lives in ``decode_device.py``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from mpe3d_tpu.matching.features import PairTopology
+
+
+def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
+                            topo: PairTopology, min_views: int = 2,
+                            threshold: float = 0.5,
+                            present: Optional[np.ndarray] = None
+                            ) -> np.ndarray:
+    """Greedy camera-consistent clustering of heads.
+
+    scores: [E] matcher outputs; pair_mask: [E] 0/1; topo: static topology.
+    Returns persons as an int array [P, C] of skeleton-slot indices per
+    matching camera, -1 where the person has no view in that camera
+    (equivalent to the reference's ``{camera: head or None}`` dicts).
+    """
+    S = topo.n_slots
+    C = topo.n_cameras
+    keep = (np.asarray(pair_mask) > 0.5) & (np.asarray(scores) > threshold)
+    idx = np.nonzero(keep)[0]
+    order = idx[np.argsort(-np.asarray(scores)[idx], kind="stable")]
+
+    H = topo.n_heads
+    cluster = -np.ones(H, np.int64)          # head -> cluster id
+    cams_of_cluster: List[set] = []
+    linked_cams = [{int(h) // S} for h in range(H)]   # reference's
+    # heads_linked_in_cameras: starts as the head's own camera
+
+    for e in order:
+        a, b = int(topo.e1[e]), int(topo.e2[e])
+        ca, cb = int(topo.cam1[e]), int(topo.cam2[e])
+        if ca in linked_cams[b] or cb in linked_cams[a]:
+            continue
+        if cluster[a] >= 0 and cb in cams_of_cluster[cluster[a]]:
+            continue
+        if cluster[b] >= 0 and ca in cams_of_cluster[cluster[b]]:
+            continue
+        if cluster[a] < 0 and cluster[b] < 0:
+            cid = len(cams_of_cluster)
+            cams_of_cluster.append({ca, cb})
+            cluster[a] = cluster[b] = cid
+        elif cluster[a] >= 0 and cluster[b] < 0:
+            cluster[b] = cluster[a]
+            cams_of_cluster[cluster[a]].add(cb)
+        elif cluster[b] >= 0 and cluster[a] < 0:
+            cluster[a] = cluster[b]
+            cams_of_cluster[cluster[b]].add(ca)
+        else:
+            ka, kb = cluster[a], cluster[b]
+            if ka == kb:
+                pass                          # already same person
+            elif cams_of_cluster[ka] & cams_of_cluster[kb]:
+                continue                      # conflicting merge
+            else:
+                cams_of_cluster[ka] |= cams_of_cluster[kb]
+                cluster[cluster == kb] = ka
+                cams_of_cluster[kb] = set()
+        linked_cams[a].add(cb)
+        linked_cams[b].add(ca)
+
+    persons = []
+    for cid in sorted(set(cluster[cluster >= 0].tolist())):
+        members = np.nonzero(cluster == cid)[0]
+        if len(members) < min_views:
+            continue
+        person = -np.ones(C, np.int64)
+        for h in members:
+            person[h // S] = h % S
+        persons.append(person)
+    if not persons:
+        return np.zeros((0, C), np.int64)
+    return np.stack(persons)
+
+
+def single_camera_bypass(present: np.ndarray) -> np.ndarray:
+    """Single-camera mode: every detected skeleton is its own person
+    (reference: test/metrics_from_model.py:218-228).  present: [1, S]."""
+    slots = np.nonzero(present[0])[0]
+    persons = -np.ones((len(slots), 1), np.int64)
+    persons[:, 0] = slots
+    return persons

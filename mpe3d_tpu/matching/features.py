@@ -1,0 +1,147 @@
+"""Skeleton-matching graph as fixed-shape tensors (alt-3 reformulation).
+
+The reference builds a dynamic DGL graph per frame: one "head" node per
+(camera, skeleton) with 902-dim features, one "edge-node" per cross-camera
+head pair with 5 'link' edges, plus self-loops (reference:
+skeleton_matching/graph_generator.py:444-508 features, :627-656 edge-nodes,
+:813-876 test graphs).  Here the graph is a *static* topology over padded
+slots — every (camera, slot) is a potential head, every cross-camera slot
+pair is a potential edge-node — with presence masks.  The whole matcher
+becomes one jit-compiled tensor program with zero per-frame host work beyond
+buffer fill.
+
+Head-node feature layout (alt-3; reference :128-140, :471-505):
+  [0] head one-hot   [1] edge_node one-hot (0 for heads)
+  then per (matching camera, joint), 10 numbers — only the head's own camera
+  block is filled:
+    i = (x − W/2)/(W/2),  j = (H/2 − y)/(H/2)   ← y is *flipped* (unlike the
+                                                   lifter features)
+    valid, prob
+    line_p = camera origin in world (NOT scaled)
+    line_v = R_cw · K⁻¹ · [x, y, 1]  (raw pixel back-projection, no
+             undistortion; reference :481-490)
+
+Edge-node features are the edge_node one-hot only (reference :627-631).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpe3d_tpu.geometry.camera import CameraRig, cam_centers_world, pixel_rays_world
+
+
+class PairTopology(NamedTuple):
+    """Static matcher topology for (C cameras × S skeleton slots).
+
+    Heads are indexed h = c*S + s.  Edge-nodes enumerate all cross-camera
+    slot pairs in (c1<c2, s1, s2) order: E = C·(C−1)/2 · S².  The incidence
+    matrices turn segment aggregation into MXU matmuls.
+    """
+
+    n_cameras: int
+    n_slots: int
+    e1: np.ndarray       # [E] head index of endpoint 1 (int32)
+    e2: np.ndarray       # [E] head index of endpoint 2
+    cam1: np.ndarray     # [E] camera of endpoint 1
+    cam2: np.ndarray     # [E] camera of endpoint 2
+    inc1: np.ndarray     # [E, H] one-hot of e1 (float32)
+    inc2: np.ndarray     # [E, H] one-hot of e2
+
+    @property
+    def n_heads(self) -> int:
+        return self.n_cameras * self.n_slots
+
+    @property
+    def n_pairs(self) -> int:
+        return len(self.e1)
+
+
+def build_topology(n_cameras: int, n_slots: int) -> PairTopology:
+    """Enumerate the static candidate-pair topology.
+
+    Pair order matches the reference's test-graph construction: outer loop
+    camera pairs (c1 < c2), inner loops skeleton slots of each camera
+    (reference: graph_generator.py:854-864).
+    """
+    H = n_cameras * n_slots
+    e1, e2, cam1, cam2 = [], [], [], []
+    for c1 in range(n_cameras):
+        for c2 in range(c1 + 1, n_cameras):
+            for s1 in range(n_slots):
+                for s2 in range(n_slots):
+                    e1.append(c1 * n_slots + s1)
+                    e2.append(c2 * n_slots + s2)
+                    cam1.append(c1)
+                    cam2.append(c2)
+    e1 = np.asarray(e1, np.int32)
+    e2 = np.asarray(e2, np.int32)
+    E = len(e1)
+    inc1 = np.zeros((E, H), np.float32)
+    inc2 = np.zeros((E, H), np.float32)
+    inc1[np.arange(E), e1] = 1.0
+    inc2[np.arange(E), e2] = 1.0
+    return PairTopology(n_cameras, n_slots, e1, e2,
+                        np.asarray(cam1, np.int32), np.asarray(cam2, np.int32),
+                        inc1, inc2)
+
+
+def head_features(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
+                  observed: jnp.ndarray, present: jnp.ndarray,
+                  rig: CameraRig, image_size: Tuple[float, float]
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Alt-3 head-node features for every (camera, slot).
+
+    kp: [C, S, J, 2] raw pixels; valid/prob: [C, S, J]; observed: [C, S, J]
+    (joint listed in the wire dict); present: [C, S] (slot occupied).
+    ``rig`` must be restricted to the matching cameras, in matching order.
+
+    Returns (feats [H, 2 + C*J*10], head_mask [H]) with H = C*S.
+    """
+    C, S, J, _ = kp.shape
+    W, H_img = image_size
+    m = observed.astype(kp.dtype)[..., None]                     # [C, S, J, 1]
+
+    ni = (kp[..., 0:1] - W / 2.0) / (W / 2.0)
+    nj = (H_img / 2.0 - kp[..., 1:2]) / (H_img / 2.0)            # flipped y
+    centers = cam_centers_world(rig.T_cw)                        # [C, 3]
+    line_p = jnp.broadcast_to(centers[:, None, None, :], (C, S, J, 3))
+    line_v = pixel_rays_world(kp, rig.K_inv[:, None, None],
+                              rig.T_cw[:, None, None])           # [C, S, J, 3]
+
+    per_joint = jnp.concatenate(
+        [ni, nj, valid[..., None], prob[..., None], line_p, line_v],
+        axis=-1) * m                                             # [C, S, J, 10]
+
+    # Scatter each head's block into its own camera section of the flat
+    # C*J*10 feature vector: build [C, S, C*J*10] where block c is non-zero
+    # only at camera index c.
+    flat = per_joint.reshape(C, S, J * 10)                       # [C, S, J*10]
+    eye = jnp.eye(C, dtype=kp.dtype)                             # [C, C]
+    blocks = jnp.einsum("cd,csf->csdf", eye, flat,
+                        precision="highest")               # [C,S,C,J*10]
+    blocks = blocks.reshape(C * S, C * J * 10)
+
+    one_hot = jnp.concatenate(
+        [jnp.ones((C * S, 1), kp.dtype), jnp.zeros((C * S, 1), kp.dtype)],
+        axis=-1)
+    feats = jnp.concatenate([one_hot, blocks], axis=-1)
+    head_mask = present.reshape(C * S).astype(kp.dtype)
+    return feats * head_mask[:, None], head_mask
+
+
+def edge_node_features(n_pairs: int, feat_dim: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Edge-node features: the 'edge_node' one-hot only (reference :627-631)."""
+    f = jnp.zeros((n_pairs, feat_dim), dtype)
+    return f.at[:, 1].set(1.0)
+
+
+def pair_mask_from_present(present: jnp.ndarray, topo: PairTopology
+                           ) -> jnp.ndarray:
+    """pair valid ⇔ both endpoint slots occupied.  present: [C, S]."""
+    flat = present.reshape(-1).astype(jnp.float32)
+    return flat[topo.e1] * flat[topo.e2]

@@ -1,0 +1,76 @@
+"""Pose-lifter MLP as a pure pytree module.
+
+TPU-native re-implementation of the reference lifter (reference:
+utils/mlp.py:3-31): Flatten → Linear 1260→3072→3072→2048→2048→1024→1024→1024
+→1024→54 with LeakyReLU(0.1) between — ≈29.1 M params.  Output is 18 joints ×
+3 coordinates in *decameters* (consumers multiply by 10 for metres, reference:
+test/metrics_from_model.py:282).
+
+Design notes (TPU):
+  * Parameters are a plain dict-of-arrays pytree → trivially shardable with
+    ``jax.sharding`` and checkpointable as npz.
+  * ``apply`` optionally runs the matmuls in bfloat16 (MXU native) while
+    keeping parameters + activations accumulation in float32
+    (``preferred_element_type``) — the accuracy-relevant path.
+  * Layer widths (3072/2048/1024) are already multiples of the 128-lane MXU
+    tile; the 1260-dim input is padded to 1280 by XLA automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mpe3d_tpu.config import LifterConfig
+
+Params = Dict[str, Any]
+
+
+def _kaiming_uniform(key, fan_in: int, shape, dtype=jnp.float32):
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, jnp.float32))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_lifter(key: jax.Array, cfg: LifterConfig) -> Params:
+    """Initialise lifter parameters (same distribution family as the
+    reference's torch defaults: Kaiming-uniform weight, uniform bias)."""
+    dims = (cfg.in_dim, *cfg.widths, cfg.out_dim)
+    params: Params = {"layers": []}
+    keys = jax.random.split(key, len(dims) - 1)
+    for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
+        kw, kb = jax.random.split(keys[i])
+        params["layers"].append({
+            "w": _kaiming_uniform(kw, d_in, (d_in, d_out)),
+            "b": _kaiming_uniform(kb, d_in, (d_out,)),
+        })
+    return params
+
+
+def apply_lifter(params: Params, x: jnp.ndarray, cfg: LifterConfig,
+                 compute_dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+    """Forward pass.  x: [..., in_dim] → [..., out_dim] (decameters).
+
+    ``compute_dtype=jnp.bfloat16`` casts matmul operands to bf16 with fp32
+    accumulation — the MXU fast path; weights stay fp32 in HBM.
+    """
+    layers = params["layers"]
+    h = x
+    n = len(layers)
+    for i, layer in enumerate(layers):
+        w, b = layer["w"], layer["b"]
+        if compute_dtype is not None:
+            h_c = h.astype(compute_dtype)
+            w_c = w.astype(compute_dtype)
+        else:
+            h_c, w_c = h, w
+        h = jnp.dot(h_c, w_c, preferred_element_type=jnp.float32) + b
+        if i < n - 1:
+            h = jax.nn.leaky_relu(h, negative_slope=cfg.negative_slope)
+    return h
+
+
+def lifter_num_params(params: Params) -> int:
+    return sum(int(v.size) for layer in params["layers"] for v in layer.values())

@@ -1,0 +1,238 @@
+"""End-to-end multi-person 3D pose estimation pipeline.
+
+The reference's inference path (reference: test/metrics_from_model.py:176-300)
+re-instantiates a DGLDataset per frame, runs the GAT, decodes proposals with
+networkx, then builds one PoseEstimatorDataset per person and batches an MLP
+forward.  Here the whole compute path is two jit-compiled programs over
+fixed-shape buffers:
+
+  stage 1 (t_pp):  alt-3 features + GAT scores            [one jit call]
+  decode:          greedy camera-consistent clustering     [host, ~µs]
+  stage 2 (t_3D):  per-person packing + batched MLP        [one jit call]
+
+Shape buckets on (skeleton slots, persons) bound recompilation; each bucket
+compiles once and is cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpe3d_tpu.config import LifterConfig, MatcherConfig, RigConfig
+from mpe3d_tpu.data.frames import FrameArrays
+from mpe3d_tpu.geometry.camera import CameraRig
+from mpe3d_tpu.geometry.triangulate import triangulate_median_filtered
+from mpe3d_tpu.lifting.pack import pack_lifter_input
+from mpe3d_tpu.matching.decode import decode_person_proposals, single_camera_bypass
+from mpe3d_tpu.matching.features import (PairTopology, build_topology,
+                                         edge_node_features, head_features,
+                                         pair_mask_from_present)
+from mpe3d_tpu.models.gat import TopologyArrays, apply_matcher
+from mpe3d_tpu.models.mlp import apply_lifter
+
+
+class PipelineOutput(NamedTuple):
+    poses: np.ndarray        # [P, J, 3] metres, world frame
+    persons: np.ndarray      # [P, C_match] slot index per matching camera (-1 = none)
+    scores: np.ndarray       # [E] matcher pair scores (bucketed)
+    n_heads: int
+
+
+class PoseEstimationPipeline:
+    """Callable frame→poses pipeline with jitted stages.
+
+    backend='mlp' uses the learned lifter (≙ metrics_from_model.py);
+    backend='triangulation' uses the classical median-filtered DLT
+    (≙ metrics_from_triangulation.py:232-278).
+    """
+
+    def __init__(self, rig_config: RigConfig, rig: CameraRig,
+                 matcher_params, matcher_cfg: MatcherConfig,
+                 lifter_params=None, lifter_cfg: Optional[LifterConfig] = None,
+                 slot_buckets: Tuple[int, ...] = (2, 4, 10),
+                 person_buckets: Tuple[int, ...] = (4, 8, 16),
+                 threshold: float = 0.5, backend: str = "mlp",
+                 compute_dtype=None):
+        self.rig_config = rig_config
+        self.rig = rig
+        self.matcher_params = matcher_params
+        self.matcher_cfg = matcher_cfg
+        self.lifter_params = lifter_params
+        self.lifter_cfg = lifter_cfg or LifterConfig()
+        self.slot_buckets = slot_buckets
+        self.person_buckets = person_buckets
+        self.threshold = threshold
+        self.backend = backend
+        self.compute_dtype = compute_dtype
+
+        self.match_idx = rig_config.matching_camera_indices()
+        self.used_idx = rig_config.used_camera_indices()
+        self.match_rig = rig.select(np.asarray(self.match_idx))
+        self.used_rig = rig.select(np.asarray(self.used_idx))
+        self.image_size = (float(rig_config.image_width),
+                           float(rig_config.image_height))
+        self._topos: Dict[int, PairTopology] = {}
+
+    # ------------------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.slot_buckets:
+            if n <= b:
+                return b
+        return self.slot_buckets[-1]
+
+    def _person_bucket(self, n: int) -> int:
+        for b in self.person_buckets:
+            if n <= b:
+                return b
+        return self.person_buckets[-1]
+
+    def topology(self, slots: int) -> PairTopology:
+        if slots not in self._topos:
+            self._topos[slots] = build_topology(len(self.match_idx), slots)
+        return self._topos[slots]
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=16)
+    def _match_fn(self, slots: int):
+        topo = self.topology(slots)
+        topo_dev = TopologyArrays.from_topology(topo)
+        efeats = edge_node_features(topo.n_pairs,
+                                    self.rig_config.matcher_feature_dim)
+
+        @jax.jit
+        def run(kp, valid, prob, observed, present):
+            hfeats, _ = head_features(kp, valid, prob, observed, present,
+                                      self.match_rig, self.image_size)
+            pm = pair_mask_from_present(present, topo)
+            scores = apply_matcher(self.matcher_params, hfeats, efeats,
+                                   topo_dev, pm, self.matcher_cfg)
+            return scores * pm, pm
+
+        return run
+
+    @functools.lru_cache(maxsize=16)
+    def _lift_fn(self, n_persons: int):
+        if self.backend == "triangulation":
+            @jax.jit
+            def run(kp, valid, prob, observed, pmask):
+                def one(kp_p, obs_p):
+                    xyz, ok = triangulate_median_filtered(
+                        kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
+                    return xyz, ok
+                xyz, ok = jax.vmap(one)(kp, observed)
+                return xyz, ok
+            return run
+
+        @jax.jit
+        def run(kp, valid, prob, observed, pmask):
+            def one(kp_p, valid_p, prob_p, obs_p):
+                net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
+                                           self.used_rig, self.image_size)
+                return net
+            nets = jax.vmap(one)(kp, valid, prob, observed)     # [P, 1260]
+            out = apply_lifter(self.lifter_params, nets, self.lifter_cfg,
+                               compute_dtype=self.compute_dtype)
+            J = self.rig_config.n_joints
+            poses = out.reshape(n_persons, J, 3) * 10.0          # metres
+            ok = jnp.broadcast_to(pmask[:, None] > 0.5,
+                                  (n_persons, J))
+            return poses, ok
+
+        return run
+
+    # ------------------------------------------------------------------
+    def match(self, frame: FrameArrays):
+        """Run matcher stage.  Returns (scores, pair_mask, topo, slots)."""
+        mi = np.asarray(self.match_idx)
+        S = self._bucket(max(1, int(frame.present[mi].sum(axis=1).max())))
+        topo = self.topology(S)
+        kp = jnp.asarray(frame.kp[mi, :S])
+        valid = jnp.asarray(frame.valid[mi, :S])
+        prob = jnp.asarray(frame.prob[mi, :S])
+        observed = jnp.asarray(frame.in_view[mi, :S])
+        present = jnp.asarray(frame.present[mi, :S])
+        scores, pm = self._match_fn(S)(kp, valid, prob, observed, present)
+        return np.asarray(scores), np.asarray(pm), topo, S
+
+    def gather_person_obs(self, frame: FrameArrays, persons: np.ndarray):
+        """Per-person per-used-camera observation buffers for the lifter.
+
+        persons: [P, C_match] matching-camera slot indices.  Cameras in
+        used_cameras but not in the matching set contribute no observation.
+        """
+        P = len(persons)
+        Cu, J = len(self.used_idx), self.rig_config.n_joints
+        kp = np.zeros((P, Cu, J, 2), np.float32)
+        valid = np.zeros((P, Cu, J), np.float32)
+        prob = np.zeros((P, Cu, J), np.float32)
+        observed = np.zeros((P, Cu, J), bool)
+        match_cam_names = [self.rig_config.camera_names[i] for i in self.match_idx]
+        for ui, cam_idx in enumerate(self.used_idx):
+            cam_name = self.rig_config.camera_names[cam_idx]
+            if cam_name not in match_cam_names:
+                continue
+            mi = match_cam_names.index(cam_name)
+            for p in range(P):
+                s = persons[p, mi]
+                if s < 0:
+                    continue
+                kp[p, ui] = frame.kp[cam_idx, s]
+                valid[p, ui] = frame.valid[cam_idx, s]
+                prob[p, ui] = frame.prob[cam_idx, s]
+                observed[p, ui] = frame.in_view[cam_idx, s]
+        return kp, valid, prob, observed
+
+    def lift(self, frame: FrameArrays, persons: np.ndarray):
+        """Run the 3D stage on decoded proposals.  Returns poses [P, J, 3] m."""
+        P = len(persons)
+        if P == 0:
+            return np.zeros((0, self.rig_config.n_joints, 3), np.float32)
+        PB = self._person_bucket(P)
+        kp, valid, prob, observed = self.gather_person_obs(frame, persons)
+        pad = PB - P
+        if pad:
+            kp = np.concatenate([kp, np.zeros((pad, *kp.shape[1:]), kp.dtype)])
+            valid = np.concatenate([valid, np.zeros((pad, *valid.shape[1:]), valid.dtype)])
+            prob = np.concatenate([prob, np.zeros((pad, *prob.shape[1:]), prob.dtype)])
+            observed = np.concatenate([observed, np.zeros((pad, *observed.shape[1:]), bool)])
+        pmask = np.zeros(PB, np.float32)
+        pmask[:P] = 1.0
+        poses, ok = self._lift_fn(PB)(jnp.asarray(kp), jnp.asarray(valid),
+                                      jnp.asarray(prob), jnp.asarray(observed),
+                                      jnp.asarray(pmask))
+        return np.asarray(poses)[:P]
+
+    def __call__(self, frame: FrameArrays) -> PipelineOutput:
+        if len(self.match_idx) == 1:
+            persons = single_camera_bypass(
+                frame.present[np.asarray(self.match_idx)])
+            scores = np.zeros(0, np.float32)
+        else:
+            scores, pm, topo, S = self.match(frame)
+            persons = decode_person_proposals(
+                scores, pm, topo, self.rig_config.min_number_of_views,
+                self.threshold)
+        poses = self.lift(frame, persons)
+        return PipelineOutput(poses, persons, scores,
+                              int(frame.present.sum()))
+
+    def warmup(self, slots: Optional[int] = None, persons: Optional[int] = None):
+        """Compile all (or given) buckets ahead of time."""
+        for S in ([slots] if slots else self.slot_buckets):
+            C = len(self.match_idx)
+            J = self.rig_config.n_joints
+            self._match_fn(S)(jnp.zeros((C, S, J, 2)), jnp.zeros((C, S, J)),
+                              jnp.zeros((C, S, J)),
+                              jnp.zeros((C, S, J), bool),
+                              jnp.zeros((C, S), bool))
+        for PB in ([persons] if persons else self.person_buckets):
+            Cu = len(self.used_idx)
+            J = self.rig_config.n_joints
+            self._lift_fn(PB)(jnp.zeros((PB, Cu, J, 2)),
+                              jnp.zeros((PB, Cu, J)), jnp.zeros((PB, Cu, J)),
+                              jnp.zeros((PB, Cu, J), bool), jnp.zeros(PB))

@@ -1,0 +1,173 @@
+"""Matcher (GAT) training — batched scenes, pjit data-parallel.
+
+Re-implements the reference trainer (reference:
+skeleton_matching/train_skeleton_matching.py:31-58,158-251): Adam(1e-4,
+weight_decay 1e-20), batch 15 scenes, MSE on the sigmoid scores of the
+edge-nodes (USE_BCE=False), eval every 5 epochs, early-stop patience 5.
+
+The reference batches graphs with ``dgl.batch`` + index offsetting
+(:67-84); here scenes live on a static (C, S) topology so a batch is one
+stacked tensor and the model is vmapped — one jit program, batch sharded on
+the mesh's data axis.  Pair multiplicity (duplicated edge-nodes in the
+reference's graphs) enters through the head-softmax weights and the
+loss weights (train/matcher_data.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mpe3d_tpu.config import MatcherConfig, MatcherTrainConfig, RigConfig
+from mpe3d_tpu.geometry.camera import CameraRig
+from mpe3d_tpu.matching.features import (PairTopology, edge_node_features,
+                                         head_features)
+from mpe3d_tpu.models.gat import TopologyArrays, apply_matcher, init_matcher
+from mpe3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mpe3d_tpu.train.checkpoint import save_checkpoint
+from mpe3d_tpu.train.matcher_data import MatcherScenes
+
+
+@dataclass
+class MatcherTrainResult:
+    params: Dict
+    history: List[Dict] = field(default_factory=list)
+    best_val_loss: float = float("inf")
+    epochs_run: int = 0
+
+
+def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
+                      topo: PairTopology, cfg: MatcherConfig,
+                      tx: optax.GradientTransformation):
+    """Jitted train/eval steps over batched scenes.
+
+    ``rig`` must be the matching-camera sub-rig in matching order.
+    """
+    topo_dev = TopologyArrays.from_topology(topo)
+    efeats = edge_node_features(topo.n_pairs, cfg.in_dim)
+    img = (float(rig_config.image_width), float(rig_config.image_height))
+
+    def scene_scores(params, kp, valid, prob, obs, present, weight):
+        hfeats, _ = head_features(kp, valid, prob, obs, present, rig, img)
+        return apply_matcher(params, hfeats, efeats, topo_dev,
+                             (weight > 0).astype(kp.dtype), cfg,
+                             pair_softmax_weight=weight)
+
+    def loss_fn(params, batch):
+        kp, valid, prob, obs, present, labels, weight = batch
+        scores = jax.vmap(scene_scores, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            params, kp, valid, prob, obs, present, weight)
+        # MSE over all edge-nodes in the batch, duplicates counted twice
+        # (reference: train_skeleton_matching.py:179 + dgl.batch collate)
+        sq = (scores - labels) ** 2 * weight
+        return jnp.sum(sq) / jnp.maximum(jnp.sum(weight), 1.0)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        return loss_fn(params, batch)
+
+    return step, eval_step, scene_scores
+
+
+def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
+                  rig_config: RigConfig, rig: CameraRig, topo: PairTopology,
+                  cfg: Optional[MatcherConfig] = None,
+                  tcfg: Optional[MatcherTrainConfig] = None,
+                  mesh=None, checkpoint_path: Optional[str] = None,
+                  params: Optional[Dict] = None,
+                  log: Callable[[str], None] = print) -> MatcherTrainResult:
+    """Full matcher training loop with dev early stopping.
+
+    ``rig`` is the FULL rig; the matching sub-rig is derived here.
+    """
+    cfg = cfg or MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    tcfg = tcfg or MatcherTrainConfig()
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    match_rig = rig.select(np.asarray(rig_config.matching_camera_indices()))
+
+    if params is None:
+        params = init_matcher(jax.random.PRNGKey(tcfg.seed), cfg)
+    tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
+    opt_state = tx.init(params)
+    step, eval_step, _ = make_matcher_step(match_rig, rig_config, topo,
+                                           cfg, tx)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+
+    def batches(scenes: MatcherScenes, rng: np.random.Generator):
+        order = rng.permutation(len(scenes))
+        bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
+        for i in range(0, len(order), bs):
+            sel = order[i: i + bs]
+            if len(sel) % n_dev:
+                # pad with repeats but zero weights so loss is unaffected
+                need = (-len(sel)) % n_dev
+                extra = order[:need] if len(order) >= need else sel[:need]
+                s = scenes.select(np.concatenate([sel, extra]))
+                w = s.pair_weight.copy()
+                w[len(sel):] = 0.0
+                batch = (s.kp, s.valid, s.prob, s.observed, s.present,
+                         s.labels, w)
+            else:
+                s = scenes.select(sel)
+                batch = (s.kp, s.valid, s.prob, s.observed, s.present,
+                         s.labels, s.pair_weight)
+            yield shard_batch(mesh, tuple(jnp.asarray(b) for b in batch))
+
+    result = MatcherTrainResult(params=params)
+    rng = np.random.default_rng(tcfg.seed)
+    best, patience = float("inf"), 0
+    t0 = time.time()
+    for epoch in range(tcfg.epochs):
+        total, n = 0.0, 0
+        for batch in batches(train_scenes, rng):
+            params, opt_state, loss = step(params, opt_state, batch)
+            total += float(loss)
+            n += 1
+        train_loss = total / max(n, 1)
+
+        if epoch % tcfg.eval_every == 0:
+            vtotal, vn = 0.0, 0
+            for batch in batches(dev_scenes, np.random.default_rng(0)):
+                vtotal += float(eval_step(params, batch))
+                vn += 1
+            val_loss = vtotal / max(vn, 1)
+            result.history.append({"epoch": epoch, "train_loss": train_loss,
+                                   "val_loss": val_loss,
+                                   "elapsed_s": time.time() - t0})
+            log(f"epoch {epoch:5d} | loss {train_loss:.6f} | "
+                f"val {val_loss:.6f} | patience {patience}")
+            if val_loss < best:
+                best = val_loss
+                patience = 0
+                result.params = jax.device_get(params)
+                result.best_val_loss = best
+                if checkpoint_path:
+                    save_checkpoint(checkpoint_path, result.params,
+                                    meta={"epoch": epoch,
+                                          "val_loss": val_loss,
+                                          "matcher_config": cfg,
+                                          "train_config": tcfg,
+                                          "n_slots": topo.n_slots})
+            else:
+                patience += 1
+                if patience >= tcfg.patience:
+                    break
+        result.epochs_run = epoch + 1
+    if not result.history:
+        result.params = jax.device_get(params)
+    return result

@@ -7,7 +7,7 @@ Must run before jax initialises a backend, hence the env mutation at import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,8 +21,15 @@ import pytest  # noqa: E402
 # dominate test wall-clock otherwise.
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the axon TPU backend and forces
+# jax_platforms past the env var — force it back so tests run on the 8
+# virtual CPU devices (backends initialise lazily, so this sticks as long as
+# no jax computation ran yet).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,128 @@
+"""Tests for lifter input packing and the reprojection loss."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mpe3d_tpu.config import PANOPTIC
+from mpe3d_tpu.data.synthetic import _project_np, sample_person, scene_center
+from mpe3d_tpu.geometry.camera import cam_centers_world
+from mpe3d_tpu.lifting.loss import reprojection_error, reprojection_loss
+from mpe3d_tpu.lifting.pack import (apply_camera_dropout, pack_error_input,
+                                    pack_lifter_input)
+
+
+def _clean_person_obs(panoptic_rig, rng):
+    """A noiseless person observed by all cameras: kp/valid/prob/observed.
+
+    Projects with *radial-only* distortion so pixels match the loss's
+    projection model exactly (the loss reproduces the reference's
+    radial-only apply_distortion, utils/pose_estimator_utils.py:44-50)."""
+    person = sample_person(rng, PANOPTIC, scene_center(panoptic_rig))
+    C, J = panoptic_rig.n_cameras, 18
+    kp = np.zeros((C, J, 2), np.float32)
+    for c in range(C):
+        dist = np.asarray(panoptic_rig.dist[c]).copy()
+        dist[2:4] = 0.0   # zero the tangential terms
+        pix, _ = _project_np(person, np.asarray(panoptic_rig.T_wc[c]),
+                             np.asarray(panoptic_rig.K[c]), dist)
+        kp[c] = pix
+    valid = np.ones((C, J), np.float32)
+    prob = np.full((C, J), 0.9, np.float32)
+    observed = np.ones((C, J), bool)
+    return person, kp, valid, prob, observed
+
+
+def test_pack_layout_and_prior(panoptic_rig, rng):
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    C, J = kp.shape[:2]
+    W, H = PANOPTIC.image_width, PANOPTIC.image_height
+
+    net, include = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, (W, H))
+    assert net.shape == (C * J * 14,)
+    x = np.asarray(net).reshape(C, J, 14)
+
+    # fields 0-3
+    assert np.allclose(x[..., 0], valid)
+    assert np.allclose(x[..., 1], (kp[..., 0] - W / 2) / (W / 2), atol=1e-5)
+    assert np.allclose(x[..., 2], (kp[..., 1] - H / 2) / (H / 2), atol=1e-5)
+    assert np.allclose(x[..., 3], prob)
+
+    # fields 4-6: camera origin / 10, same for every joint of a camera
+    centers = np.asarray(cam_centers_world(panoptic_rig.T_cw))
+    assert np.allclose(x[:, :, 4:7], centers[:, None, :] / 10.0, atol=1e-5)
+
+    # fields 10-13: triangulated prior — joint 0 skipped (reference quirk
+    # pos[0] > 0), all others close to the true 3D, identical across cameras
+    assert np.all(x[:, 0, 10] == 0.0)
+    assert np.all(x[:, 1:, 10] == 1.0)
+    tri = x[0, 1:, 11:14] * 10.0
+    assert np.allclose(tri, person[1:], atol=0.02)
+    assert np.allclose(x[0, :, 10:], x[1, :, 10:])
+
+
+def test_pack_require_valid_filters_joints(panoptic_rig, rng):
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    valid[:, 5] = 0.0   # invalid joint still observed
+    net, include = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig,
+        (PANOPTIC.image_width, PANOPTIC.image_height), require_valid=True)
+    x = np.asarray(net).reshape(kp.shape[0], 18, 14)
+    assert np.all(x[:, 5, :10] == 0.0)         # obs fields zeroed
+    assert np.all(x[:, 5, 10] == 1.0)          # prior still present
+    assert not np.asarray(include)[:, 5].any()
+
+
+def test_camera_dropout_zeroes_obs_keeps_prior(panoptic_rig, rng):
+    _, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    net, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig,
+        (PANOPTIC.image_width, PANOPTIC.image_height))
+    keep = jnp.asarray([1.0, 0.0, 1.0, 1.0, 0.0])
+    out = np.asarray(apply_camera_dropout(net, keep, 18)).reshape(5, 18, 14)
+    orig = np.asarray(net).reshape(5, 18, 14)
+    assert np.all(out[1, :, :10] == 0.0)
+    assert np.all(out[4, :, :10] == 0.0)
+    assert np.allclose(out[1, :, 10:], orig[1, :, 10:])
+    assert np.allclose(out[0], orig[0])
+
+
+def test_reprojection_error_zero_at_gt(panoptic_rig, rng):
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    err_in = pack_error_input(jnp.asarray(kp), jnp.asarray(valid),
+                              jnp.asarray(prob), jnp.asarray(observed))
+    pred = jnp.asarray(person.reshape(1, -1) / 10.0)   # decameters
+    err = reprojection_error(pred, err_in[None], panoptic_rig, 18)
+    # pixels were generated with the loss's own projection model → only
+    # fp32 rounding remains (~0.04 px per (cam, joint) term at 1920x1080)
+    assert float(err[0]) < 10.0
+
+    wrong = pred + 0.05   # 0.5 m off
+    err2 = reprojection_error(wrong, err_in[None], panoptic_rig, 18)
+    assert float(err2[0]) > 10.0 * float(err[0])
+
+    loss = reprojection_loss(pred, err_in[None], panoptic_rig, 18)
+    assert np.isclose(float(loss), float(err[0]) ** 2, rtol=1e-4)
+
+
+def test_reprojection_error_masks_invalid(panoptic_rig, rng):
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    kp_broken = kp.copy()
+    kp_broken[2, :, :] += 500.0   # corrupt one camera completely
+    valid_masked = valid.copy()
+    valid_masked[2, :] = 0.0
+    err_ok = reprojection_error(
+        jnp.asarray(person.reshape(1, -1) / 10.0),
+        pack_error_input(jnp.asarray(kp_broken), jnp.asarray(valid_masked),
+                         jnp.asarray(prob), jnp.asarray(observed))[None],
+        panoptic_rig, 18)
+    err_bad = reprojection_error(
+        jnp.asarray(person.reshape(1, -1) / 10.0),
+        pack_error_input(jnp.asarray(kp_broken), jnp.asarray(valid),
+                         jnp.asarray(prob), jnp.asarray(observed))[None],
+        panoptic_rig, 18)
+    assert float(err_ok[0]) < 10.0
+    assert float(err_bad[0]) > 1000.0
