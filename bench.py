@@ -1,0 +1,75 @@
+"""End-to-end per-frame latency benchmark vs the reference baseline.
+
+Measures the full inference pipeline (alt-3 features + GAT matching on
+device, greedy decode on host, per-person packing + batched MLP lift on
+device) on synthetic CMU-Panoptic-like multi-person frames and compares
+against the reference's published per-frame wall clock
+t_pp + t_3Dg = 31.67 + 19.65 = 51.32 ms (BASELINE.json; reference README.md:40-41).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_MS = 51.32          # t_pp + t_3Dg, reference README.md:40-41
+
+
+def main() -> int:
+    import numpy as np
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+    from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames, synthetic_ring_rig
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    import jax
+
+    rig_config = PANOPTIC
+    rig = synthetic_ring_rig(rig_config)
+    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    pipe = PoseEstimationPipeline(
+        rig_config, rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,))
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = [parse_frame(f, rig_config, max_skeletons=4)
+              for f in generate_frames(rig_config, rig, 60, n_people=(2, 3),
+                                       seed=11, noise=noise, with_gt=False)]
+
+    pipe.warmup(slots=4, persons=8)
+    for f in frames[:5]:                       # warm the e2e path
+        pipe(f)
+
+    times = []
+    for f in frames:
+        t0 = time.perf_counter()
+        out = pipe(f)
+        out.poses.sum() if len(out.poses) else None   # host sync
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1000.0)
+    print(json.dumps({
+        "metric": "e2e_frame_latency",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        sys.exit(main())
+    except Exception as e:  # noqa: BLE001 — the driver needs the JSON line
+        print(json.dumps({"metric": "e2e_frame_latency", "value": -1.0,
+                          "unit": "ms", "vs_baseline": 0.0,
+                          "error": f"{type(e).__name__}: {e}"}))
+        sys.exit(1)

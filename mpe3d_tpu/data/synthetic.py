@@ -184,10 +184,16 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
         P = int(rng.integers(n_people[0], n_people[1] + 1))
         people = [sample_person(rng, rig_config, center) for _ in range(P)]
         frame: Dict[str, list] = {}
-        gt_lists: List[Dict] = [_gt_dict(p, np.ones(len(p), bool)) for p in people]
+        gt_dicts: List[Dict] = [_gt_dict(p, np.ones(len(p), bool))
+                                for p in people]
         for ci, cam in enumerate(rig_config.camera_names):
+            # per-camera GT list index-aligned with the emitted skeletons,
+            # like the reference conversor's detection↔GT association
+            # (get_joints_from_panoptic_model_multi.py:266-287); a ghost
+            # detection carries its source person's GT entry.
             skeletons: List[Dict] = []
-            for person in people:
+            gt_list: List[Dict] = []
+            for pi, person in enumerate(people):
                 if rng.random() < noise.camera_dropout:
                     continue
                 pix, vis = project_person(person, rig, ci, rig_config, rng, noise)
@@ -195,6 +201,7 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
                     continue
                 ids = joint_ids[vis]
                 skeletons.append(skeleton_dict(ids, pix[vis]))
+                gt_list.append(gt_dicts[pi])
                 if rng.random() < noise.spurious_rate:
                     # ghost: shifted partial copy, fewer joints than the real
                     keep = rng.random(len(ids)) < 0.5
@@ -202,8 +209,9 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
                         shift = rng.uniform(-60, 60, size=2)
                         skeletons.append(
                             skeleton_dict(ids[keep], pix[vis][keep] + shift))
+                        gt_list.append(gt_dicts[pi])
             frame[cam] = frame_entry(skeletons, float(fi) / 30.0,
-                                     gt_lists if with_gt else None)
+                                     gt_list if with_gt else None)
         frames.append(frame)
     return frames
 

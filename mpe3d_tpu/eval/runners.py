@@ -1,0 +1,263 @@
+"""Evaluation runners — library equivalents of the reference's test scripts.
+
+  * ``run_pose_metrics``        ≙ test/metrics_from_model.py (backend='mlp')
+                                  and test/metrics_from_triangulation.py
+                                  (backend='triangulation')
+  * ``run_sm_metrics``          ≙ test/sm_metrics.py
+  * ``run_sm_metrics_without_gt`` ≙ test/sm_metrics_without_gt.py
+  * ``run_reprojection_error``  ≙ test/reprojection_error.py
+
+Each takes parsed wire frames + a PoseEstimationPipeline and returns a
+metrics dict; the CLI wraps them 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mpe3d_tpu.config import RigConfig
+from mpe3d_tpu.data.frames import FrameArrays, parse_frame, parse_frame_gt
+from mpe3d_tpu.eval.clustering import clustering_report
+from mpe3d_tpu.eval.pose_metrics import PoseEvalAccumulator
+from mpe3d_tpu.eval.reprojection import per_camera_stats, reprojection_pixel_errors
+from mpe3d_tpu.eval.timing import TimingAccumulator
+from mpe3d_tpu.matching.decode import decode_person_proposals
+from mpe3d_tpu.pipeline import PoseEstimationPipeline
+from mpe3d_tpu.train.matcher_data import MatcherScenes, build_matcher_scenes
+
+
+def transform_gt_to_world(gt3d: np.ndarray, dataset_T_wc1: np.ndarray,
+                          model_T_c1w: np.ndarray) -> np.ndarray:
+    """Dataset-frame GT → model world via camera 1's transforms (reference:
+    test/metrics_from_model.py:156-161): world = T_c1w_model · T_wc1_dataset
+    · gt.  When both calibrations share a root this is the identity."""
+    M = model_T_c1w @ dataset_T_wc1
+    return gt3d @ M[:3, :3].T + M[:3, 3]
+
+
+def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
+                     pipeline: PoseEstimationPipeline, datastep: int = 12,
+                     dataset_T_wc1: Optional[np.ndarray] = None,
+                     max_skeletons: int = 10) -> Dict:
+    """Full-pipeline 3D accuracy + timing (≙ metrics_from_model.py:104-390).
+
+    ``dataset_T_wc1``: the *dataset* calibration's root→camera1 transform
+    when GT lives in a different frame than the model calibration.
+    """
+    acc = PoseEvalAccumulator(rig_config.used_joints)
+    timing = TimingAccumulator()
+    model_T_c1w = np.asarray(pipeline.rig.T_cw[1]) \
+        if pipeline.rig.n_cameras > 1 else np.eye(4)
+    n_frames = 0
+    for i, frame in enumerate(frames):
+        if i % datastep != 0:
+            continue
+        gt = parse_frame_gt(frame, rig_config)
+        if gt is None:
+            continue
+        gt3d = gt.gt3d
+        if dataset_T_wc1 is not None:
+            gt3d = transform_gt_to_world(gt3d, dataset_T_wc1, model_T_c1w)
+        fa = parse_frame(frame, rig_config, max_skeletons)
+        n_frames += 1
+        with timing.span("t_pp", 1):
+            if len(pipeline.match_idx) == 1:
+                from mpe3d_tpu.matching.decode import single_camera_bypass
+                persons = single_camera_bypass(
+                    fa.present[np.asarray(pipeline.match_idx)])
+            else:
+                scores, pm, topo, S = pipeline.match(fa)
+                np.asarray(scores)   # block: t_pp covers the device work
+                persons = decode_person_proposals(
+                    scores, pm, topo, rig_config.min_number_of_views,
+                    pipeline.threshold)
+        with timing.span("t_3D", max(len(persons), 1)):
+            poses = pipeline.lift(fa, persons)
+        acc.update(gt3d, gt.gt_valid, gt.person_valid, poses)
+    out = acc.summary()
+    out["t_pp_ms"] = timing.mean_ms("t_pp")
+    out["t_3Dg_ms"] = timing.mean_ms("t_3D")
+    out["t_3Di_ms"] = timing.mean_per_person_ms("t_3D")
+    out["n_frames"] = n_frames
+    return out
+
+
+# ---------------------------------------------------------------------------
+# matching-quality metrics
+# ---------------------------------------------------------------------------
+
+
+def _gt_clusters_from_frame(frame: Dict, rig_config: RigConfig,
+                            max_skeletons: int,
+                            dist_per_joint: float = 1.0) -> Optional[Dict]:
+    """GT person label per (matching camera, slot) by greedy proximity
+    clustering of the per-camera GT lists (≙ sm_metrics.py:113-161; the
+    threshold is 1 unit/joint in the wire's native cm).
+
+    Returns {(cam_idx_in_matching, slot): person_label} or None if any GT
+    entry misses the '-1' validity marker (frame skipped, reference :163)."""
+    match_cams = rig_config.used_cameras_skeleton_matching
+    persons: List[Dict[str, np.ndarray]] = []   # joint-id -> cm coords
+    labels = {}
+    for mi, cam in enumerate(match_cams):
+        if cam not in frame or len(frame[cam]) < 4:
+            continue
+        gt_list = frame[cam][3]
+        for slot, joints in enumerate(gt_list):
+            if slot >= max_skeletons:
+                break
+            if "-1" not in joints:
+                return None
+            best, best_d = -1, np.inf
+            for pid, ref in enumerate(persons):
+                d, n = 0.0, 0
+                for j, p in ref.items():
+                    if j in joints and j != "-1":
+                        d += float(np.linalg.norm(
+                            np.asarray(joints[j]) - p))
+                        n += 1
+                if n and d / n <= dist_per_joint and d < best_d:
+                    best, best_d = pid, d
+            if best < 0:
+                persons.append({j: np.asarray(v) for j, v in joints.items()
+                                if j != "-1"})
+                best = len(persons) - 1
+            labels[(mi, slot)] = best
+    return labels
+
+
+def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
+                   pipeline: PoseEstimationPipeline, datastep: int = 12,
+                   max_skeletons: int = 10) -> Dict:
+    """Matching clustering quality vs GT (≙ sm_metrics.py:92-229): per-frame
+    ARI / homogeneity / completeness / V-measure, averaged."""
+    sums = {"ari": 0.0, "homogeneity": 0.0, "completeness": 0.0,
+            "v_measure": 0.0}
+    n = 0
+    for i, frame in enumerate(frames):
+        if i % datastep != 0:
+            continue
+        gt_labels = _gt_clusters_from_frame(frame, rig_config, max_skeletons)
+        if not gt_labels:
+            continue
+        fa = parse_frame(frame, rig_config, max_skeletons)
+        scores, pm, topo, S = pipeline.match(fa)
+        persons = decode_person_proposals(scores, pm, topo,
+                                          rig_config.min_number_of_views,
+                                          pipeline.threshold)
+        # per-head labels in (matching camera, slot) order, present heads
+        # whose GT slot exists; unassigned heads share one label (reference
+        # sm_metrics.py:211-218 leaves them at len(final_output))
+        head_to_person = {}
+        for pi, person in enumerate(persons):
+            for mi, s in enumerate(person):
+                if s >= 0:
+                    head_to_person[(mi, s)] = pi
+        mi_idx = np.asarray(pipeline.match_idx)
+        true_l, pred_l = [], []
+        for (mi, s), gl in sorted(gt_labels.items()):
+            if s >= S or not fa.present[mi_idx[mi], s]:
+                continue
+            true_l.append(gl)
+            pred_l.append(head_to_person.get((mi, s), len(persons)))
+        if not true_l:
+            continue
+        rep = clustering_report(true_l, pred_l)
+        for k in sums:
+            sums[k] += rep[k]
+        n += 1
+    if n == 0:
+        return {k: float("nan") for k in sums} | {"n_frames": 0}
+    return {k: v / n for k, v in sums.items()} | {"n_frames": n}
+
+
+def run_sm_metrics_without_gt(inputs: List[List[Dict]],
+                              rig_config: RigConfig,
+                              pipeline: PoseEstimationPipeline,
+                              limit: int = 1000, seed: int = 0) -> Dict:
+    """GT-free matcher eval (≙ sm_metrics_without_gt.py:101-167): composite
+    single-person test recordings into synthetic scenes (labels known by
+    construction), decode once from model scores and once from the labels,
+    and compare the two clusterings."""
+    S = pipeline.slot_buckets[-1]
+    topo = pipeline.topology(S)
+    scenes = build_matcher_scenes(inputs, rig_config, topo, limit=limit,
+                                  seed=seed, augment=False)
+    sums = {"ari": 0.0, "homogeneity": 0.0, "completeness": 0.0,
+            "v_measure": 0.0}
+    n = 0
+    fn = pipeline._match_fn(S)
+    import jax.numpy as jnp
+    for k in range(len(scenes)):
+        sc = scenes.select(k)
+        scores, pm = fn(jnp.asarray(sc.kp), jnp.asarray(sc.valid),
+                        jnp.asarray(sc.prob), jnp.asarray(sc.observed),
+                        jnp.asarray(sc.present))
+        persons_model = decode_person_proposals(
+            np.asarray(scores), np.asarray(pm), topo,
+            rig_config.min_number_of_views, pipeline.threshold)
+        persons_label = decode_person_proposals(
+            sc.labels, (sc.pair_weight > 0).astype(np.float32), topo,
+            rig_config.min_number_of_views, pipeline.threshold)
+
+        def head_labels(persons):
+            out = {}
+            for pi, person in enumerate(persons):
+                for mi, s in enumerate(person):
+                    if s >= 0:
+                        out[(mi, s)] = pi
+            return out
+
+        lm, ll = head_labels(persons_model), head_labels(persons_label)
+        true_l, pred_l = [], []
+        for mi in range(topo.n_cameras):
+            for s in range(S):
+                if sc.present[mi, s]:
+                    true_l.append(ll.get((mi, s), len(persons_label)))
+                    pred_l.append(lm.get((mi, s), len(persons_model)))
+        if not true_l:
+            continue
+        rep = clustering_report(true_l, pred_l)
+        for key in sums:
+            sums[key] += rep[key]
+        n += 1
+    if n == 0:
+        return {k: float("nan") for k in sums} | {"n_scenes": 0}
+    return {k: v / n for k, v in sums.items()} | {"n_scenes": n}
+
+
+def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
+                           pipeline: PoseEstimationPipeline,
+                           tri_pipeline: Optional[PoseEstimationPipeline] = None,
+                           datastep: int = 1,
+                           max_skeletons: int = 10) -> Dict:
+    """Per-camera reprojection pixel error of estimated 3D
+    (≙ reprojection_error.py:160-431) for rigs without 3D GT."""
+    C = rig_config.n_cameras
+    errs_mlp: List[List[float]] = [[] for _ in range(C)]
+    errs_tri: List[List[float]] = [[] for _ in range(C)]
+    n = 0
+    for i, frame in enumerate(frames):
+        if i % datastep != 0:
+            continue
+        fa = parse_frame(frame, rig_config, max_skeletons)
+        out = pipeline(fa)
+        if len(out.persons) == 0:
+            continue
+        n += 1
+        kp, valid, prob, observed = pipeline.gather_person_obs(fa, out.persons)
+        for tag, errs, pl in (("mlp", errs_mlp, pipeline),
+                              ("tri", errs_tri, tri_pipeline)):
+            if pl is None:
+                continue
+            poses = out.poses if pl is pipeline else pl.lift(fa, out.persons)
+            pe = reprojection_pixel_errors(poses, kp, observed, pl.used_rig)
+            for c in range(len(pe)):
+                errs[c].extend(pe[c])
+    res = {"mlp": per_camera_stats(errs_mlp), "n_frames": n,
+           "cameras": list(rig_config.used_cameras)}
+    if tri_pipeline is not None:
+        res["triangulation"] = per_camera_stats(errs_tri)
+    return res

@@ -1,0 +1,128 @@
+"""End-to-end integration tests on synthetic scenes.
+
+Strategy (SURVEY.md §4): the triangulation 3D backend needs no training, so
+the full frame→poses path (parse → matcher features → decode → lift →
+metrics) is tested with an *oracle matcher* (scores = construction labels);
+the learned components get separate training smoke tests in test_training.py.
+"""
+
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import PANOPTIC, MatcherConfig
+from mpe3d_tpu.data.frames import parse_frame, parse_frame_gt
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames
+from mpe3d_tpu.eval.runners import run_pose_metrics, run_sm_metrics
+from mpe3d_tpu.matching.features import pair_mask_from_present
+from mpe3d_tpu.models.gat import init_matcher
+from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+
+class OraclePipeline(PoseEstimationPipeline):
+    """Pipeline whose matcher scores are computed from GT person identity:
+    two heads match iff their per-camera GT entries coincide (synthetic
+    frames attach person-aligned GT lists)."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self._frame_gt_labels = None
+
+    def set_frame(self, frame_dict):
+        labels = {}
+        for mi, cam in enumerate(self.rig_config.used_cameras_skeleton_matching):
+            if cam not in frame_dict or len(frame_dict[cam]) < 4:
+                continue
+            for slot, joints in enumerate(frame_dict[cam][3]):
+                key = tuple(sorted((k, tuple(np.round(v, 3)))
+                                   for k, v in joints.items() if k != "-1"))
+                labels[(mi, slot)] = key
+        self._frame_gt_labels = labels
+
+    def match(self, frame):
+        S = self._bucket(max(1, int(
+            frame.present[np.asarray(self.match_idx)].sum(axis=1).max())))
+        topo = self.topology(S)
+        present = frame.present[np.asarray(self.match_idx), :S]
+        pm = np.asarray(pair_mask_from_present(present, topo))
+        scores = np.zeros(topo.n_pairs, np.float32)
+        for k in range(topo.n_pairs):
+            if pm[k] < 0.5:
+                continue
+            h1, h2 = int(topo.e1[k]), int(topo.e2[k])
+            a = self._frame_gt_labels.get((h1 // S, h1 % S))
+            b = self._frame_gt_labels.get((h2 // S, h2 % S))
+            scores[k] = 0.9 if (a is not None and a == b) else 0.1
+        return scores, pm, topo, S
+
+
+@pytest.fixture(scope="module")
+def synthetic_world(panoptic_rig):
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.02,
+                       spurious_rate=0.0, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, n_frames=12,
+                             n_people=(2, 3), seed=3, noise=noise)
+    return frames
+
+
+def test_parse_roundtrip(synthetic_world):
+    fa = parse_frame(synthetic_world[0], PANOPTIC)
+    assert fa.kp.shape == (5, 10, 18, 2)
+    assert fa.present.any()
+    gt = parse_frame_gt(synthetic_world[0], PANOPTIC)
+    assert gt is not None
+    assert gt.gt3d.shape[1] == 18
+    assert gt.person_valid.all()
+
+
+def test_e2e_triangulation_backend(panoptic_rig, synthetic_world):
+    """Oracle matching + DLT lifting lands within a few cm of GT."""
+    pipe = OraclePipeline(PANOPTIC, panoptic_rig, None, MatcherConfig(),
+                          backend="triangulation")
+
+    class FrameAwarePipe:
+        def __getattr__(self, k):
+            return getattr(pipe, k)
+
+    acc_frames = []
+    for f in synthetic_world:
+        pipe.set_frame(f)
+        acc_frames.append(f)
+    # run metrics frame-by-frame so set_frame stays in sync
+    results = []
+    for f in synthetic_world:
+        pipe.set_frame(f)
+        r = run_pose_metrics([f], PANOPTIC, pipe, datastep=1)
+        if r["n_frames"]:
+            results.append(r)
+    assert results, "no frames evaluated"
+    mpjpe = np.nanmean([r["mpjpe_mm"] for r in results])
+    assert mpjpe < 60.0, mpjpe      # noisy pixels ≈ a few cm of 3D error
+    recall = np.mean([r["mR"] for r in results])
+    assert recall > 60.0
+
+
+def test_e2e_sm_metrics_oracle(panoptic_rig, synthetic_world):
+    pipe = OraclePipeline(PANOPTIC, panoptic_rig, None, MatcherConfig())
+    scores_all = []
+    for f in synthetic_world:
+        pipe.set_frame(f)
+        r = run_sm_metrics([f], PANOPTIC, pipe, datastep=1)
+        if r["n_frames"]:
+            scores_all.append(r["ari"])
+    assert scores_all
+    assert np.mean(scores_all) > 0.95    # oracle scores → near-perfect ARI
+
+
+def test_e2e_untrained_matcher_runs(panoptic_rig, synthetic_world):
+    """The real (untrained) matcher path executes end-to-end."""
+    import jax
+    cfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                        hidden=(8, 8), heads=(2, 2))
+    params = init_matcher(jax.random.PRNGKey(0), cfg)
+    pipe = PoseEstimationPipeline(PANOPTIC, panoptic_rig, params, cfg,
+                                  backend="triangulation",
+                                  slot_buckets=(4,), person_buckets=(8,))
+    fa = parse_frame(synthetic_world[0], PANOPTIC, max_skeletons=4)
+    out = pipe(fa)
+    assert out.poses.shape[1:] == (18, 3)
+    assert out.scores.shape[0] == pipe.topology(4).n_pairs

@@ -1,0 +1,80 @@
+"""Tests for the metric libraries (clustering vs sklearn, MPJPE/AP)."""
+
+import numpy as np
+import pytest
+
+from mpe3d_tpu.eval.clustering import (adjusted_rand_index, clustering_report,
+                                       homogeneity_completeness_v)
+from mpe3d_tpu.eval.pose_metrics import (PoseEvalAccumulator, best_permutation,
+                                         pose_error_table)
+
+sklearn_metrics = pytest.importorskip("sklearn.metrics")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_clustering_matches_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    n = 40
+    true = rng.integers(0, 5, n)
+    pred = rng.integers(0, 6, n)
+    assert np.isclose(adjusted_rand_index(true, pred),
+                      sklearn_metrics.adjusted_rand_score(true, pred))
+    h, c, v = homogeneity_completeness_v(true, pred)
+    hs, cs, vs = sklearn_metrics.homogeneity_completeness_v_measure(true, pred)
+    assert np.isclose(h, hs) and np.isclose(c, cs) and np.isclose(v, vs)
+
+
+def test_clustering_perfect():
+    rep = clustering_report([0, 0, 1, 1, 2], [5, 5, 7, 7, 9])
+    assert all(np.isclose(v, 1.0) for v in rep.values())
+
+
+def test_best_permutation_simple():
+    err = np.array([[0.1, 5.0], [5.0, 0.2]])
+    assert best_permutation(err) == [0, 1]
+    err = np.array([[5.0, 0.1], [0.2, 5.0]])
+    assert best_permutation(err) == [1, 0]
+
+
+def test_best_permutation_more_gt_than_results():
+    # 3 GT, 1 result: permutation indices ≥ R mean unmatched
+    err = np.array([[3.0], [0.5], [2.0]])
+    p = best_permutation(err)
+    assert len(p) == 3
+    assert p[1] == 0          # GT 1 takes the only result
+
+
+def test_pose_eval_perfect_predictions():
+    rng = np.random.default_rng(0)
+    acc = PoseEvalAccumulator(used_joints=range(18))
+    for _ in range(10):
+        gt = rng.normal(size=(3, 18, 3)).astype(np.float32)
+        acc.update(gt, np.ones((3, 18), bool), np.ones(3, bool), gt.copy())
+    s = acc.summary()
+    assert s["mpjpe_mm"] < 1e-3
+    assert s["mAP"] > 99.0
+    assert s["mR"] > 99.0
+
+
+def test_pose_eval_mixed_quality():
+    rng = np.random.default_rng(0)
+    acc = PoseEvalAccumulator(used_joints=range(18))
+    for _ in range(20):
+        gt = rng.normal(size=(2, 18, 3)).astype(np.float32)
+        pred = gt + rng.normal(0, 0.03, gt.shape)   # ~5 cm mean error
+        acc.update(gt, np.ones((2, 18), bool), np.ones(2, bool), pred)
+    s = acc.summary()
+    assert 20 < s["mpjpe_mm"] < 120
+    aps = s["ap_per_threshold"]
+    assert aps["150"]["ap"] > aps["25"]["ap"]       # monotone-ish in threshold
+
+
+def test_pose_eval_invalid_gt_discounted():
+    gt = np.zeros((1, 18, 3), np.float32)
+    acc = PoseEvalAccumulator(used_joints=range(18))
+    acc.update(gt, np.ones((1, 18), bool), np.zeros(1, bool), gt.copy())
+    assert acc.n_matched == 0
+    assert acc.n_gt == 0          # reference discounts invalid GT
+
+    table = pose_error_table(gt, np.ones((1, 18), bool), gt.copy(), range(18))
+    assert table.shape == (1, 1) and table[0, 0] == 0.0

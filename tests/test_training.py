@@ -1,0 +1,101 @@
+"""Training smoke tests: both trainers learn on synthetic data, sharded over
+the 8 virtual CPU devices (data-parallel pjit; SURVEY.md §2c plan)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import (PANOPTIC, LifterConfig, LifterTrainConfig,
+                              MatcherConfig, MatcherTrainConfig)
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_single_person_frames
+from mpe3d_tpu.matching.features import build_topology
+from mpe3d_tpu.parallel.mesh import make_mesh
+from mpe3d_tpu.train.lifter import train_lifter
+from mpe3d_tpu.train.lifter_data import build_lifter_dataset
+from mpe3d_tpu.train.matcher import train_matcher
+from mpe3d_tpu.train.matcher_data import build_matcher_scenes
+
+
+@pytest.fixture(scope="module")
+def single_person_files(panoptic_rig):
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    return [generate_single_person_frames(PANOPTIC, panoptic_rig, 30,
+                                          seed=s, noise=noise)
+            for s in (0, 1, 2)]
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices()) >= 8
+
+
+def test_matcher_scenes_shapes(single_person_files):
+    topo = build_topology(5, 4)
+    scenes = build_matcher_scenes(single_person_files, PANOPTIC, topo,
+                                  limit=40, seed=0)
+    assert len(scenes) > 10
+    assert scenes.kp.shape[1:] == (5, 4, 18, 2)
+    assert scenes.labels.shape[1] == topo.n_pairs
+    # every scene has at least one positive pair or is single-camera
+    pos = (scenes.labels * (scenes.pair_weight > 0)).sum(axis=1)
+    assert (pos > 0).mean() > 0.5
+    # labels only where weight > 0
+    assert np.all(scenes.labels[scenes.pair_weight == 0] == 0)
+    # multiplicity: real-real pairs weighted 2
+    assert set(np.unique(scenes.pair_weight)) <= {0.0, 1.0, 2.0}
+
+
+def test_matcher_training_learns(single_person_files, panoptic_rig):
+    topo = build_topology(5, 4)
+    train = build_matcher_scenes(single_person_files[:2], PANOPTIC, topo,
+                                 limit=60, seed=0)
+    dev = build_matcher_scenes(single_person_files[2:], PANOPTIC, topo,
+                               limit=20, seed=1)
+    cfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                        hidden=(8, 8), heads=(2, 2))
+    tcfg = MatcherTrainConfig(epochs=8, batch_size=16, eval_every=2,
+                              patience=10, lr=3e-4)
+    res = train_matcher(train, dev, PANOPTIC, panoptic_rig, topo,
+                        cfg, tcfg, log=lambda s: None)
+    assert len(res.history) >= 2
+    first, last = res.history[0], res.history[-1]
+    assert last["train_loss"] < first["train_loss"]
+    assert res.best_val_loss < 0.3      # below trivial all-0.5 MSE (0.25)
+
+
+def test_lifter_dataset_and_training(single_person_files, panoptic_rig):
+    net, err = build_lifter_dataset(
+        single_person_files[0] + single_person_files[1], PANOPTIC,
+        panoptic_rig, augment=True, max_combinations=3, seed=0)
+    assert net.shape[1] == PANOPTIC.lifter_input_dim == 1260
+    assert err.shape[1] == PANOPTIC.loss_input_dim == 360
+    assert len(net) == len(err) > 60    # augmentation expands frames
+
+    net_dev, err_dev = build_lifter_dataset(
+        single_person_files[2], PANOPTIC, panoptic_rig, augment=False)
+
+    cfg = LifterConfig(widths=(256, 128))
+    tcfg = LifterTrainConfig(epochs=10, batch_size=64, eval_every=3,
+                             patience=10, lr=1e-3)
+    res = train_lifter(net, err, net_dev, err_dev, PANOPTIC, panoptic_rig,
+                       cfg, tcfg, log=lambda s: None)
+    assert len(res.history) >= 2
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = LifterConfig(widths=(32,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, meta={"lifter_config": cfg, "epoch": 3})
+    template = init_lifter(jax.random.PRNGKey(1), cfg)
+    loaded, _, meta = load_checkpoint(path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        assert np.allclose(a, b)
+    assert meta["epoch"] == 3
+    assert meta["lifter_config"]["widths"] == [32]
