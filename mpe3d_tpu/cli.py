@@ -1,0 +1,418 @@
+"""Command-line interface — one entry point with subcommands mirroring the
+reference's scripts (SURVEY.md §5 config plan):
+
+  train-matcher             ≙ skeleton_matching/train_skeleton_matching.py
+  train-lifter              ≙ pose_estimator/train_pose_estimator.py
+  metrics-from-model        ≙ test/metrics_from_model.py
+  metrics-from-triangulation≙ test/metrics_from_triangulation.py
+  sm-metrics                ≙ test/sm_metrics.py
+  sm-metrics-without-gt     ≙ test/sm_metrics_without_gt.py
+  reprojection-error        ≙ test/reprojection_error.py
+  show-results              ≙ test/show_results_from_{model,triangulation}.py
+  merge-jsons               ≙ utils/merge_jsons.py
+  generate-synthetic        (new) synthetic wire-format data generator
+  convert-torch             (new) reference torch checkpoints → npz
+
+Run ``python -m mpe3d_tpu <subcommand> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared loading helpers
+# ---------------------------------------------------------------------------
+
+
+def load_rig(args):
+    from mpe3d_tpu.config import get_rig
+    from mpe3d_tpu.data.synthetic import synthetic_ring_rig
+    from mpe3d_tpu.geometry.calib_io import rig_from_files
+
+    rig_config = get_rig(args.rig)
+    tm = args.tm or rig_config.transformations_path
+    if tm and os.path.exists(tm):
+        return rig_config, rig_from_files(rig_config, tm)
+    print(f"[mpe3d] calibration '{tm}' not found — using a synthetic ring "
+          "rig", file=sys.stderr)
+    return rig_config, synthetic_ring_rig(rig_config)
+
+
+def load_models(models_dir: str, rig_config):
+    """Load matcher + lifter from a directory holding either our npz
+    checkpoints or the reference's torch files."""
+    import jax
+
+    from mpe3d_tpu.config import LifterConfig, MatcherConfig
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.train.checkpoint import load_checkpoint
+
+    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    j = os.path.join
+
+    if os.path.exists(j(models_dir, "skeleton_matching.npz")):
+        mparams, _, _ = load_checkpoint(
+            j(models_dir, "skeleton_matching"),
+            init_matcher(jax.random.PRNGKey(0), mcfg))
+    elif os.path.exists(j(models_dir, "skeleton_matching.tch")):
+        from mpe3d_tpu.convert.torch_import import load_reference_matcher
+        mparams, mcfg = load_reference_matcher(
+            j(models_dir, "skeleton_matching.tch"),
+            j(models_dir, "skeleton_matching.prms"))
+    else:
+        print("[mpe3d] no matcher checkpoint found — using random init",
+              file=sys.stderr)
+        mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
+
+    if os.path.exists(j(models_dir, "pose_estimator.npz")):
+        lparams, _, _ = load_checkpoint(
+            j(models_dir, "pose_estimator"),
+            init_lifter(jax.random.PRNGKey(1), lcfg))
+    elif os.path.exists(j(models_dir, "pose_estimator.pytorch")):
+        from mpe3d_tpu.convert.torch_import import load_reference_lifter
+        lparams, lcfg = load_reference_lifter(
+            j(models_dir, "pose_estimator.pytorch"))
+    else:
+        print("[mpe3d] no lifter checkpoint found — using random init",
+              file=sys.stderr)
+        lparams = init_lifter(jax.random.PRNGKey(1), lcfg)
+    return mparams, mcfg, lparams, lcfg
+
+
+def build_pipeline(args, backend: str):
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    rig_config, rig = load_rig(args)
+    mparams, mcfg, lparams, lcfg = load_models(args.modelsdir, rig_config)
+    pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
+                                  lparams, lcfg, backend=backend)
+    return rig_config, rig, pipe
+
+
+def _load_files(paths):
+    from mpe3d_tpu.data.frames import load_frames
+    frames = []
+    for p in paths:
+        frames.extend(load_frames(p))
+    return frames
+
+
+def _print_report(report: dict):
+    print(json.dumps(report, indent=2, default=str))
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+
+def cmd_train_matcher(args):
+    from mpe3d_tpu.config import MatcherConfig, MatcherTrainConfig
+    from mpe3d_tpu.data.frames import load_frames
+    from mpe3d_tpu.matching.features import build_topology
+    from mpe3d_tpu.train.matcher import train_matcher
+    from mpe3d_tpu.train.matcher_data import build_matcher_scenes
+
+    rig_config, rig = load_rig(args)
+    topo = build_topology(rig_config.n_matching_cameras, args.slots)
+    tcfg = MatcherTrainConfig(epochs=args.epochs, limit=args.limit,
+                              batch_size=args.batch_size, seed=args.seed)
+    cfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    train = build_matcher_scenes([load_frames(p) for p in args.trainset],
+                                 rig_config, topo, limit=tcfg.limit,
+                                 seed=tcfg.seed)
+    dev = build_matcher_scenes([load_frames(p) for p in args.devset],
+                               rig_config, topo, limit=tcfg.limit,
+                               seed=tcfg.seed + 1)
+    print(f"train scenes: {len(train)}, dev scenes: {len(dev)}")
+    out = os.path.join(args.modelsdir, "skeleton_matching")
+    res = train_matcher(train, dev, rig_config, rig, topo, cfg, tcfg,
+                        checkpoint_path=out)
+    print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
+          f"epochs → {out}.npz")
+    if args.testset:
+        test = build_matcher_scenes([load_frames(p) for p in args.testset],
+                                    rig_config, topo, limit=tcfg.limit,
+                                    seed=tcfg.seed + 2)
+        from mpe3d_tpu.train.matcher import make_matcher_step
+        import jax.numpy as jnp
+        import optax
+        match_rig = rig.select(np.asarray(rig_config.matching_camera_indices()))
+        _, eval_step, _ = make_matcher_step(
+            match_rig, rig_config, topo, cfg,
+            optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay))
+        losses = []
+        for i in range(0, len(test), tcfg.batch_size):
+            s = test.select(slice(i, i + tcfg.batch_size))
+            losses.append(float(eval_step(res.params, tuple(
+                jnp.asarray(b) for b in (s.kp, s.valid, s.prob, s.observed,
+                                         s.present, s.labels,
+                                         s.pair_weight)))))
+        print(f"MSE for the test set {np.mean(losses):.6f}")
+
+
+def cmd_train_lifter(args):
+    from mpe3d_tpu.config import LifterConfig, LifterTrainConfig
+    from mpe3d_tpu.train.lifter import train_lifter
+    from mpe3d_tpu.train.lifter_data import build_lifter_dataset_from_files
+
+    rig_config, rig = load_rig(args)
+    tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                             optimise_matrices=args.optimise_matrices,
+                             seed=args.seed)
+    net_t, err_t = build_lifter_dataset_from_files(
+        args.trainset, rig_config, rig, cache=args.cache)
+    net_d, err_d = build_lifter_dataset_from_files(
+        args.devset, rig_config, rig, cache=args.cache)
+    print(f"dataset length: {len(net_t)} (dev {len(net_d)})")
+    out = os.path.join(args.modelsdir, "pose_estimator")
+    res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig,
+                       LifterConfig(in_dim=rig_config.lifter_input_dim,
+                                    out_dim=rig_config.n_joints * 3),
+                       tcfg, checkpoint_path=out)
+    print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
+          f"epochs → {out}.npz")
+
+
+def _pose_metrics(args, backend: str):
+    from mpe3d_tpu.eval.runners import run_pose_metrics
+
+    rig_config, rig, pipe = build_pipeline(args, backend)
+    dataset_T = None
+    if args.dataset_tm:
+        from mpe3d_tpu.geometry.calib_io import load_transform_manager
+        ts = load_transform_manager(args.dataset_tm)
+        dataset_T = ts.get_transform("root", rig_config.camera_names[1])
+    report = run_pose_metrics(_load_files(args.testfiles), rig_config, pipe,
+                              datastep=args.datastep,
+                              dataset_T_wc1=dataset_T)
+    _print_report(report)
+
+
+def cmd_metrics_from_model(args):
+    _pose_metrics(args, "mlp")
+
+
+def cmd_metrics_from_triangulation(args):
+    _pose_metrics(args, "triangulation")
+
+
+def cmd_sm_metrics(args):
+    from mpe3d_tpu.eval.runners import run_sm_metrics
+
+    rig_config, rig, pipe = build_pipeline(args, "triangulation")
+    report = run_sm_metrics(_load_files(args.testfiles), rig_config, pipe,
+                            datastep=args.datastep)
+    _print_report(report)
+
+
+def cmd_sm_metrics_without_gt(args):
+    from mpe3d_tpu.data.frames import load_frames
+    from mpe3d_tpu.eval.runners import run_sm_metrics_without_gt
+
+    rig_config, rig, pipe = build_pipeline(args, "triangulation")
+    report = run_sm_metrics_without_gt(
+        [load_frames(p) for p in args.testfiles], rig_config, pipe,
+        limit=args.limit)
+    _print_report(report)
+
+
+def cmd_reprojection_error(args):
+    from mpe3d_tpu.eval.runners import run_reprojection_error
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    rig_config, rig, pipe = build_pipeline(args, "mlp")
+    tri = PoseEstimationPipeline(rig_config, rig, pipe.matcher_params,
+                                 pipe.matcher_cfg, backend="triangulation")
+    report = run_reprojection_error(_load_files(args.testfiles), rig_config,
+                                    pipe, tri, datastep=args.datastep)
+    _print_report(report)
+
+
+def cmd_show_results(args):
+    from mpe3d_tpu.data.frames import parse_frame, parse_frame_gt
+    from mpe3d_tpu.viz.viewer import render_sequence
+
+    rig_config, rig, pipe = build_pipeline(args, args.backend)
+    frames = _load_files(args.testfiles)[: args.max_frames]
+    poses, gts = [], []
+    for f in frames:
+        fa = parse_frame(f, rig_config)
+        out = pipe(fa)
+        poses.append(out.poses)
+        gt = parse_frame_gt(f, rig_config) if args.showgt else None
+        gts.append(gt.gt3d if gt else None)
+    path = render_sequence(poses, rig_config, args.out,
+                           gts if args.showgt else None)
+    print(f"wrote {path}")
+
+
+def cmd_merge_jsons(args):
+    from mpe3d_tpu.data.frames import merge_frame_files
+    n = merge_frame_files(args.inputs, args.output)
+    print(f"wrote {n} frames to {args.output}")
+
+
+def cmd_generate_synthetic(args):
+    from mpe3d_tpu.data.synthetic import (generate_frames,
+                                          generate_single_person_frames,
+                                          write_frames)
+
+    rig_config, rig = load_rig(args)
+    if args.single_person:
+        frames = generate_single_person_frames(rig_config, rig,
+                                               args.frames, seed=args.seed)
+    else:
+        frames = generate_frames(rig_config, rig, args.frames,
+                                 n_people=(args.min_people, args.max_people),
+                                 seed=args.seed, with_gt=not args.no_gt)
+    write_frames(frames, args.output)
+    print(f"wrote {len(frames)} frames to {args.output}")
+
+
+def cmd_convert_torch(args):
+    from mpe3d_tpu.train.checkpoint import save_checkpoint
+
+    if args.lifter:
+        from mpe3d_tpu.convert.torch_import import load_reference_lifter
+        params, cfg = load_reference_lifter(args.lifter)
+        out = os.path.join(args.modelsdir, "pose_estimator")
+        save_checkpoint(out, params, meta={"lifter_config": cfg,
+                                           "source": args.lifter})
+        print(f"wrote {out}.npz")
+    if args.matcher:
+        from mpe3d_tpu.convert.torch_import import load_reference_matcher
+        params, cfg = load_reference_matcher(args.matcher, args.prms)
+        out = os.path.join(args.modelsdir, "skeleton_matching")
+        save_checkpoint(out, params, meta={"matcher_config": cfg,
+                                           "source": args.matcher})
+        print(f"wrote {out}.npz")
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _add_common(p, models=True):
+    p.add_argument("--rig", default="PANOPTIC", help="rig preset name")
+    p.add_argument("--tm", default=None,
+                   help="calibration file (pytransform3d pickle or JSON)")
+    if models:
+        p.add_argument("--modelsdir", default="./models",
+                       help="directory with model checkpoints")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mpe3d_tpu", description="TPU-native multi-person 3D pose "
+        "estimation (capabilities of gnns4hri/3D_multi_pose_estimator)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train-matcher")
+    _add_common(p)
+    p.add_argument("--trainset", nargs="+", required=True)
+    p.add_argument("--devset", nargs="+", required=True)
+    p.add_argument("--testset", nargs="*", default=[])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=15)
+    p.add_argument("--limit", type=int, default=120000)
+    p.add_argument("--slots", type=int, default=4,
+                   help="skeleton slots per camera in training scenes")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_matcher)
+
+    p = sub.add_parser("train-lifter")
+    _add_common(p)
+    p.add_argument("--trainset", nargs="+", required=True)
+    p.add_argument("--devset", nargs="+", required=True)
+    p.add_argument("--epochs", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=2096)
+    p.add_argument("--optimise-matrices", action="store_true")
+    p.add_argument("--cache", action="store_true",
+                   help="cache packed datasets next to the last input file")
+    p.add_argument("--seed", type=int, default=58008)
+    p.set_defaults(fn=cmd_train_lifter)
+
+    for name, fn in (("metrics-from-model", cmd_metrics_from_model),
+                     ("metrics-from-triangulation",
+                      cmd_metrics_from_triangulation),
+                     ("sm-metrics", cmd_sm_metrics)):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--testfiles", nargs="+", required=True)
+        p.add_argument("--datastep", type=int, default=12)
+        p.add_argument("--dataset-tm", default=None,
+                       help="dataset calibration if GT is in another frame")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("sm-metrics-without-gt")
+    _add_common(p)
+    p.add_argument("--testfiles", nargs="+", required=True)
+    p.add_argument("--limit", type=int, default=1000)
+    p.set_defaults(fn=cmd_sm_metrics_without_gt)
+
+    p = sub.add_parser("reprojection-error")
+    _add_common(p)
+    p.add_argument("--testfiles", nargs="+", required=True)
+    p.add_argument("--datastep", type=int, default=1)
+    p.set_defaults(fn=cmd_reprojection_error)
+
+    p = sub.add_parser("show-results")
+    _add_common(p)
+    p.add_argument("--testfiles", nargs="+", required=True)
+    p.add_argument("--backend", choices=["mlp", "triangulation"],
+                   default="mlp")
+    p.add_argument("--out", default="results.gif")
+    p.add_argument("--showgt", action="store_true")
+    p.add_argument("--max-frames", type=int, default=100)
+    p.set_defaults(fn=cmd_show_results)
+
+    p = sub.add_parser("merge-jsons")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_merge_jsons)
+
+    p = sub.add_parser("generate-synthetic")
+    _add_common(p, models=False)
+    p.add_argument("--output", required=True)
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--single-person", action="store_true")
+    p.add_argument("--min-people", type=int, default=1)
+    p.add_argument("--max-people", type=int, default=4)
+    p.add_argument("--no-gt", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_generate_synthetic)
+
+    p = sub.add_parser("convert-torch")
+    p.add_argument("--lifter", default=None,
+                   help="path to pose_estimator.pytorch")
+    p.add_argument("--matcher", default=None,
+                   help="path to skeleton_matching.tch")
+    p.add_argument("--prms", default=None,
+                   help="path to skeleton_matching.prms")
+    p.add_argument("--modelsdir", default="./models")
+    p.set_defaults(fn=cmd_convert_torch)
+
+    return ap
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    os.makedirs(getattr(args, "modelsdir", ".") or ".", exist_ok=True)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -192,9 +192,9 @@ def run_sm_metrics_without_gt(inputs: List[List[Dict]],
     import jax.numpy as jnp
     for k in range(len(scenes)):
         sc = scenes.select(k)
-        scores, pm = fn(jnp.asarray(sc.kp), jnp.asarray(sc.valid),
-                        jnp.asarray(sc.prob), jnp.asarray(sc.observed),
-                        jnp.asarray(sc.present))
+        scores, pm = fn(pipeline.matcher_params, jnp.asarray(sc.kp),
+                        jnp.asarray(sc.valid), jnp.asarray(sc.prob),
+                        jnp.asarray(sc.observed), jnp.asarray(sc.present))
         persons_model = decode_person_proposals(
             np.asarray(scores), np.asarray(pm), topo,
             rig_config.min_number_of_views, pipeline.threshold)

@@ -33,14 +33,22 @@ class CameraRig(NamedTuple):
     Replaces the reference's pickled pytransform3d TransformManager +
     per-camera python lists (reference: skeleton_matching/graph_generator.py:32-52)
     with stacked arrays indexed by camera.
+
+    Fields are **host numpy** arrays on purpose: calibration is a compile-time
+    constant of every jitted program, and numpy leaves are inlined as HLO
+    literals when captured.  (Captured *device* arrays become hidden
+    per-call parameters, which the axon TPU tunnel executes ~1000× slower —
+    measured 27 ms vs 0.03 µs per call.)  When calibration must be traced —
+    the ``optimise_matrices`` training path — pass a jnp-leaved CameraRig as
+    a function argument instead.
     """
 
-    K: jnp.ndarray       # [C, 3, 3] intrinsics
-    K_inv: jnp.ndarray   # [C, 3, 3]
-    T_wc: jnp.ndarray    # [C, 4, 4] world(root) -> camera ("direct" transform)
-    T_cw: jnp.ndarray    # [C, 4, 4] camera -> world ("inverse" transform)
-    dist: jnp.ndarray    # [C, 5] OpenCV order (k1, k2, p1, p2, k3)
-    image_size: jnp.ndarray  # [2] (width, height), float32
+    K: np.ndarray       # [C, 3, 3] intrinsics
+    K_inv: np.ndarray   # [C, 3, 3]
+    T_wc: np.ndarray    # [C, 4, 4] world(root) -> camera ("direct" transform)
+    T_cw: np.ndarray    # [C, 4, 4] camera -> world ("inverse" transform)
+    dist: np.ndarray    # [C, 5] OpenCV order (k1, k2, p1, p2, k3)
+    image_size: np.ndarray  # [2] (width, height), float32
 
     @property
     def n_cameras(self) -> int:
@@ -48,7 +56,7 @@ class CameraRig(NamedTuple):
 
     def select(self, idx) -> "CameraRig":
         """Sub-rig with cameras ``idx`` (tuple/array of indices)."""
-        idx = jnp.asarray(idx)
+        idx = np.asarray(idx)
         return CameraRig(self.K[idx], self.K_inv[idx], self.T_wc[idx],
                          self.T_cw[idx], self.dist[idx], self.image_size)
 
@@ -73,12 +81,12 @@ def make_rig(K: np.ndarray, dist: np.ndarray, T_wc: np.ndarray,
     K = np.asarray(K, np.float32)
     T_wc = np.asarray(T_wc, np.float32)
     return CameraRig(
-        K=jnp.asarray(K),
-        K_inv=jnp.asarray(np.linalg.inv(K)),
-        T_wc=jnp.asarray(T_wc),
-        T_cw=jnp.asarray(np.linalg.inv(T_wc.astype(np.float64)).astype(np.float32)),
-        dist=jnp.asarray(dist, jnp.float32),
-        image_size=jnp.asarray(image_size, jnp.float32),
+        K=K,
+        K_inv=np.linalg.inv(K).astype(np.float32),
+        T_wc=T_wc,
+        T_cw=np.linalg.inv(T_wc.astype(np.float64)).astype(np.float32),
+        dist=np.asarray(dist, np.float32),
+        image_size=np.asarray(image_size, np.float32),
     )
 
 

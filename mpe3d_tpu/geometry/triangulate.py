@@ -103,7 +103,7 @@ def _pairwise_points(points: jnp.ndarray, valid: jnp.ndarray,
     Returns (pts3d [P, J, 3], pair_valid [P, J]) with P = C·(C−1)/2.
     """
     C = rig.n_cameras
-    pairs = jnp.asarray(_camera_pairs(C))                    # [P, 2]
+    pairs = _camera_pairs(C)                                 # [P, 2] static
     # Undistort every observation once: [C, J, 2]
     xn = undistort_points(points, rig.K[:, None], rig.dist[:, None])
     P_mats = rig.T_wc[:, :3, :]                              # [C, 3, 4]

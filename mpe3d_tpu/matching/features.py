@@ -134,14 +134,18 @@ def head_features(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
 
 
 def edge_node_features(n_pairs: int, feat_dim: int,
-                       dtype=jnp.float32) -> jnp.ndarray:
-    """Edge-node features: the 'edge_node' one-hot only (reference :627-631)."""
-    f = jnp.zeros((n_pairs, feat_dim), dtype)
-    return f.at[:, 1].set(1.0)
+                       dtype=np.float32) -> np.ndarray:
+    """Edge-node features: the 'edge_node' one-hot only (reference :627-631).
+
+    Returned as host numpy so it inlines as an HLO literal when captured
+    (see geometry.camera.CameraRig docstring for why that matters)."""
+    f = np.zeros((n_pairs, feat_dim), dtype)
+    f[:, 1] = 1.0
+    return f
 
 
 def pair_mask_from_present(present: jnp.ndarray, topo: PairTopology
                            ) -> jnp.ndarray:
     """pair valid ⇔ both endpoint slots occupied.  present: [C, S]."""
     flat = present.reshape(-1).astype(jnp.float32)
-    return flat[topo.e1] * flat[topo.e2]
+    return flat[jnp.asarray(topo.e1)] * flat[jnp.asarray(topo.e2)]

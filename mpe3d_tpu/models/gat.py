@@ -35,6 +35,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mpe3d_tpu.config import MatcherConfig
 from mpe3d_tpu.matching.features import PairTopology
@@ -43,14 +44,18 @@ Params = Dict[str, Any]
 
 
 class TopologyArrays(NamedTuple):
-    """Device-resident topology constants (see matching.features.PairTopology)."""
+    """Topology constants for the attention kernels.
 
-    inc1: jnp.ndarray    # [E, H] one-hot of endpoint-1 head
-    inc2: jnp.ndarray    # [E, H]
+    Kept as host numpy so they inline as HLO literals when captured by a
+    jitted program (captured *device* arrays go through the axon tunnel's
+    slow hidden-parameter path; see geometry.camera.CameraRig)."""
+
+    inc1: np.ndarray    # [E, H] one-hot of endpoint-1 head
+    inc2: np.ndarray    # [E, H]
 
     @classmethod
     def from_topology(cls, topo: PairTopology) -> "TopologyArrays":
-        return cls(jnp.asarray(topo.inc1), jnp.asarray(topo.inc2))
+        return cls(topo.inc1, topo.inc2)
 
 
 def _xavier_normal(key, shape, gain: float, dtype=jnp.float32):

@@ -97,6 +97,10 @@ class PoseEstimationPipeline:
         return self._topos[slots]
 
     # ------------------------------------------------------------------
+    # NOTE: model parameters are runtime ARGUMENTS of the jitted stages —
+    # capturing device arrays in a jit closure routes every call through the
+    # axon tunnel's slow hidden-parameter path (measured ~27 ms/call).
+    # Calibration/topology are host-numpy and inline as HLO literals.
     @functools.lru_cache(maxsize=16)
     def _match_fn(self, slots: int):
         topo = self.topology(slots)
@@ -105,11 +109,11 @@ class PoseEstimationPipeline:
                                     self.rig_config.matcher_feature_dim)
 
         @jax.jit
-        def run(kp, valid, prob, observed, present):
+        def run(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,
                                       self.match_rig, self.image_size)
             pm = pair_mask_from_present(present, topo)
-            scores = apply_matcher(self.matcher_params, hfeats, efeats,
+            scores = apply_matcher(params, hfeats, efeats,
                                    topo_dev, pm, self.matcher_cfg)
             return scores * pm, pm
 
@@ -119,7 +123,8 @@ class PoseEstimationPipeline:
     def _lift_fn(self, n_persons: int):
         if self.backend == "triangulation":
             @jax.jit
-            def run(kp, valid, prob, observed, pmask):
+            def run(params, kp, valid, prob, observed, pmask):
+                del params
                 def one(kp_p, obs_p):
                     xyz, ok = triangulate_median_filtered(
                         kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
@@ -129,13 +134,13 @@ class PoseEstimationPipeline:
             return run
 
         @jax.jit
-        def run(kp, valid, prob, observed, pmask):
+        def run(params, kp, valid, prob, observed, pmask):
             def one(kp_p, valid_p, prob_p, obs_p):
                 net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
                                            self.used_rig, self.image_size)
                 return net
             nets = jax.vmap(one)(kp, valid, prob, observed)     # [P, 1260]
-            out = apply_lifter(self.lifter_params, nets, self.lifter_cfg,
+            out = apply_lifter(params, nets, self.lifter_cfg,
                                compute_dtype=self.compute_dtype)
             J = self.rig_config.n_joints
             poses = out.reshape(n_persons, J, 3) * 10.0          # metres
@@ -156,7 +161,8 @@ class PoseEstimationPipeline:
         prob = jnp.asarray(frame.prob[mi, :S])
         observed = jnp.asarray(frame.in_view[mi, :S])
         present = jnp.asarray(frame.present[mi, :S])
-        scores, pm = self._match_fn(S)(kp, valid, prob, observed, present)
+        scores, pm = self._match_fn(S)(self.matcher_params, kp, valid,
+                                       prob, observed, present)
         return np.asarray(scores), np.asarray(pm), topo, S
 
     def gather_person_obs(self, frame: FrameArrays, persons: np.ndarray):
@@ -202,8 +208,9 @@ class PoseEstimationPipeline:
             observed = np.concatenate([observed, np.zeros((pad, *observed.shape[1:]), bool)])
         pmask = np.zeros(PB, np.float32)
         pmask[:P] = 1.0
-        poses, ok = self._lift_fn(PB)(jnp.asarray(kp), jnp.asarray(valid),
-                                      jnp.asarray(prob), jnp.asarray(observed),
+        poses, ok = self._lift_fn(PB)(self.lifter_params, jnp.asarray(kp),
+                                      jnp.asarray(valid), jnp.asarray(prob),
+                                      jnp.asarray(observed),
                                       jnp.asarray(pmask))
         return np.asarray(poses)[:P]
 
@@ -226,13 +233,13 @@ class PoseEstimationPipeline:
         for S in ([slots] if slots else self.slot_buckets):
             C = len(self.match_idx)
             J = self.rig_config.n_joints
-            self._match_fn(S)(jnp.zeros((C, S, J, 2)), jnp.zeros((C, S, J)),
-                              jnp.zeros((C, S, J)),
+            self._match_fn(S)(self.matcher_params, jnp.zeros((C, S, J, 2)),
+                              jnp.zeros((C, S, J)), jnp.zeros((C, S, J)),
                               jnp.zeros((C, S, J), bool),
                               jnp.zeros((C, S), bool))
         for PB in ([persons] if persons else self.person_buckets):
             Cu = len(self.used_idx)
             J = self.rig_config.n_joints
-            self._lift_fn(PB)(jnp.zeros((PB, Cu, J, 2)),
+            self._lift_fn(PB)(self.lifter_params, jnp.zeros((PB, Cu, J, 2)),
                               jnp.zeros((PB, Cu, J)), jnp.zeros((PB, Cu, J)),
                               jnp.zeros((PB, Cu, J), bool), jnp.zeros(PB))
