@@ -17,6 +17,12 @@ BASELINE_MS = 51.32          # t_pp + t_3Dg, reference README.md:40-41
 
 
 def main() -> int:
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
@@ -41,19 +47,19 @@ def main() -> int:
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
+    n_frames = 10 if smoke else 60
     frames = [parse_frame(f, rig_config, max_skeletons=4)
-              for f in generate_frames(rig_config, rig, 60, n_people=(2, 3),
+              for f in generate_frames(rig_config, rig, n_frames,
+                                       n_people=(2, 3),
                                        seed=11, noise=noise, with_gt=False)]
 
-    pipe.warmup(slots=4, persons=8)
-    for f in frames[:5]:                       # warm the e2e path
-        pipe(f)
+    for f in frames[:5]:                       # warm the fused e2e path
+        pipe.infer_fused(f)
 
     times = []
     for f in frames:
         t0 = time.perf_counter()
-        out = pipe(f)
-        out.poses.sum() if len(out.poses) else None   # host sync
+        out = pipe.infer_fused(f)              # ONE dispatch + ONE readback
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
     print(json.dumps({

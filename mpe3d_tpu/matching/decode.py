@@ -72,14 +72,15 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
             cams_of_cluster[cluster[b]].add(ca)
         else:
             ka, kb = cluster[a], cluster[b]
-            if ka == kb:
-                pass                          # already same person
-            elif cams_of_cluster[ka] & cams_of_cluster[kb]:
+            # same cluster shares all cameras → the intersection test below
+            # rejects it, exactly like the reference (which therefore never
+            # updates linked_cams for an already-merged pair,
+            # skeleton_matching_utils.py:90-104)
+            if cams_of_cluster[ka] & cams_of_cluster[kb]:
                 continue                      # conflicting merge
-            else:
-                cams_of_cluster[ka] |= cams_of_cluster[kb]
-                cluster[cluster == kb] = ka
-                cams_of_cluster[kb] = set()
+            cams_of_cluster[ka] |= cams_of_cluster[kb]
+            cluster[cluster == kb] = ka
+            cams_of_cluster[kb] = set()
         linked_cams[a].add(cb)
         linked_cams[b].add(ca)
 

@@ -1,0 +1,147 @@
+"""On-device person-proposal decode — the greedy merge as a lax.fori_loop.
+
+Same semantics as the host decoder (matching/decode.py ≙ reference
+utils/skeleton_matching_utils.py:12-132), restructured for XLA: fixed-size
+state arrays indexed by head, a static score-sorted candidate order
+(jnp.argsort), and branch-free masked updates instead of python control flow.
+This puts the entire frame→poses path into ONE compiled program — no host
+round trip between matching and lifting (SURVEY.md §7's riskiest piece; also
+the only way to reach single-RTT latency through remote-TPU relays).
+
+State (H = heads, C = matching cameras):
+  cluster   [H] int32   cluster id of each head (-1 = unassigned); cluster
+                        ids are head indices (the first head that founded it)
+  linked    [H, C] bool 'heads_linked_in_cameras' — starts as the head's own
+                        camera one-hot
+  ccams     [H, C] bool cameras covered by the cluster rooted at each id
+
+Per candidate (score-descending), the reference's four cases collapse to
+masked updates:
+  * reject if either endpoint is linked to the other's camera, or an
+    endpoint's cluster already covers the other camera, or (both assigned)
+    the two clusters' camera sets intersect (covers the same-cluster case);
+  * otherwise: unify cluster ids (new/join/merge), OR the camera sets into
+    the surviving root, and mark the cross links.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpe3d_tpu.matching.features import PairTopology
+
+
+def decode_person_proposals_device(
+        scores: jnp.ndarray, pair_mask: jnp.ndarray, topo: PairTopology,
+        min_views: int = 2, threshold: float = 0.5,
+        max_persons: int = 0, top_k: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy camera-consistent clustering, fully on device.
+
+    scores/pair_mask: [E].  Returns (persons [P_max, C] int32 slot per camera
+    with -1 = none, person_mask [P_max] bool), P_max = max_persons or H // min_views.
+
+    ``top_k`` bounds the sequential loop to the K best candidates (0 = all E)
+    — the loop is the latency-critical piece; K ≥ the number of
+    above-threshold pairs gives exact results.
+
+    Jit-safe: all shapes static, one fori_loop over the candidates.
+    """
+    E = topo.n_pairs
+    H = topo.n_heads
+    C = topo.n_cameras
+    S = topo.n_slots
+    P_max = max_persons or max(H // max(min_views, 1), 1)
+    K = min(top_k, E) if top_k else E
+
+    e1 = jnp.asarray(topo.e1, jnp.int32)
+    e2 = jnp.asarray(topo.e2, jnp.int32)
+    cam1 = jnp.asarray(topo.cam1, jnp.int32)
+    cam2 = jnp.asarray(topo.cam2, jnp.int32)
+
+    eligible = (pair_mask > 0.5) & (scores > threshold)
+    neg = jnp.asarray(-jnp.inf, scores.dtype)
+    masked = jnp.where(eligible, scores, neg)
+    if K < E:
+        _, order = jax.lax.top_k(masked, K)                    # [K], desc
+    else:
+        order = jnp.argsort(masked, descending=True, stable=True)  # [E]
+    n_live = jnp.minimum(jnp.sum(eligible.astype(jnp.int32)), K)
+
+    cluster0 = jnp.full((H,), -1, jnp.int32)
+    linked0 = jax.nn.one_hot(jnp.arange(H) // S, C, dtype=bool)  # own camera
+    ccams0 = jnp.zeros((H, C), bool)
+
+    def body(i, state):
+        cluster, linked, ccams = state
+        k = order[i]
+        a, b = e1[k], e2[k]
+        ca, cb = cam1[k], cam2[k]
+        live = i < n_live
+
+        ka, kb = cluster[a], cluster[b]
+        a_has, b_has = ka >= 0, kb >= 0
+        # cluster camera sets (root -1 → harmless row 0, gated below)
+        ccams_a = ccams[jnp.maximum(ka, 0)]
+        ccams_b = ccams[jnp.maximum(kb, 0)]
+
+        reject = (linked[b, ca] | linked[a, cb]
+                  | (a_has & ccams_a[cb])
+                  | (b_has & ccams_b[ca])
+                  | (a_has & b_has & jnp.any(ccams_a & ccams_b)))
+        do = live & ~reject
+
+        # surviving root: a's cluster if any, else b's cluster, else head a
+        root = jnp.where(a_has, ka, jnp.where(b_has, kb, a))
+        # merge case relabels kb's members to root
+        relabel_from = jnp.where(a_has & b_has, kb, jnp.asarray(-2, jnp.int32))
+        new_cluster = jnp.where(
+            do & (cluster == relabel_from), root, cluster)
+        new_cluster = jnp.where(do, new_cluster.at[a].set(root)
+                                .at[b].set(root), cluster)
+
+        # camera set of the surviving root: |= other cluster's set (merge)
+        # and |= {ca, cb}
+        add = jnp.zeros((C,), bool).at[ca].set(True).at[cb].set(True)
+        add = add | jnp.where(a_has & b_has, ccams_b, False)
+        add = add | jnp.where(a_has, ccams_a, False) \
+                  | jnp.where(b_has, ccams_b, False)
+        new_ccams = jnp.where(do, ccams.at[root].set(ccams[root] | add),
+                              ccams)
+        # clear the absorbed root so later pairs don't see stale sets
+        clear = do & a_has & b_has & (kb != root)
+        new_ccams = jnp.where(clear, new_ccams.at[jnp.maximum(kb, 0)]
+                              .set(jnp.zeros((C,), bool)), new_ccams)
+
+        new_linked = jnp.where(do, linked.at[a, cb].set(True)
+                               .at[b, ca].set(True), linked)
+        return new_cluster, new_linked, new_ccams
+
+    cluster, _, _ = jax.lax.fori_loop(0, K, body,
+                                      (cluster0, linked0, ccams0))
+
+    # --- components → persons (fixed P_max slots, cluster ids are head ids)
+    # member count per cluster id
+    assigned = cluster >= 0
+    counts = jnp.zeros((H,), jnp.int32).at[
+        jnp.maximum(cluster, 0)].add(assigned.astype(jnp.int32))
+    root_ok = counts >= min_views                                # [H]
+    # rank roots in ascending head-id order → stable person indices
+    root_rank = jnp.cumsum(root_ok.astype(jnp.int32)) - 1        # [H]
+    person_of_head = jnp.where(
+        assigned & root_ok[jnp.maximum(cluster, 0)],
+        root_rank[jnp.maximum(cluster, 0)], -1)                  # [H]
+    n_persons = jnp.sum(root_ok.astype(jnp.int32))
+
+    # persons[p, c] = slot of the member head in camera c (or -1)
+    head_cam = jnp.arange(H) // S
+    head_slot = (jnp.arange(H) % S).astype(jnp.int32)
+    valid_head = person_of_head >= 0
+    p_idx = jnp.where(valid_head, person_of_head, P_max)   # P_max row = dump
+    persons = jnp.full((P_max + 1, C), -1, jnp.int32).at[
+        p_idx, head_cam].set(jnp.where(valid_head, head_slot, -1))[:P_max]
+    person_mask = jnp.arange(P_max) < n_persons
+    return persons, person_mask

@@ -57,7 +57,7 @@ class PoseEstimationPipeline:
                  slot_buckets: Tuple[int, ...] = (2, 4, 10),
                  person_buckets: Tuple[int, ...] = (4, 8, 16),
                  threshold: float = 0.5, backend: str = "mlp",
-                 compute_dtype=None):
+                 compute_dtype=None, decode_top_k: int = 64):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -69,6 +69,7 @@ class PoseEstimationPipeline:
         self.threshold = threshold
         self.backend = backend
         self.compute_dtype = compute_dtype
+        self.decode_top_k = decode_top_k
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -149,6 +150,96 @@ class PoseEstimationPipeline:
             return poses, ok
 
         return run
+
+    @functools.lru_cache(maxsize=16)
+    def _fused_fn(self, slots: int, p_max: int):
+        """ONE compiled program: features + GAT + on-device greedy decode +
+        per-person gather + 3D backend.  Single dispatch + single readback
+        per frame — the latency north star (SURVEY.md §7 step 5)."""
+        from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
+
+        topo = self.topology(slots)
+        topo_dev = TopologyArrays.from_topology(topo)
+        efeats = edge_node_features(topo.n_pairs,
+                                    self.rig_config.matcher_feature_dim)
+        # static used-camera → matching-row map (-1: not matched)
+        match_names = [self.rig_config.camera_names[i] for i in self.match_idx]
+        used_pos = np.array(
+            [match_names.index(self.rig_config.camera_names[i])
+             if self.rig_config.camera_names[i] in match_names else -1
+             for i in self.used_idx], np.int32)
+        match_sel = np.asarray(self.match_idx)
+        used_sel = np.asarray(self.used_idx)
+        min_views = self.rig_config.min_number_of_views
+        J = self.rig_config.n_joints
+        Cu = len(used_sel)
+        backend = self.backend
+
+        @jax.jit
+        def run(mparams, lparams, kp, valid, prob, observed, present):
+            # kp etc: FULL-rig buffers [C_all, S, J, ...]
+            km, vm = kp[match_sel], valid[match_sel]
+            pmm, om = prob[match_sel], observed[match_sel]
+            prm = present[match_sel]
+            hfeats, _ = head_features(km, vm, pmm, om, prm,
+                                      self.match_rig, self.image_size)
+            pmask = pair_mask_from_present(prm, topo)
+            scores = apply_matcher(mparams, hfeats, efeats, topo_dev,
+                                   pmask, self.matcher_cfg) * pmask
+            persons, person_mask = decode_person_proposals_device(
+                scores, pmask, topo, min_views, self.threshold, p_max,
+                top_k=self.decode_top_k)
+
+            # gather per-person observations for the used cameras
+            up = jnp.asarray(used_pos)                            # [Cu]
+            slot_u = jnp.where(up[None, :] >= 0,
+                               persons[:, jnp.maximum(up, 0)], -1)  # [P, Cu]
+            take = jnp.maximum(slot_u, 0)
+            has = (slot_u >= 0)                                   # [P, Cu]
+            cams = jnp.arange(Cu)[None, :]
+            ku, vu = kp[used_sel], valid[used_sel]
+            pu, ou = prob[used_sel], observed[used_sel]
+            pkp = ku[cams, take] * has[..., None, None]
+            pval = vu[cams, take] * has[..., None]
+            pprob = pu[cams, take] * has[..., None]
+            pobs = ou[cams, take] & has[..., None]
+
+            if backend == "triangulation":
+                def one(kp_p, obs_p):
+                    xyz, ok = triangulate_median_filtered(
+                        kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
+                    return xyz
+                poses = jax.vmap(one)(pkp, pobs)
+            else:
+                def one(kp_p, valid_p, prob_p, obs_p):
+                    net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
+                                               self.used_rig, self.image_size)
+                    return net
+                nets = jax.vmap(one)(pkp, pval, pprob, pobs)
+                out = apply_lifter(lparams, nets, self.lifter_cfg,
+                                   compute_dtype=self.compute_dtype)
+                poses = out.reshape(p_max, J, 3) * 10.0
+            poses = poses * person_mask[:, None, None]
+            return poses, persons, person_mask, scores
+
+        return run
+
+    def infer_fused(self, frame: FrameArrays) -> PipelineOutput:
+        """Full-frame inference in one device round trip."""
+        mi = np.asarray(self.match_idx)
+        S = self._bucket(max(1, int(frame.present.sum(axis=1).max())))
+        p_max = min(self.person_buckets[-1],
+                    max(len(self.match_idx) * S
+                        // max(self.rig_config.min_number_of_views, 1), 1))
+        out = self._fused_fn(S, p_max)(
+            self.matcher_params, self.lifter_params,
+            jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
+            jnp.asarray(frame.prob[:, :S]), jnp.asarray(frame.in_view[:, :S]),
+            jnp.asarray(frame.present[:, :S]))
+        poses, persons, person_mask, scores = jax.device_get(out)
+        n = int(person_mask.sum())
+        return PipelineOutput(poses[:n], persons[:n], scores,
+                              int(frame.present.sum()))
 
     # ------------------------------------------------------------------
     def match(self, frame: FrameArrays):

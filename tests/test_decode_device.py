@@ -1,0 +1,65 @@
+"""On-device decode == host decode, over randomized score fields."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpe3d_tpu.matching.decode import decode_person_proposals
+from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
+from mpe3d_tpu.matching.features import build_topology
+
+
+def _person_sets(persons: np.ndarray) -> set:
+    """Order-insensitive comparison form: frozensets of (camera, slot)."""
+    out = set()
+    for p in persons:
+        out.add(frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_device_decode_matches_host_random(seed):
+    topo = build_topology(4, 3)
+    rng = np.random.default_rng(seed)
+    scores = rng.uniform(0, 1, topo.n_pairs).astype(np.float32)
+    present = rng.random((4, 3)) < 0.8
+    pm = (present.reshape(-1)[topo.e1]
+          & present.reshape(-1)[topo.e2]).astype(np.float32)
+
+    host = decode_person_proposals(scores, pm, topo, min_views=2)
+    dev_p, dev_m = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2)
+    dev = np.asarray(dev_p)[np.asarray(dev_m)]
+    assert _person_sets(host) == _person_sets(dev), (
+        f"host={host}, dev={dev}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_decode_ties_and_thresholds(seed):
+    """Scores straddling the threshold; duplicates (ties) exercise the
+    stable sort path."""
+    topo = build_topology(3, 2)
+    rng = np.random.default_rng(seed + 100)
+    scores = rng.choice([0.1, 0.49, 0.51, 0.7, 0.7, 0.9],
+                        topo.n_pairs).astype(np.float32)
+    pm = np.ones(topo.n_pairs, np.float32)
+    host = decode_person_proposals(scores, pm, topo, min_views=2)
+    dev_p, dev_m = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2)
+    dev = np.asarray(dev_p)[np.asarray(dev_m)]
+    assert _person_sets(host) == _person_sets(dev)
+
+
+def test_device_decode_min_views():
+    topo = build_topology(3, 2)
+    scores = np.zeros(topo.n_pairs, np.float32)
+    k = np.nonzero((topo.e1 == 0) & (topo.e2 == 2))[0][0]
+    scores[k] = 0.9
+    pm = np.ones(topo.n_pairs, np.float32)
+    p3, m3 = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=3)
+    assert int(np.asarray(m3).sum()) == 0
+    p2, m2 = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2)
+    assert int(np.asarray(m2).sum()) == 1
+    assert np.asarray(p2)[0].tolist() == [0, 0, -1]

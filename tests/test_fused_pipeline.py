@@ -1,0 +1,71 @@
+"""Fused single-program pipeline == staged pipeline."""
+
+import jax
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+from mpe3d_tpu.data.frames import parse_frame
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames
+from mpe3d_tpu.models.gat import init_matcher
+from mpe3d_tpu.models.mlp import init_lifter
+from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+
+@pytest.fixture(scope="module", params=["mlp", "triangulation"])
+def pipe(request, panoptic_rig):
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    # threshold below the untrained matcher's score range so decode runs
+    return PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), backend=request.param,
+        threshold=0.05, decode_top_k=0)   # exact decode: the low threshold
+    # makes nearly every pair eligible, so top-K truncation would diverge
+
+
+def _person_sets(persons):
+    return {frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0)
+            for p in persons}
+
+
+def test_fused_matches_staged(pipe, panoptic_rig):
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 8, n_people=(1, 3),
+                             seed=7, noise=noise, with_gt=False)
+    # an untrained matcher still produces *some* scores > 0.5 to decode
+    checked = 0
+    for f in frames:
+        fa = parse_frame(f, PANOPTIC, max_skeletons=4)
+        staged = pipe(fa)
+        fused = pipe.infer_fused(fa)
+        assert _person_sets(staged.persons) == _person_sets(fused.persons)
+        if len(staged.persons):
+            checked += 1
+            # poses agree per person (order may differ) — match by person row
+            s_map = {frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0): i
+                     for i, p in enumerate(staged.persons)}
+            for i, p in enumerate(fused.persons):
+                j = s_map[frozenset((c, int(s))
+                                    for c, s in enumerate(p) if s >= 0)]
+                assert np.allclose(fused.poses[i], staged.poses[j],
+                                   atol=1e-3), (i, j)
+    assert checked > 0
+
+
+def test_fused_empty_frame(pipe):
+    from mpe3d_tpu.data.frames import FrameArrays
+
+    C, S, J = 5, 4, 18
+    fa = FrameArrays(np.zeros((C, S, J, 2), np.float32),
+                     np.zeros((C, S, J), np.float32),
+                     np.zeros((C, S, J), np.float32),
+                     np.zeros((C, S, J), bool),
+                     np.zeros((C, S), bool), np.zeros(C))
+    out = pipe.infer_fused(fa)
+    assert len(out.persons) == 0
+    assert len(out.poses) == 0
