@@ -281,6 +281,26 @@ def cmd_generate_synthetic(args):
     print(f"wrote {len(frames)} frames to {args.output}")
 
 
+def cmd_convert_panoptic(args):
+    """≙ panoptic_conversor/get_joints_from_panoptic_model[_multi].py."""
+    from mpe3d_tpu.convert.panoptic import Detector2D, convert_sequence
+    from mpe3d_tpu.convert.pose_resnet import (init_pose_resnet,
+                                               load_torch_pose_resnet)
+
+    if args.weights:
+        params = load_torch_pose_resnet(args.weights)
+    else:
+        import jax
+        print("[mpe3d] no --weights given — random backbone (layout checks "
+              "only)", file=sys.stderr)
+        params = init_pose_resnet(jax.random.PRNGKey(0))
+    det = Detector2D(params)
+    out = convert_sequence(args.seq_dir, det, nodes=tuple(args.nodes),
+                           multi=not args.single, out_dir=args.out_dir,
+                           max_frames=args.max_frames)
+    print(f"wrote {out}")
+
+
 def cmd_convert_torch(args):
     from mpe3d_tpu.train.checkpoint import save_checkpoint
 
@@ -394,6 +414,18 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-gt", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_generate_synthetic)
+
+    p = sub.add_parser("convert-panoptic")
+    p.add_argument("seq_dir", help="CMU Panoptic sequence directory")
+    p.add_argument("--weights", default=None,
+                   help="pose_resnet50_panoptic.pth.tar (torch)")
+    p.add_argument("--nodes", type=int, nargs="+",
+                   default=[3, 6, 12, 13, 23])
+    p.add_argument("--single", action="store_true",
+                   help="emit the per-person training format")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.set_defaults(fn=cmd_convert_panoptic)
 
     p = sub.add_parser("convert-torch")
     p.add_argument("--lifter", default=None,
