@@ -1,0 +1,315 @@
+// Native wire-format frame parser — the host-side hot loop of the data
+// pipeline.
+//
+// The reference parses its frame JSON with python json.loads per frame and
+// per skeleton (pose_estimator_dataset_from_json.py:151-177,
+// graph_generator.py:583-601), which dominates dataset-build wall clock.
+// This is a single-pass recursive-descent parser over the raw bytes that
+// fills dense [F, C, S, J] buffers directly — no intermediate objects.
+//
+// Wire schema (SURVEY.md §1): a file is a list of frames; a frame maps
+// camera name → [skeletons_json_str, timestamp, 'no_image', gt?]; the
+// skeletons string is itself JSON: a list of {joint_id: [id, x, y, valid,
+// prob], "ID"?: ...} dicts.  The inner string is unescaped into a scratch
+// buffer and parsed with the same machinery.  GT (element 3) is skipped —
+// it is only needed at evaluation rate and stays in python.
+//
+// Build: g++ -O3 -shared -fPIC frameparse.cpp -o libmpe3dframe.so
+// (done lazily by mpe3d_tpu/native/__init__.py; python fallback otherwise).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Cursor {
+  const char* p;
+  const char* end;
+  bool ok = true;
+
+  void skip_ws() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
+      ++p;
+  }
+  bool expect(char c) {
+    skip_ws();
+    if (p < end && *p == c) {
+      ++p;
+      return true;
+    }
+    ok = false;
+    return false;
+  }
+  bool peek_is(char c) {
+    skip_ws();
+    return p < end && *p == c;
+  }
+};
+
+// Parse a JSON string token (assumes cursor at opening quote); appends the
+// unescaped bytes to `out`.
+bool parse_string(Cursor& c, std::string& out) {
+  out.clear();
+  if (!c.expect('"')) return false;
+  while (c.p < c.end) {
+    char ch = *c.p++;
+    if (ch == '"') return true;
+    if (ch == '\\' && c.p < c.end) {
+      char esc = *c.p++;
+      switch (esc) {
+        case 'n': out.push_back('\n'); break;
+        case 't': out.push_back('\t'); break;
+        case 'r': out.push_back('\r'); break;
+        case 'b': out.push_back('\b'); break;
+        case 'f': out.push_back('\f'); break;
+        case 'u': {
+          // wire payloads are ASCII; decode BMP code points naively
+          if (c.end - c.p >= 4) {
+            char hex[5] = {c.p[0], c.p[1], c.p[2], c.p[3], 0};
+            long cp = strtol(hex, nullptr, 16);
+            c.p += 4;
+            if (cp < 0x80) {
+              out.push_back(static_cast<char>(cp));
+            } else {  // non-ASCII: emit '?' (never appears in this schema)
+              out.push_back('?');
+            }
+          }
+          break;
+        }
+        default: out.push_back(esc);
+      }
+    } else {
+      out.push_back(ch);
+    }
+  }
+  c.ok = false;
+  return false;
+}
+
+bool parse_number(Cursor& c, double* v) {
+  c.skip_ws();
+  char* endp = nullptr;
+  *v = strtod(c.p, &endp);
+  if (endp == c.p) {
+    c.ok = false;
+    return false;
+  }
+  c.p = endp;
+  return true;
+}
+
+// Skip any JSON value (used for GT payloads and unknown fields).
+bool skip_value(Cursor& c) {
+  c.skip_ws();
+  if (c.p >= c.end) return (c.ok = false);
+  char ch = *c.p;
+  if (ch == '"') {
+    std::string tmp;
+    return parse_string(c, tmp);
+  }
+  if (ch == '{') {
+    ++c.p;
+    if (c.peek_is('}')) { ++c.p; return true; }
+    while (c.ok) {
+      std::string key;
+      if (!parse_string(c, key)) return false;
+      if (!c.expect(':')) return false;
+      if (!skip_value(c)) return false;
+      c.skip_ws();
+      if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+      return c.expect('}');
+    }
+    return false;
+  }
+  if (ch == '[') {
+    ++c.p;
+    if (c.peek_is(']')) { ++c.p; return true; }
+    while (c.ok) {
+      if (!skip_value(c)) return false;
+      c.skip_ws();
+      if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+      return c.expect(']');
+    }
+    return false;
+  }
+  // literal: number / true / false / null
+  if (strncmp(c.p, "true", 4) == 0) { c.p += 4; return true; }
+  if (strncmp(c.p, "false", 5) == 0) { c.p += 5; return true; }
+  if (strncmp(c.p, "null", 4) == 0) { c.p += 4; return true; }
+  double v;
+  return parse_number(c, &v);
+}
+
+struct Buffers {
+  float* kp;
+  float* valid;
+  float* prob;
+  uint8_t* in_view;
+  uint8_t* present;
+  double* ts;
+  int C, S, J;
+
+  inline int64_t kp_idx(int64_t f, int ci, int s, int j) const {
+    return (((f * C + ci) * S + s) * J + j) * 2;
+  }
+  inline int64_t j_idx(int64_t f, int ci, int s, int j) const {
+    return ((f * C + ci) * S + s) * J + j;
+  }
+};
+
+// Parse one skeletons list (already-unescaped inner JSON) into camera ci of
+// frame f.  Mirrors data/frames.py: slots fill in order, zero-joint
+// skeletons get no slot, "ID" keys are ignored, out-of-range joints skipped.
+bool parse_skeletons(const std::string& text, const Buffers& b, int64_t f,
+                     int ci) {
+  Cursor c{text.data(), text.data() + text.size()};
+  if (!c.expect('[')) return false;
+  if (c.peek_is(']')) { ++c.p; return true; }
+  int slot = 0;
+  while (c.ok) {
+    // one skeleton dict
+    if (!c.expect('{')) return false;
+    int n_joints_seen = 0;
+    if (c.peek_is('}')) {
+      ++c.p;
+    } else {
+      while (c.ok) {
+        std::string key;
+        if (!parse_string(c, key)) return false;
+        if (!c.expect(':')) return false;
+        bool is_id = (key == "ID");
+        long j = is_id ? -1 : strtol(key.c_str(), nullptr, 10);
+        bool store = !is_id && j >= 0 && j < b.J && slot < b.S;
+        // value: [id, x, y, valid, prob]
+        if (c.peek_is('[')) {
+          ++c.p;
+          double vals[5] = {0, 0, 0, 0, 0};
+          int n = 0;
+          if (!c.peek_is(']')) {
+            while (c.ok) {
+              double v;
+              if (!parse_number(c, &v)) return false;
+              if (n < 5) vals[n] = v;
+              ++n;
+              c.skip_ws();
+              if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+              break;
+            }
+          }
+          if (!c.expect(']')) return false;
+          if (store && n >= 5) {
+            int64_t k = b.kp_idx(f, ci, slot, (int)j);
+            int64_t m = b.j_idx(f, ci, slot, (int)j);
+            b.kp[k] = (float)vals[1];
+            b.kp[k + 1] = (float)vals[2];
+            b.valid[m] = (float)vals[3];
+            b.prob[m] = (float)vals[4];
+            b.in_view[m] = 1;
+            ++n_joints_seen;
+          }
+        } else {
+          if (!skip_value(c)) return false;  // tolerate non-list values
+        }
+        c.skip_ws();
+        if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+        if (!c.expect('}')) return false;
+        break;
+      }
+    }
+    if (n_joints_seen > 0 && slot < b.S) {
+      b.present[(f * b.C + ci) * b.S + slot] = 1;
+      ++slot;
+    } else if (slot < b.S) {
+      // wipe any partial writes of an empty/oversized skeleton
+      for (int j = 0; j < b.J; ++j) {
+        int64_t k = b.kp_idx(f, ci, slot, j);
+        int64_t m = b.j_idx(f, ci, slot, j);
+        b.kp[k] = b.kp[k + 1] = 0.f;
+        b.valid[m] = b.prob[m] = 0.f;
+        b.in_view[m] = 0;
+      }
+    }
+    c.skip_ws();
+    if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+    return c.expect(']');
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; fills n_frames_out with the number parsed.
+// Buffers must be zero-initialised [max_frames, C, S, J, ...] C-order.
+int mpe3d_parse_frames(const char* text, int64_t text_len,
+                       const char** cam_names, int n_cams, int max_skel,
+                       int n_joints, int64_t max_frames, float* kp,
+                       float* valid, float* prob, uint8_t* in_view,
+                       uint8_t* present, double* timestamps,
+                       int64_t* n_frames_out) {
+  Cursor c{text, text + text_len};
+  Buffers b{kp, valid, prob, in_view, present, timestamps,
+            n_cams, max_skel, n_joints};
+  *n_frames_out = 0;
+  if (!c.expect('[')) return 1;
+  if (c.peek_is(']')) { ++c.p; return 0; }
+  int64_t f = 0;
+  std::string key, inner;
+  while (c.ok) {
+    if (f >= max_frames) return 2;
+    if (!c.expect('{')) return 1;
+    if (c.peek_is('}')) {
+      ++c.p;
+    } else {
+      while (c.ok) {
+        if (!parse_string(c, key)) return 1;
+        if (!c.expect(':')) return 1;
+        int ci = -1;
+        for (int i = 0; i < n_cams; ++i) {
+          if (key == cam_names[i]) { ci = i; break; }
+        }
+        if (ci < 0) {
+          if (!skip_value(c)) return 1;
+        } else {
+          // entry: [skeletons_str, ts?, 'no_image'?, gt?]
+          if (!c.expect('[')) return 1;
+          if (!parse_string(c, inner)) return 1;
+          if (!parse_skeletons(inner, b, f, ci)) return 1;
+          int elem = 1;
+          c.skip_ws();
+          while (c.p < c.end && *c.p == ',') {
+            ++c.p;
+            if (elem == 1 && !c.peek_is('"') && !c.peek_is('[') &&
+                !c.peek_is('{')) {
+              double ts;
+              if (!parse_number(c, &ts)) return 1;
+              timestamps[f * n_cams + ci] = ts;
+            } else {
+              if (!skip_value(c)) return 1;
+            }
+            ++elem;
+            c.skip_ws();
+          }
+          if (!c.expect(']')) return 1;
+        }
+        c.skip_ws();
+        if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+        if (!c.expect('}')) return 1;
+        break;
+      }
+    }
+    ++f;
+    c.skip_ws();
+    if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+    if (!c.expect(']')) return 1;
+    break;
+  }
+  *n_frames_out = f;
+  return c.ok ? 0 : 1;
+}
+
+}  // extern "C"

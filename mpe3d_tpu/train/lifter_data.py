@@ -94,7 +94,7 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
     kps, vals, probs, obss = [], [], [], []
     ekps, evals, eprobs, eobss = [], [], [], []
     for fr in frames:
-        fa = parse_frame(fr, rig_config)
+        fa = fr if isinstance(fr, FrameArrays) else parse_frame(fr, rig_config)
         kp, v, p, o = biggest_skeleton_obs(fa, used_idx)
         kps.append(kp); vals.append(v); probs.append(p); obss.append(o)
         ekp, ev, ep, eo = biggest_skeleton_obs(fa, all_idx)
@@ -157,9 +157,12 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
 def build_lifter_dataset_from_files(paths: Sequence[str],
                                     rig_config: RigConfig, rig: CameraRig,
                                     **kw) -> Tuple[np.ndarray, np.ndarray]:
-    frames: List[Dict] = []
+    from mpe3d_tpu.data.frames import parse_frames_file
+
+    frames: List = []
     for p in paths:
-        frames.extend(load_frames(p))
+        # C++ fast path; FrameArrays feed build_lifter_dataset directly
+        frames.extend(parse_frames_file(p, rig_config))
     cache = kw.pop("cache", False)
     cache_path = f"{paths[-1]}.mpe3d.npz" if cache else None
     return build_lifter_dataset(frames, rig_config, rig,

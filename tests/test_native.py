@@ -1,0 +1,88 @@
+"""Native C++ frame parser == python parser, plus a speed sanity check."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import PANOPTIC
+from mpe3d_tpu.data.frames import parse_frame, parse_frames_batch
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames
+from mpe3d_tpu.native import load_library, parse_frames_native
+
+
+@pytest.fixture(scope="module")
+def wire_text(panoptic_rig):
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.1,
+                       spurious_rate=0.2, camera_dropout=0.1)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 40, n_people=(1, 4),
+                             seed=3, noise=noise, with_gt=True)
+    return json.dumps(frames).encode(), frames
+
+
+def test_native_builds():
+    assert load_library() is not None, "g++ build failed"
+
+
+def test_native_matches_python(wire_text):
+    text, frames = wire_text
+    out = parse_frames_native(text, PANOPTIC.camera_names, 10, 18)
+    assert out is not None
+    kp, valid, prob, in_view, present, ts = out
+    assert len(kp) == len(frames)
+    for f, frame in enumerate(frames):
+        ref = parse_frame(frame, PANOPTIC, 10)
+        assert np.array_equal(present[f], ref.present), f
+        assert np.array_equal(in_view[f], ref.in_view), f
+        assert np.allclose(kp[f], ref.kp, atol=1e-4), f
+        assert np.allclose(valid[f], ref.valid), f
+        assert np.allclose(prob[f], ref.prob, atol=1e-6), f
+        assert np.allclose(ts[f], ref.timestamp, atol=1e-6), f
+
+
+def test_parse_frames_batch_fallback(wire_text):
+    text, frames = wire_text
+    fast = parse_frames_batch(text, PANOPTIC, use_native=True)
+    slow = parse_frames_batch(text, PANOPTIC, use_native=False)
+    assert len(fast) == len(slow) == len(frames)
+    for a, b in zip(fast, slow):
+        assert np.allclose(a.kp, b.kp, atol=1e-4)
+        assert np.array_equal(a.present, b.present)
+
+
+def test_native_edge_cases():
+    # empty file, empty frame, empty skeleton list, unknown camera, ID key
+    cases = [
+        b"[]",
+        b"[{}]",
+        b'[{"trackera": ["[]", 1.5, "no_image"]}]',
+        b'[{"nosuchcam": ["[{\\"0\\": [0, 1, 2, 1, 0.5]}]", 1.0]}]',
+        b'[{"trackera": ["[{\\"ID\\": 7, \\"3\\": [3, 10.0, 20.0, 1, 0.9]}]",'
+        b' 2.5, "no_image", [{"0": [1,2,3], "-1": [0,0,0]}]]}]',
+    ]
+    for text in cases:
+        out = parse_frames_native(text, PANOPTIC.camera_names, 4, 18)
+        assert out is not None, text
+        ref = [parse_frame(f, PANOPTIC, 4) for f in json.loads(text)]
+        kp, valid, prob, in_view, present, ts = out
+        assert len(kp) == len(ref)
+        for f in range(len(ref)):
+            assert np.array_equal(present[f], ref[f].present), text
+            assert np.allclose(kp[f], ref[f].kp), text
+            assert np.allclose(ts[f], ref[f].timestamp), text
+
+
+def test_native_speedup(wire_text):
+    text, frames = wire_text
+    if load_library() is None:
+        pytest.skip("no native lib")
+    t0 = time.perf_counter()
+    for _ in range(3):
+        parse_frames_native(text, PANOPTIC.camera_names, 10, 18)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        [parse_frame(f, PANOPTIC, 10) for f in json.loads(text)]
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python, (t_native, t_python)
