@@ -225,6 +225,7 @@ class MatcherConfig:
     residual: bool = False
     bias: bool = True
     hidden_slope: float = 0.01      # inter-layer LeakyReLU (torch default)
+    use_pallas_proj: bool = False   # fused fc1+leaky+fc2 Pallas kernel (TPU)
 
     @property
     def n_layers(self) -> int:

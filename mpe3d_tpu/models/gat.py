@@ -104,7 +104,8 @@ def init_matcher(key: jax.Array, cfg: MatcherConfig) -> Params:
 
 def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
                topo: TopologyArrays, pair_w: jnp.ndarray,
-               nh: int, d_out: int, alpha: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               nh: int, d_out: int, alpha: float,
+               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One attention layer.  xh: [H, Din] head feats, xe: [E, Din] edge-node
     feats, pair_w: [E] softmax weight per pair (0 = absent, 2 = duplicated).
     Returns (out_h [H, nh, d_out], out_e [E, nh, d_out])."""
@@ -118,6 +119,12 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
                               preferred_element_type=jnp.float32)
 
     def proj(x):
+        if use_pallas:
+            from mpe3d_tpu.ops.fused_proj import fused_linear_leaky_linear
+            z = fused_linear_leaky_linear(
+                x, layer["w1"], layer.get("b1"), layer["w2"],
+                layer.get("b2"), alpha, use_pallas=True)
+            return z.reshape(-1, nh, d_out)
         h2 = mm(x, layer["w1"])
         if "b1" in layer:
             h2 = h2 + layer["b1"]
@@ -201,7 +208,8 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
     n = len(dims)
     for l, (d_in, d_out, nh) in enumerate(dims):
         oh, oe = _gat_layer(params["layers"][l], xh, xe, topo, pair_w,
-                            nh, d_out, cfg.alpha)
+                            nh, d_out, cfg.alpha,
+                            use_pallas=cfg.use_pallas_proj)
         if l < n - 1:
             xh = jax.nn.leaky_relu(oh.reshape(-1, nh * d_out), cfg.hidden_slope)
             xe = jax.nn.leaky_relu(oe.reshape(-1, nh * d_out), cfg.hidden_slope)

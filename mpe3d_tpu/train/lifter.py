@@ -126,22 +126,28 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
     for epoch in range(tcfg.epochs):
         if stop_flag and stop_flag():
             break
-        total, n = 0.0, 0
+        # losses stay on device until epoch end: device→host readbacks are
+        # expensive through remote-TPU relays (see pipeline.py)
+        losses, sizes = [], []
         for net_b, err_b in batches(net_train, err_train, rng):
             trainable, opt_state, loss = step(trainable, opt_state,
                                               net_b, err_b)
-            total += float(loss) * net_b.shape[0]
-            n += net_b.shape[0]
-        train_loss = total / max(n, 1)
+            losses.append(loss)
+            sizes.append(net_b.shape[0])
+        host = jax.device_get(losses)
+        train_loss = (sum(l * b for l, b in zip(host, sizes))
+                      / max(sum(sizes), 1))
         mae_per_coord = (train_loss ** 0.5) / rig_config.n_cameras / J / 2
 
         if epoch % tcfg.eval_every == 0:
-            vtotal, vn = 0.0, 0
+            vlosses, vsizes = [], []
             for net_b, err_b in batches(net_dev, err_dev,
                                         np.random.default_rng(0)):
-                vtotal += float(eval_loss(trainable, net_b, err_b)) * net_b.shape[0]
-                vn += net_b.shape[0]
-            val_loss = vtotal / max(vn, 1)
+                vlosses.append(eval_loss(trainable, net_b, err_b))
+                vsizes.append(net_b.shape[0])
+            vhost = jax.device_get(vlosses)
+            val_loss = (sum(l * b for l, b in zip(vhost, vsizes))
+                        / max(sum(vsizes), 1))
             result.history.append({"epoch": epoch, "train_loss": train_loss,
                                    "val_loss": val_loss,
                                    "mae_per_coord": mae_per_coord,

@@ -133,19 +133,21 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     best, patience = float("inf"), 0
     t0 = time.time()
     for epoch in range(tcfg.epochs):
-        total, n = 0.0, 0
+        # keep losses on device until epoch end (readbacks are expensive
+        # through remote-TPU relays; see pipeline.py)
+        losses = []
         for batch in batches(train_scenes, rng):
             params, opt_state, loss = step(params, opt_state, batch)
-            total += float(loss)
-            n += 1
-        train_loss = total / max(n, 1)
+            losses.append(loss)
+        host = jax.device_get(losses)
+        train_loss = sum(host) / max(len(host), 1)
 
         if epoch % tcfg.eval_every == 0:
-            vtotal, vn = 0.0, 0
-            for batch in batches(dev_scenes, np.random.default_rng(0)):
-                vtotal += float(eval_step(params, batch))
-                vn += 1
-            val_loss = vtotal / max(vn, 1)
+            vlosses = [eval_step(params, batch)
+                       for batch in batches(dev_scenes,
+                                            np.random.default_rng(0))]
+            vhost = jax.device_get(vlosses)
+            val_loss = sum(vhost) / max(len(vhost), 1)
             result.history.append({"epoch": epoch, "train_loss": train_loss,
                                    "val_loss": val_loss,
                                    "elapsed_s": time.time() - t0})

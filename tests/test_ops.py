@@ -1,0 +1,76 @@
+"""Pallas kernel tests (interpret mode on CPU) — fused projection parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpe3d_tpu.ops.fused_proj import fused_linear_leaky_linear, xla_proj
+
+
+@pytest.mark.parametrize("shape", [(20, 902, 400), (5, 150, 1), (128, 128, 128)])
+def test_fused_proj_interpret_matches_xla(shape):
+    N, D, F = shape
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(N, D)).astype(np.float32)
+    w1 = rng.normal(size=(D, D)).astype(np.float32) * 0.05
+    b1 = rng.normal(size=(D,)).astype(np.float32)
+    w2 = rng.normal(size=(D, F)).astype(np.float32) * 0.05
+    b2 = rng.normal(size=(F,)).astype(np.float32)
+
+    ref = np.asarray(xla_proj(jnp.asarray(x), jnp.asarray(w1),
+                              jnp.asarray(b1), jnp.asarray(w2),
+                              jnp.asarray(b2), 0.15))
+    got = np.asarray(fused_linear_leaky_linear(
+        jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2),
+        jnp.asarray(b2), 0.15, interpret=True))
+    assert got.shape == ref.shape
+    assert np.allclose(got, ref, atol=2e-3), np.abs(got - ref).max()
+
+
+def test_fused_proj_no_bias():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(9, 64)).astype(np.float32)
+    w1 = rng.normal(size=(64, 64)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+    ref = np.asarray(xla_proj(jnp.asarray(x), jnp.asarray(w1), None,
+                              jnp.asarray(w2), None, 0.1))
+    got = np.asarray(fused_linear_leaky_linear(
+        jnp.asarray(x), jnp.asarray(w1), None, jnp.asarray(w2), None, 0.1,
+        interpret=True))
+    assert np.allclose(got, ref, atol=2e-3)
+
+
+def test_matcher_with_pallas_proj_matches():
+    """apply_matcher(use_pallas_proj) == plain XLA path (interpret mode)."""
+    from mpe3d_tpu.config import MatcherConfig
+    from mpe3d_tpu.matching.features import build_topology
+    from mpe3d_tpu.models.gat import (TopologyArrays, apply_matcher,
+                                      init_matcher)
+    from mpe3d_tpu.ops import fused_proj
+
+    # route the kernel through interpret mode on CPU
+    orig = fused_proj.fused_linear_leaky_linear
+
+    def interp(*a, **kw):
+        kw["use_pallas"] = False
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    fused_proj.fused_linear_leaky_linear = interp
+    try:
+        cfg_x = MatcherConfig(in_dim=32, hidden=(8,), heads=(2,))
+        cfg_p = MatcherConfig(in_dim=32, hidden=(8,), heads=(2,),
+                              use_pallas_proj=True)
+        topo = build_topology(3, 2)
+        params = init_matcher(jax.random.PRNGKey(0), cfg_x)
+        rng = np.random.default_rng(2)
+        fh = jnp.asarray(rng.normal(size=(topo.n_heads, 32)).astype(np.float32))
+        fe = jnp.asarray(rng.normal(size=(topo.n_pairs, 32)).astype(np.float32))
+        pm = jnp.ones(topo.n_pairs)
+        td = TopologyArrays.from_topology(topo)
+        s_x = np.asarray(apply_matcher(params, fh, fe, td, pm, cfg_x))
+        s_p = np.asarray(apply_matcher(params, fh, fe, td, pm, cfg_p))
+        assert np.allclose(s_x, s_p, atol=1e-4), np.abs(s_x - s_p).max()
+    finally:
+        fused_proj.fused_linear_leaky_linear = orig
