@@ -255,6 +255,9 @@ class MatcherTrainConfig:
     limit: int = 120000
     use_bce: bool = False
     seed: int = 0
+    # run each epoch as ONE jit-compiled lax.scan over its batches — one
+    # dispatch per epoch (the tail partial batch is dropped)
+    scan_epoch: bool = True
 
 
 @dataclass(frozen=True)
@@ -270,6 +273,9 @@ class LifterTrainConfig:
     optimise_matrices: bool = False
     max_combinations_number: int = 5   # camera-dropout augmentation cap
     seed: int = 58008
+    # run each epoch as ONE jit-compiled lax.scan over its batches — one
+    # dispatch per epoch (the tail partial batch is dropped)
+    scan_epoch: bool = True
 
 
 @dataclass(frozen=True)

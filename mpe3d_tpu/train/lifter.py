@@ -53,18 +53,31 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
         pred = apply_lifter(params, net, cfg)
         return reprojection_loss(pred, err, r, n_joints)
 
-    @jax.jit
-    def step(trainable, opt_state, net, err):
+    def _step(trainable, opt_state, net, err):
         loss, grads = jax.value_and_grad(loss_fn)(trainable, rig, net, err)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss
 
+    step = jax.jit(_step)
+
+    @jax.jit
+    def epoch_step(trainable, opt_state, nets, errs):
+        """One dispatch for a whole epoch: lax.scan over stacked batches
+        nets [K, B, D], errs [K, B, E].  Returns per-batch losses [K]."""
+        def body(carry, xs):
+            tr, os_ = carry
+            tr, os_, loss = _step(tr, os_, xs[0], xs[1])
+            return (tr, os_), loss
+        (trainable, opt_state), losses = jax.lax.scan(
+            body, (trainable, opt_state), (nets, errs))
+        return trainable, opt_state, losses
+
     @jax.jit
     def eval_loss(trainable, net, err):
         return loss_fn(trainable, rig, net, err)
 
-    return step, eval_loss
+    return step, eval_loss, epoch_step
 
 
 def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
@@ -100,11 +113,13 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
     tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm),
                      optax.adam(tcfg.lr))
     opt_state = tx.init(trainable)
-    step, eval_loss = make_train_step(rig, J, cfg, tcfg, tx,
-                                      tcfg.optimise_matrices)
+    step, eval_loss, epoch_step = make_train_step(rig, J, cfg, tcfg, tx,
+                                                  tcfg.optimise_matrices)
 
     trainable = replicate(mesh, trainable)
     opt_state = replicate(mesh, opt_state)
+    stacked_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))
 
     # pad batch to a multiple of the device count for even sharding
     def batches(net, err, rng):
@@ -119,6 +134,19 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             yield shard_batch(mesh, (jnp.asarray(net[sel]),
                                      jnp.asarray(err[sel])))
 
+    def stacked_epoch(net, err, rng):
+        """Full-batch stack [K, B, ...] for the scanned epoch (tail batch
+        dropped); None if the dataset is smaller than one batch."""
+        bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
+        K = len(net) // bs
+        if K == 0:
+            return None
+        order = rng.permutation(len(net))[: K * bs]
+        nets = net[order].reshape(K, bs, -1)
+        errs = err[order].reshape(K, bs, -1)
+        return (jax.device_put(nets, stacked_sharding),
+                jax.device_put(errs, stacked_sharding))
+
     result = LifterTrainResult(params=trainable)
     rng = np.random.default_rng(tcfg.seed)
     best, patience = float("inf"), 0
@@ -128,15 +156,22 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             break
         # losses stay on device until epoch end: device→host readbacks are
         # expensive through remote-TPU relays (see pipeline.py)
-        losses, sizes = [], []
-        for net_b, err_b in batches(net_train, err_train, rng):
-            trainable, opt_state, loss = step(trainable, opt_state,
-                                              net_b, err_b)
-            losses.append(loss)
-            sizes.append(net_b.shape[0])
-        host = jax.device_get(losses)
-        train_loss = (sum(l * b for l, b in zip(host, sizes))
-                      / max(sum(sizes), 1))
+        stacked = stacked_epoch(net_train, err_train, rng) \
+            if tcfg.scan_epoch else None
+        if stacked is not None:
+            trainable, opt_state, losses_d = epoch_step(
+                trainable, opt_state, *stacked)
+            train_loss = float(jnp.mean(losses_d))
+        else:
+            losses, sizes = [], []
+            for net_b, err_b in batches(net_train, err_train, rng):
+                trainable, opt_state, loss = step(trainable, opt_state,
+                                                  net_b, err_b)
+                losses.append(loss)
+                sizes.append(net_b.shape[0])
+            host = jax.device_get(losses)
+            train_loss = (sum(l * b for l, b in zip(host, sizes))
+                          / max(sum(sizes), 1))
         mae_per_coord = (train_loss ** 0.5) / rig_config.n_cameras / J / 2
 
         if epoch % tcfg.eval_every == 0:

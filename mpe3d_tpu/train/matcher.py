@@ -68,18 +68,31 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
         sq = (scores - labels) ** 2 * weight
         return jnp.sum(sq) / jnp.maximum(jnp.sum(weight), 1.0)
 
-    @jax.jit
-    def step(params, opt_state, batch):
+    def _step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    step = jax.jit(_step)
+
+    @jax.jit
+    def epoch_step(params, opt_state, stacked):
+        """One dispatch per epoch: lax.scan over stacked batches (each
+        element of the 7-tuple is [K, B, ...])."""
+        def body(carry, batch):
+            p, o = carry
+            p, o, loss = _step(p, o, batch)
+            return (p, o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), stacked)
+        return params, opt_state, losses
+
     @jax.jit
     def eval_step(params, batch):
         return loss_fn(params, batch)
 
-    return step, eval_step, scene_scores
+    return step, eval_step, scene_scores, epoch_step
 
 
 def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
@@ -103,10 +116,24 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
         params = init_matcher(jax.random.PRNGKey(tcfg.seed), cfg)
     tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
     opt_state = tx.init(params)
-    step, eval_step, _ = make_matcher_step(match_rig, rig_config, topo,
-                                           cfg, tx)
+    step, eval_step, _, epoch_step = make_matcher_step(
+        match_rig, rig_config, topo, cfg, tx)
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
+    stacked_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "data"))
+
+    def stacked_epoch(scenes: MatcherScenes, rng: np.random.Generator):
+        bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
+        K = len(scenes) // bs
+        if K == 0:
+            return None
+        order = rng.permutation(len(scenes))[: K * bs]
+        s = scenes.select(order)
+        fields = (s.kp, s.valid, s.prob, s.observed, s.present,
+                  s.labels, s.pair_weight)
+        return tuple(jax.device_put(f.reshape(K, bs, *f.shape[1:]),
+                                    stacked_sharding) for f in fields)
 
     def batches(scenes: MatcherScenes, rng: np.random.Generator):
         order = rng.permutation(len(scenes))
@@ -135,12 +162,18 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     for epoch in range(tcfg.epochs):
         # keep losses on device until epoch end (readbacks are expensive
         # through remote-TPU relays; see pipeline.py)
-        losses = []
-        for batch in batches(train_scenes, rng):
-            params, opt_state, loss = step(params, opt_state, batch)
-            losses.append(loss)
-        host = jax.device_get(losses)
-        train_loss = sum(host) / max(len(host), 1)
+        stacked = stacked_epoch(train_scenes, rng) if tcfg.scan_epoch else None
+        if stacked is not None:
+            params, opt_state, losses_d = epoch_step(params, opt_state,
+                                                     stacked)
+            train_loss = float(jnp.mean(losses_d))
+        else:
+            losses = []
+            for batch in batches(train_scenes, rng):
+                params, opt_state, loss = step(params, opt_state, batch)
+                losses.append(loss)
+            host = jax.device_get(losses)
+            train_loss = sum(host) / max(len(host), 1)
 
         if epoch % tcfg.eval_every == 0:
             vlosses = [eval_step(params, batch)

@@ -59,10 +59,10 @@ def main():
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
 
-    n_sp = 120 if args.quick else 400
-    limit = 800 if args.quick else 4000
-    m_epochs = 12 if args.quick else 40
-    l_epochs = 60 if args.quick else 300
+    n_sp = 120 if args.quick else 500
+    limit = 800 if args.quick else 12000
+    m_epochs = 12 if args.quick else 60
+    l_epochs = 60 if args.quick else 1500
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
 
@@ -85,7 +85,7 @@ def main():
     topo = build_topology(rig_config.n_matching_cameras, S)
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     mtcfg = MatcherTrainConfig(epochs=m_epochs, limit=limit, eval_every=2,
-                               patience=8)
+                               patience=10)
     t0 = time.time()
     train_scenes = build_matcher_scenes(sp_files, rig_config, topo,
                                         limit=limit, seed=0)
@@ -104,8 +104,8 @@ def main():
     # ---- lifter ----------------------------------------------------------
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
-    ltcfg = LifterTrainConfig(epochs=l_epochs, batch_size=512, eval_every=5,
-                              patience=20, lr=1e-4)
+    ltcfg = LifterTrainConfig(epochs=l_epochs, batch_size=512, eval_every=10,
+                              patience=30, lr=1e-4)
     t0 = time.time()
     net_t, err_t = build_lifter_dataset(
         [f for fl in sp_files for f in fl], rig_config, rig)
