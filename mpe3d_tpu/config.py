@@ -114,6 +114,12 @@ class RigConfig:
         camera, joint) (reference: skeleton_matching/graph_generator.py:128-140)."""
         return 2 + self.n_matching_cameras * self.n_joints * 10
 
+    def matcher_feature_dim_alt(self, alt: str = "3") -> int:
+        """Feature width per graph alternative (alt-2: 4 numbers/(cam,
+        joint), reference graph_generator.py:121-127)."""
+        per = {"2": 4, "3": 10}[alt]
+        return 2 + self.n_matching_cameras * self.n_joints * per
+
     def used_camera_indices(self) -> Tuple[int, ...]:
         return tuple(self.camera_names.index(c) for c in self.used_cameras)
 

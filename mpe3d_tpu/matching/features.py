@@ -91,15 +91,19 @@ def build_topology(n_cameras: int, n_slots: int) -> PairTopology:
 
 def head_features(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
                   observed: jnp.ndarray, present: jnp.ndarray,
-                  rig: CameraRig, image_size: Tuple[float, float]
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Alt-3 head-node features for every (camera, slot).
+                  rig: CameraRig, image_size: Tuple[float, float],
+                  alt: str = "3") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Alt-3 (default) or alt-2 head-node features for every (camera, slot).
 
     kp: [C, S, J, 2] raw pixels; valid/prob: [C, S, J]; observed: [C, S, J]
     (joint listed in the wire dict); present: [C, S] (slot occupied).
     ``rig`` must be restricted to the matching cameras, in matching order.
 
-    Returns (feats [H, 2 + C*J*10], head_mask [H]) with H = C*S.
+    alt='3': 10 numbers per (cam, joint) incl. world rays (reference
+    graph_generator.py:128-140); alt='2': the 4 image-space numbers only
+    (i, j, valid, prob — reference :121-127).
+
+    Returns (feats [H, 2 + C*J*{10,4}], head_mask [H]) with H = C*S.
     """
     C, S, J, _ = kp.shape
     W, H_img = image_size
@@ -107,23 +111,27 @@ def head_features(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
 
     ni = (kp[..., 0:1] - W / 2.0) / (W / 2.0)
     nj = (H_img / 2.0 - kp[..., 1:2]) / (H_img / 2.0)            # flipped y
-    centers = cam_centers_world(rig.T_cw)                        # [C, 3]
-    line_p = jnp.broadcast_to(centers[:, None, None, :], (C, S, J, 3))
-    line_v = pixel_rays_world(kp, rig.K_inv[:, None, None],
-                              rig.T_cw[:, None, None])           # [C, S, J, 3]
-
-    per_joint = jnp.concatenate(
-        [ni, nj, valid[..., None], prob[..., None], line_p, line_v],
-        axis=-1) * m                                             # [C, S, J, 10]
+    if alt == "2":
+        per_joint = jnp.concatenate(
+            [ni, nj, valid[..., None], prob[..., None]], axis=-1) * m
+    else:
+        centers = cam_centers_world(rig.T_cw)                    # [C, 3]
+        line_p = jnp.broadcast_to(centers[:, None, None, :], (C, S, J, 3))
+        line_v = pixel_rays_world(kp, rig.K_inv[:, None, None],
+                                  rig.T_cw[:, None, None])       # [C, S, J, 3]
+        per_joint = jnp.concatenate(
+            [ni, nj, valid[..., None], prob[..., None], line_p, line_v],
+            axis=-1) * m                                         # [C, S, J, 10]
 
     # Scatter each head's block into its own camera section of the flat
     # C*J*10 feature vector: build [C, S, C*J*10] where block c is non-zero
     # only at camera index c.
-    flat = per_joint.reshape(C, S, J * 10)                       # [C, S, J*10]
+    npj = per_joint.shape[-1]                                    # 10 or 4
+    flat = per_joint.reshape(C, S, J * npj)                      # [C, S, J*npj]
     eye = jnp.eye(C, dtype=kp.dtype)                             # [C, C]
     blocks = jnp.einsum("cd,csf->csdf", eye, flat,
                         precision="highest")               # [C,S,C,J*10]
-    blocks = blocks.reshape(C * S, C * J * 10)
+    blocks = blocks.reshape(C * S, C * J * npj)
 
     one_hot = jnp.concatenate(
         [jnp.ones((C * S, 1), kp.dtype), jnp.zeros((C * S, 1), kp.dtype)],
