@@ -40,11 +40,13 @@ def transform_gt_to_world(gt3d: np.ndarray, dataset_T_wc1: np.ndarray,
 def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
                      pipeline: PoseEstimationPipeline, datastep: int = 12,
                      dataset_T_wc1: Optional[np.ndarray] = None,
-                     max_skeletons: int = 10) -> Dict:
+                     max_skeletons: int = 10, fused: bool = False) -> Dict:
     """Full-pipeline 3D accuracy + timing (≙ metrics_from_model.py:104-390).
 
     ``dataset_T_wc1``: the *dataset* calibration's root→camera1 transform
     when GT lives in a different frame than the model calibration.
+    ``fused=True`` runs the single-program pipeline (one device round trip;
+    reports t_e2e instead of the t_pp/t_3D split).
     """
     acc = PoseEvalAccumulator(rig_config.used_joints)
     timing = TimingAccumulator()
@@ -62,24 +64,32 @@ def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
             gt3d = transform_gt_to_world(gt3d, dataset_T_wc1, model_T_c1w)
         fa = parse_frame(frame, rig_config, max_skeletons)
         n_frames += 1
-        with timing.span("t_pp", 1):
-            if len(pipeline.match_idx) == 1:
-                from mpe3d_tpu.matching.decode import single_camera_bypass
-                persons = single_camera_bypass(
-                    fa.present[np.asarray(pipeline.match_idx)])
-            else:
-                scores, pm, topo, S = pipeline.match(fa)
-                np.asarray(scores)   # block: t_pp covers the device work
-                persons = decode_person_proposals(
-                    scores, pm, topo, rig_config.min_number_of_views,
-                    pipeline.threshold)
-        with timing.span("t_3D", max(len(persons), 1)):
-            poses = pipeline.lift(fa, persons)
+        if fused and len(pipeline.match_idx) > 1:
+            with timing.span("t_e2e", 1):
+                out_f = pipeline.infer_fused(fa)
+            poses = out_f.poses
+        else:
+            with timing.span("t_pp", 1):
+                if len(pipeline.match_idx) == 1:
+                    from mpe3d_tpu.matching.decode import single_camera_bypass
+                    persons = single_camera_bypass(
+                        fa.present[np.asarray(pipeline.match_idx)])
+                else:
+                    scores, pm, topo, S = pipeline.match(fa)
+                    np.asarray(scores)   # block: t_pp covers the device work
+                    persons = decode_person_proposals(
+                        scores, pm, topo, rig_config.min_number_of_views,
+                        pipeline.threshold)
+            with timing.span("t_3D", max(len(persons), 1)):
+                poses = pipeline.lift(fa, persons)
         acc.update(gt3d, gt.gt_valid, gt.person_valid, poses)
     out = acc.summary()
-    out["t_pp_ms"] = timing.mean_ms("t_pp")
-    out["t_3Dg_ms"] = timing.mean_ms("t_3D")
-    out["t_3Di_ms"] = timing.mean_per_person_ms("t_3D")
+    if fused:
+        out["t_e2e_ms"] = timing.mean_ms("t_e2e")
+    else:
+        out["t_pp_ms"] = timing.mean_ms("t_pp")
+        out["t_3Dg_ms"] = timing.mean_ms("t_3D")
+        out["t_3Di_ms"] = timing.mean_per_person_ms("t_3D")
     out["n_frames"] = n_frames
     return out
 

@@ -163,17 +163,22 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
     ls = lrelu(a1h + a2h)                                        # [H, nh]
     l1 = lrelu(a1e + a2h_e1)                                     # e -> head1
     l2 = lrelu(a1e + a2h_e2)                                     # e -> head2
-    # single per-graph max-shift (softmax-invariant); exclude absent pairs so
-    # garbage logits can't push real exp() values into the denormal range
-    neg = jnp.asarray(-1e30, ls.dtype)
+    # exact per-destination max-shift (scatter-max over the incidence):
+    # guarantees the max-achieving term is exp(0)=1 so the denominator can
+    # never underflow to 0/0, no matter how sharp training makes the logits
+    neg = jnp.asarray(-jnp.inf, ls.dtype)
     live = pair_w[:, None] > 0
-    g = jax.lax.stop_gradient(jnp.maximum(
-        jnp.max(ls),
-        jnp.maximum(jnp.max(jnp.where(live, l1, neg)),
-                    jnp.max(jnp.where(live, l2, neg)))))
-    es = jnp.exp(ls - g)                                         # [H, nh]
-    x1 = jnp.exp(l1 - g) * pair_w[:, None]                       # [E, nh]
-    x2 = jnp.exp(l2 - g) * pair_w[:, None]
+    e1_idx = jnp.asarray(np.argmax(topo.inc1, axis=1))           # [E] static
+    e2_idx = jnp.asarray(np.argmax(topo.inc2, axis=1))
+    m = ls
+    m = m.at[e1_idx].max(jnp.where(live, l1, neg))
+    m = m.at[e2_idx].max(jnp.where(live, l2, neg))
+    m = jax.lax.stop_gradient(m)                                 # [H, nh]
+    es = jnp.exp(ls - m)                                         # [H, nh]
+    x1 = jnp.exp(jnp.where(live, l1 - mm(topo.inc1, m), neg)) \
+        * pair_w[:, None]                                        # [E, nh]
+    x2 = jnp.exp(jnp.where(live, l2 - mm(topo.inc2, m), neg)) \
+        * pair_w[:, None]
     denom = es + mm(topo.inc1.T, x1) + mm(topo.inc2.T, x2)       # [H, nh]
     num = (es[..., None] * zh
            + mm(topo.inc1.T, (x1[..., None] * ze).reshape(E, nh * d_out)
