@@ -169,7 +169,8 @@ def _hom_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def project_points(pts_w: jnp.ndarray, T_wc: jnp.ndarray, K: jnp.ndarray,
-                   dist: jnp.ndarray, tangential: bool = False) -> jnp.ndarray:
+                   dist: jnp.ndarray, tangential: bool = False,
+                   min_depth: float = 0.0) -> jnp.ndarray:
     """World 3D points -> pixel coordinates.
 
     Matches the reference training-loss projection chain: world→camera 4×4,
@@ -178,10 +179,19 @@ def project_points(pts_w: jnp.ndarray, T_wc: jnp.ndarray, K: jnp.ndarray,
     it matches the Panoptic toolbox's full model
     (reference: panoptic_conversor/panutils.py:4-27).
 
+    ``min_depth > 0`` makes the perspective divide sign-preservingly safe —
+    used by the *training* loss so an early network that puts a joint on a
+    camera plane yields a huge finite error instead of NaN (the reference
+    has the same hazard and simply crashes).
+
     pts_w: [..., 3]; T_wc/K/dist broadcast against the leading axes.
     """
     pc = _hom_transform(T_wc, pts_w)                       # [..., 3] camera frame
-    xy = pc[..., :2] / pc[..., 2:3]                        # perspective divide
+    z = pc[..., 2:3]
+    if min_depth > 0.0:
+        z = jnp.where(jnp.abs(z) < min_depth,
+                      jnp.where(z < 0, -min_depth, min_depth), z)
+    xy = pc[..., :2] / z                                   # perspective divide
     xy = full_distort(xy, dist) if tangential else radial_distort(xy, dist)
     fx, fy = K[..., 0, 0], K[..., 1, 1]
     cx, cy = K[..., 0, 2], K[..., 1, 2]

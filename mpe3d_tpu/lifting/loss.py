@@ -35,12 +35,19 @@ def reprojection_error(pred: jnp.ndarray, error_input: jnp.ndarray,
     pts_w = pred.reshape(B, J, 3) * 10.0                         # metres
     err_in = error_input.reshape(B, C, J, 4)
 
-    # project: [B, C, J, 2] — broadcast cameras over batch and joints
+    # project: [B, C, J, 2] — broadcast cameras over batch and joints.
+    # min_depth keeps the loss finite when an untrained network puts a
+    # joint on a camera plane (grad-clip then recovers).
     pix = project_points(pts_w[:, None, :, :], rig.T_wc[None, :, None],
-                         rig.K[None, :, None], rig.dist[None, :, None])
+                         rig.K[None, :, None], rig.dist[None, :, None],
+                         min_depth=1e-4)
     coords = err_in[..., 1:3]
     valid = (err_in[..., 0] >= 0.5).astype(pred.dtype)           # [B, C, J]
     l1 = jnp.sum(jnp.abs(coords - pix), axis=-1) * valid
+    # cap per-term error far beyond any real pixel scale: the radial model
+    # diverges polynomially outside the image, and err² must stay finite in
+    # fp32 for grad-clip to recover pathological early-training samples
+    l1 = jnp.minimum(l1, 1e5)
     return jnp.sum(l1, axis=(1, 2))
 
 
