@@ -224,6 +224,47 @@ class PoseEstimationPipeline:
 
         return run
 
+    @functools.lru_cache(maxsize=8)
+    def _fused_batch_fn(self, slots: int, p_max: int):
+        """vmap of the fused program over a frame batch — offline-eval
+        throughput mode (the whole test set in a handful of dispatches)."""
+        single = self._fused_fn(slots, p_max)
+
+        @jax.jit
+        def run(mparams, lparams, kp, valid, prob, observed, present):
+            return jax.vmap(
+                lambda a, b, c, d, e: single(mparams, lparams, a, b, c, d, e)
+            )(kp, valid, prob, observed, present)
+
+        return run
+
+    def infer_batch(self, frames, slots: Optional[int] = None):
+        """Batched fused inference over a list of FrameArrays.
+
+        Returns a list of PipelineOutput.  One dispatch + one readback for
+        the whole batch — the throughput mode for offline evaluation.
+        """
+        if not frames:
+            return []
+        S = slots or self._bucket(max(1, max(
+            int(f.present.sum(axis=1).max()) for f in frames)))
+        p_max = min(self.person_buckets[-1],
+                    max(len(self.match_idx) * S
+                        // max(self.rig_config.min_number_of_views, 1), 1))
+        stack = lambda name: jnp.asarray(
+            np.stack([getattr(f, name)[:, :S] for f in frames]))
+        poses, persons, person_mask, scores = jax.device_get(
+            self._fused_batch_fn(S, p_max)(
+                self.matcher_params, self.lifter_params, stack("kp"),
+                stack("valid"), stack("prob"), stack("in_view"),
+                stack("present")))
+        out = []
+        for i, f in enumerate(frames):
+            n = int(person_mask[i].sum())
+            out.append(PipelineOutput(poses[i][:n], persons[i][:n],
+                                      scores[i], int(f.present.sum())))
+        return out
+
     def infer_fused(self, frame: FrameArrays) -> PipelineOutput:
         """Full-frame inference in one device round trip."""
         mi = np.asarray(self.match_idx)
