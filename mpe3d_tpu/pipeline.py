@@ -106,13 +106,15 @@ class PoseEstimationPipeline:
     def _match_fn(self, slots: int):
         topo = self.topology(slots)
         topo_dev = TopologyArrays.from_topology(topo)
-        efeats = edge_node_features(topo.n_pairs,
-                                    self.rig_config.matcher_feature_dim)
+        efeats = edge_node_features(
+            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(
+                self.rig_config.graph_alternative))
 
         @jax.jit
         def run(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,
-                                      self.match_rig, self.image_size)
+                                      self.match_rig, self.image_size,
+                                      alt=self.rig_config.graph_alternative)
             pm = pair_mask_from_present(present, topo)
             scores = apply_matcher(params, hfeats, efeats,
                                    topo_dev, pm, self.matcher_cfg)
@@ -160,8 +162,9 @@ class PoseEstimationPipeline:
 
         topo = self.topology(slots)
         topo_dev = TopologyArrays.from_topology(topo)
-        efeats = edge_node_features(topo.n_pairs,
-                                    self.rig_config.matcher_feature_dim)
+        efeats = edge_node_features(
+            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(
+                self.rig_config.graph_alternative))
         # static used-camera → matching-row map (-1: not matched)
         match_names = [self.rig_config.camera_names[i] for i in self.match_idx]
         used_pos = np.array(
@@ -182,7 +185,8 @@ class PoseEstimationPipeline:
             pmm, om = prob[match_sel], observed[match_sel]
             prm = present[match_sel]
             hfeats, _ = head_features(km, vm, pmm, om, prm,
-                                      self.match_rig, self.image_size)
+                                      self.match_rig, self.image_size,
+                                      alt=self.rig_config.graph_alternative)
             pmask = pair_mask_from_present(prm, topo)
             scores = apply_matcher(mparams, hfeats, efeats, topo_dev,
                                    pmask, self.matcher_cfg) * pmask

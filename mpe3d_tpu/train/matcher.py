@@ -52,9 +52,11 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
     topo_dev = TopologyArrays.from_topology(topo)
     efeats = edge_node_features(topo.n_pairs, cfg.in_dim)
     img = (float(rig_config.image_width), float(rig_config.image_height))
+    alt = rig_config.graph_alternative
 
     def scene_scores(params, kp, valid, prob, obs, present, weight):
-        hfeats, _ = head_features(kp, valid, prob, obs, present, rig, img)
+        hfeats, _ = head_features(kp, valid, prob, obs, present, rig, img,
+                                  alt=alt)
         return apply_matcher(params, hfeats, efeats, topo_dev,
                              (weight > 0).astype(kp.dtype), cfg,
                              pair_softmax_weight=weight)
