@@ -196,7 +196,7 @@ def _pose_metrics(args, backend: str):
         dataset_T = ts.get_transform("root", rig_config.camera_names[1])
     report = run_pose_metrics(_load_files(args.testfiles), rig_config, pipe,
                               datastep=args.datastep,
-                              dataset_T_wc1=dataset_T)
+                              dataset_T_wc1=dataset_T, fused=args.fused)
     _print_report(report)
 
 
@@ -375,6 +375,8 @@ def make_parser() -> argparse.ArgumentParser:
         p.add_argument("--datastep", type=int, default=12)
         p.add_argument("--dataset-tm", default=None,
                        help="dataset calibration if GT is in another frame")
+        p.add_argument("--fused", action="store_true",
+                       help="single-program pipeline (one device round trip)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("sm-metrics-without-gt")

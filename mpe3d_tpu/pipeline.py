@@ -269,6 +269,43 @@ class PoseEstimationPipeline:
                                       scores[i], int(f.present.sum())))
         return out
 
+    def infer_stream(self, frames, depth: int = 3):
+        """Pipelined streaming inference: keeps ``depth`` frames in flight
+        (dispatch frame i+k while frame i's readback is pending).  Device
+        round trips overlap, so steady-state latency ≈ one round trip even
+        on high-latency links.  Yields PipelineOutput in order."""
+        pending = []
+
+        def submit(frame):
+            mi_all = frame.present.sum(axis=1).max()
+            S = self._bucket(max(1, int(mi_all)))
+            p_max = min(self.person_buckets[-1],
+                        max(len(self.match_idx) * S
+                            // max(self.rig_config.min_number_of_views, 1),
+                            1))
+            out = self._fused_fn(S, p_max)(
+                self.matcher_params, self.lifter_params,
+                jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
+                jnp.asarray(frame.prob[:, :S]),
+                jnp.asarray(frame.in_view[:, :S]),
+                jnp.asarray(frame.present[:, :S]))
+            for leaf in out:
+                leaf.copy_to_host_async()
+            return frame, out
+
+        def collect(frame, out):
+            poses, persons, person_mask, scores = jax.device_get(out)
+            n = int(person_mask.sum())
+            return PipelineOutput(poses[:n], persons[:n], scores,
+                                  int(frame.present.sum()))
+
+        for frame in frames:
+            pending.append(submit(frame))
+            if len(pending) >= depth:
+                yield collect(*pending.pop(0))
+        while pending:
+            yield collect(*pending.pop(0))
+
     def infer_fused(self, frame: FrameArrays) -> PipelineOutput:
         """Full-frame inference in one device round trip."""
         mi = np.asarray(self.match_idx)
