@@ -1,0 +1,102 @@
+"""Evaluate trained checkpoints on (regenerated, seeded) synthetic data.
+
+Usage: python scripts/eval_synthetic.py --models runs/full_tpu2 [--out FILE]
+
+Reports the reference's headline tables (BASELINE.md):
+  * matching ARI/H/C/Vm at 2 / 3 / 5 views (frames restricted to camera
+    subsets, like the reference's view-count study; README.md:19-21)
+  * MPJPE / mAP / mR for the MLP and triangulation backends
+  * fused-pipeline per-frame latency
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--datastep", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+    from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
+                                          synthetic_ring_rig)
+    from mpe3d_tpu.eval.runners import run_pose_metrics, run_sm_metrics
+    from mpe3d_tpu.geometry.calib_io import rig_from_files
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+    from mpe3d_tpu.train.checkpoint import load_checkpoint
+
+    rig_config = PANOPTIC
+    ref_tm = "/root/reference/tm_panoptic.pickle"
+    rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
+           else synthetic_ring_rig(rig_config))
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    test_multi = generate_frames(rig_config, rig, args.frames,
+                                 n_people=(2, 4), seed=args.seed, noise=noise)
+
+    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    mparams, _, mmeta = load_checkpoint(
+        os.path.join(args.models, "skeleton_matching"),
+        init_matcher(jax.random.PRNGKey(0), mcfg))
+    lparams, _, lmeta = load_checkpoint(
+        os.path.join(args.models, "pose_estimator"),
+        init_lifter(jax.random.PRNGKey(1), lcfg))
+
+    S = int(mmeta.get("n_slots", 6))
+    report = {"matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
+              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")}}
+
+    pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
+                                  lparams, lcfg, slot_buckets=(S,),
+                                  person_buckets=(8,))
+    pipe_tri = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
+                                      backend="triangulation",
+                                      slot_buckets=(S,), person_buckets=(8,))
+
+    # --- matching quality by view count (≙ README.md:19-21 table) --------
+    subsets = {"2_views": ("trackera", "trackerb"),
+               "3_views": ("trackera", "trackerb", "trackerc"),
+               "5_views": rig_config.camera_names}
+    for tag, cams in subsets.items():
+        restricted = [{c: f[c] for c in cams if c in f} for f in test_multi]
+        r = run_sm_metrics(restricted, rig_config, pipe,
+                           datastep=args.datastep)
+        report[f"sm_{tag}"] = r
+        print(tag, {k: round(v, 4) for k, v in r.items()
+                    if isinstance(v, float)})
+
+    # --- 3D accuracy -------------------------------------------------------
+    for tag, p in (("mlp", pipe), ("triangulation", pipe_tri)):
+        r = run_pose_metrics(test_multi, rig_config, p,
+                             datastep=args.datastep, fused=(tag == "mlp"))
+        r.pop("ap_per_threshold", None)
+        report[f"pose_{tag}"] = r
+        print(tag, {k: round(v, 3) for k, v in r.items()
+                    if isinstance(v, float)})
+
+    out = args.out or os.path.join(args.models, "eval_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
