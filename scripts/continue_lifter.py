@@ -1,0 +1,73 @@
+"""Continue lifter training from a checkpoint (warm start, lower LR).
+
+Usage: python scripts/continue_lifter.py --models runs/full_tpu2
+           [--epochs 3000] [--lr 5e-5]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", required=True)
+    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--patience", type=int, default=60)
+    ap.add_argument("--n-sp", type=int, default=500)
+    args = ap.parse_args()
+
+    import jax
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, LifterTrainConfig
+    from mpe3d_tpu.data.synthetic import (SceneNoise,
+                                          generate_single_person_frames,
+                                          synthetic_ring_rig)
+    from mpe3d_tpu.geometry.calib_io import rig_from_files
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.lifter import train_lifter
+    from mpe3d_tpu.train.lifter_data import build_lifter_dataset
+    from mpe3d_tpu.utils.logging import JsonlLogger
+
+    rig_config = PANOPTIC
+    ref_tm = "/root/reference/tm_panoptic.pickle"
+    rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
+           else synthetic_ring_rig(rig_config))
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    params, _, meta = load_checkpoint(
+        os.path.join(args.models, "pose_estimator"),
+        init_lifter(jax.random.PRNGKey(1), lcfg))
+    log = JsonlLogger(os.path.join(args.models, "continue.jsonl"))
+    log.event("resume", from_epoch=meta.get("epoch"),
+              from_val=meta.get("val_loss"))
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    sp = [generate_single_person_frames(rig_config, rig, args.n_sp, seed=s,
+                                        noise=noise) for s in (0, 1, 2)]
+    dev = [generate_single_person_frames(rig_config, rig, args.n_sp // 3,
+                                         seed=s, noise=noise)
+           for s in (10, 11)]
+    net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
+                                        rig_config, rig)
+    net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
+                                        rig_config, rig, augment=False)
+    tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=512,
+                             eval_every=10, patience=args.patience,
+                             lr=args.lr)
+    res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
+                       tcfg, params=params,
+                       checkpoint_path=os.path.join(args.models,
+                                                    "pose_estimator"),
+                       log=log)
+    log.event("continue_done", best_val=res.best_val_loss,
+              epochs=res.epochs_run)
+
+
+if __name__ == "__main__":
+    main()
