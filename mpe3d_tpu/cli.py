@@ -236,7 +236,8 @@ def cmd_reprojection_error(args):
     tri = PoseEstimationPipeline(rig_config, rig, pipe.matcher_params,
                                  pipe.matcher_cfg, backend="triangulation")
     report = run_reprojection_error(_load_files(args.testfiles), rig_config,
-                                    pipe, tri, datastep=args.datastep)
+                                    pipe, tri, datastep=args.datastep,
+                                    show_gt=args.showgt)
     _print_report(report)
 
 
@@ -389,6 +390,8 @@ def make_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--testfiles", nargs="+", required=True)
     p.add_argument("--datastep", type=int, default=1)
+    p.add_argument("--showgt", action="store_true",
+                   help="also reproject GT 3D when frames carry it")
     p.set_defaults(fn=cmd_reprojection_error)
 
     p = sub.add_parser("show-results")

@@ -241,13 +241,21 @@ def run_sm_metrics_without_gt(inputs: List[List[Dict]],
 def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
                            pipeline: PoseEstimationPipeline,
                            tri_pipeline: Optional[PoseEstimationPipeline] = None,
-                           datastep: int = 1,
-                           max_skeletons: int = 10) -> Dict:
+                           datastep: int = 1, max_skeletons: int = 10,
+                           show_gt: bool = False) -> Dict:
     """Per-camera reprojection pixel error of estimated 3D
-    (≙ reprojection_error.py:160-431) for rigs without 3D GT."""
+    (≙ reprojection_error.py:160-431) for rigs without 3D GT.
+
+    ``show_gt=True`` also reprojects GT 3D poses when the frames carry them
+    (the reference's optional GT column, reprojection_error.py:384-419) —
+    matched to proposals by best permutation of mean joint distance.
+    """
+    from mpe3d_tpu.eval.pose_metrics import best_permutation, pose_error_table
+
     C = rig_config.n_cameras
     errs_mlp: List[List[float]] = [[] for _ in range(C)]
     errs_tri: List[List[float]] = [[] for _ in range(C)]
+    errs_gt: List[List[float]] = [[] for _ in range(C)]
     n = 0
     for i, frame in enumerate(frames):
         if i % datastep != 0:
@@ -258,16 +266,36 @@ def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
             continue
         n += 1
         kp, valid, prob, observed = pipeline.gather_person_obs(fa, out.persons)
+        poses_mlp = out.poses
         for tag, errs, pl in (("mlp", errs_mlp, pipeline),
                               ("tri", errs_tri, tri_pipeline)):
             if pl is None:
                 continue
-            poses = out.poses if pl is pipeline else pl.lift(fa, out.persons)
+            poses = poses_mlp if pl is pipeline else pl.lift(fa, out.persons)
             pe = reprojection_pixel_errors(poses, kp, observed, pl.used_rig)
             for c in range(len(pe)):
                 errs[c].extend(pe[c])
+        if show_gt:
+            gt = parse_frame_gt(frame, rig_config)
+            if gt is not None and len(gt.gt3d):
+                table = pose_error_table(gt.gt3d, gt.gt_valid, poses_mlp,
+                                         rig_config.used_joints)
+                perm = best_permutation(table)
+                gt_per_person = np.zeros_like(poses_mlp)
+                have = np.zeros(len(poses_mlp), bool)
+                for g, r in enumerate(perm):
+                    if r < len(poses_mlp):
+                        gt_per_person[r] = gt.gt3d[g]
+                        have[r] = True
+                pe = reprojection_pixel_errors(gt_per_person[have], kp[have],
+                                               observed[have],
+                                               pipeline.used_rig)
+                for c in range(len(pe)):
+                    errs_gt[c].extend(pe[c])
     res = {"mlp": per_camera_stats(errs_mlp), "n_frames": n,
            "cameras": list(rig_config.used_cameras)}
     if tri_pipeline is not None:
         res["triangulation"] = per_camera_stats(errs_tri)
+    if show_gt:
+        res["gt"] = per_camera_stats(errs_gt)
     return res

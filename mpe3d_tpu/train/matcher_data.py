@@ -24,6 +24,7 @@ loss, reproducing the reference graphs without materialising duplicates.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -146,13 +147,21 @@ def build_matcher_scenes(inputs: List[List[Dict]], rig_config: RigConfig,
                          topo: PairTopology,
                          probabilities: Optional[Sequence[float]] = None,
                          limit: int = 120000, seed: int = 0,
-                         augment: bool = True) -> MatcherScenes:
+                         augment: bool = True,
+                         cache_path: Optional[str] = None) -> MatcherScenes:
     """Build the full composite-scene dataset on the static (C, S) grid.
 
     inputs: one list of wire frames per source file (single-person
     recordings).  ``probabilities`` default: 0.8·len(file)/len(file0)
-    (reference: train_skeleton_matching.py:122-132).
+    (reference: train_skeleton_matching.py:122-132).  ``cache_path`` caches
+    the built tensors as npz (≙ the reference's DGL bin cache,
+    graph_generator.py:884-916).
     """
+    if cache_path and os.path.exists(cache_path):
+        d = np.load(cache_path)
+        return MatcherScenes(d["kp"], d["valid"], d["prob"],
+                             d["observed"], d["present"], d["labels"],
+                             d["pair_weight"])
     if probabilities is None:
         first = max(len(inputs[0]), 1)
         probabilities = [0.8 * len(l) / first for l in inputs]
@@ -223,6 +232,12 @@ def build_matcher_scenes(inputs: List[List[Dict]], rig_config: RigConfig,
                              np.zeros((0, C, S, J), bool),
                              np.zeros((0, C, S), bool),
                              z(0, topo.n_pairs), z(0, topo.n_pairs))
-    return MatcherScenes(np.stack(N_kp), np.stack(N_v), np.stack(N_p),
-                         np.stack(N_o), np.stack(N_pr),
-                         np.stack(N_lab), np.stack(N_w))
+    scenes = MatcherScenes(np.stack(N_kp), np.stack(N_v), np.stack(N_p),
+                           np.stack(N_o), np.stack(N_pr),
+                           np.stack(N_lab), np.stack(N_w))
+    if cache_path:
+        np.savez(cache_path, kp=scenes.kp, valid=scenes.valid,
+                 prob=scenes.prob, observed=scenes.observed,
+                 present=scenes.present, labels=scenes.labels,
+                 pair_weight=scenes.pair_weight)
+    return scenes
