@@ -22,8 +22,6 @@ import argparse
 import json
 import os
 import sys
-from typing import Optional, Tuple
-
 import numpy as np
 
 

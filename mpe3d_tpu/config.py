@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Tuple
 
 # COCO-18 joint vocabulary (reference: skeleton_matching/graph_generator.py:63-67)

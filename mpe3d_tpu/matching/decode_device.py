@@ -30,7 +30,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mpe3d_tpu.matching.features import PairTopology
 

@@ -22,7 +22,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 ROW_TILE = 128
 
@@ -65,19 +64,20 @@ def _pallas_proj(x, w1, b1, w2, b2, alpha: float, interpret: bool = False):
         o_ref[:] = jnp.dot(h, w2_ref[:], precision="highest",
                            preferred_element_type=jnp.float32) + b2_ref[:]
 
+    vmem = {} if interpret else {"memory_space": pltpu.VMEM}
     grid = (Np // ROW_TILE,)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Np, Fp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROW_TILE, Dp), lambda i: (i, 0)),
-            pl.BlockSpec((Dp, Dp), lambda i: (0, 0)),
-            pl.BlockSpec((1, Dp), lambda i: (0, 0)),
-            pl.BlockSpec((Dp, Fp), lambda i: (0, 0)),
-            pl.BlockSpec((1, Fp), lambda i: (0, 0)),
+            pl.BlockSpec((ROW_TILE, Dp), lambda i: (i, 0), **vmem),
+            pl.BlockSpec((Dp, Dp), lambda i: (0, 0), **vmem),
+            pl.BlockSpec((1, Dp), lambda i: (0, 0), **vmem),
+            pl.BlockSpec((Dp, Fp), lambda i: (0, 0), **vmem),
+            pl.BlockSpec((1, Fp), lambda i: (0, 0), **vmem),
         ],
-        out_specs=pl.BlockSpec((ROW_TILE, Fp), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((ROW_TILE, Fp), lambda i: (i, 0), **vmem),
         interpret=interpret,
     )(x, w1, b1, w2, b2)
 

@@ -56,8 +56,6 @@ def test_convert_torch_cli(tmp_path, capsys):
     assert os.path.exists(md + "/pose_estimator.npz")
 
     # load_models picks up the converted checkpoint
-    from types import SimpleNamespace
-
     from mpe3d_tpu.cli import load_models
     from mpe3d_tpu.config import PANOPTIC
     mparams, mcfg, lparams, lcfg = load_models(md, PANOPTIC)
