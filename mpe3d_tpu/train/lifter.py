@@ -15,6 +15,7 @@ optimized pytree.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
@@ -61,10 +62,23 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
 
     step = jax.jit(_step)
 
-    @jax.jit
-    def epoch_step(trainable, opt_state, nets, errs):
-        """One dispatch for a whole epoch: lax.scan over stacked batches
-        nets [K, B, D], errs [K, B, E].  Returns per-batch losses [K]."""
+    @functools.partial(jax.jit,
+                       static_argnames=("k_batches", "batch_size",
+                                        "batch_sharding"),
+                       donate_argnames=("trainable", "opt_state"))
+    def epoch_step(trainable, opt_state, net_all, err_all, key,
+                   k_batches, batch_size, batch_sharding=None):
+        """One dispatch for a whole epoch: shuffle ON DEVICE, then lax.scan
+        over the batches.  The dataset is uploaded once and stays resident —
+        no per-epoch host→device traffic.  Returns per-batch losses [K]."""
+        n = k_batches * batch_size
+        perm = jax.random.permutation(key, net_all.shape[0])[:n]
+        nets = net_all[perm].reshape(k_batches, batch_size, -1)
+        errs = err_all[perm].reshape(k_batches, batch_size, -1)
+        if batch_sharding is not None:
+            nets = jax.lax.with_sharding_constraint(nets, batch_sharding)
+            errs = jax.lax.with_sharding_constraint(errs, batch_sharding)
+
         def body(carry, xs):
             tr, os_ = carry
             tr, os_, loss = _step(tr, os_, xs[0], xs[1])
@@ -118,8 +132,15 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
 
     trainable = replicate(mesh, trainable)
     opt_state = replicate(mesh, opt_state)
-    stacked_sharding = jax.sharding.NamedSharding(
+    batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
+    # dataset uploaded ONCE, device-resident for all epochs
+    bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
+    k_batches = len(net_train) // bs
+    if tcfg.scan_epoch and k_batches > 0:
+        net_dev_res = replicate(mesh, jnp.asarray(net_train))
+        err_dev_res = replicate(mesh, jnp.asarray(err_train))
+    epoch_key = jax.random.PRNGKey(tcfg.seed + 1)
 
     # pad batch to a multiple of the device count for even sharding
     def batches(net, err, rng):
@@ -134,19 +155,6 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             yield shard_batch(mesh, (jnp.asarray(net[sel]),
                                      jnp.asarray(err[sel])))
 
-    def stacked_epoch(net, err, rng):
-        """Full-batch stack [K, B, ...] for the scanned epoch (tail batch
-        dropped); None if the dataset is smaller than one batch."""
-        bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
-        K = len(net) // bs
-        if K == 0:
-            return None
-        order = rng.permutation(len(net))[: K * bs]
-        nets = net[order].reshape(K, bs, -1)
-        errs = err[order].reshape(K, bs, -1)
-        return (jax.device_put(nets, stacked_sharding),
-                jax.device_put(errs, stacked_sharding))
-
     result = LifterTrainResult(params=trainable)
     rng = np.random.default_rng(tcfg.seed)
     best, patience = float("inf"), 0
@@ -156,11 +164,12 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             break
         # losses stay on device until epoch end: device→host readbacks are
         # expensive through remote-TPU relays (see pipeline.py)
-        stacked = stacked_epoch(net_train, err_train, rng) \
-            if tcfg.scan_epoch else None
-        if stacked is not None:
+        if tcfg.scan_epoch and k_batches > 0:
+            epoch_key, k = jax.random.split(epoch_key)
             trainable, opt_state, losses_d = epoch_step(
-                trainable, opt_state, *stacked)
+                trainable, opt_state, net_dev_res, err_dev_res, k,
+                k_batches=k_batches, batch_size=bs,
+                batch_sharding=batch_sharding)
             train_loss = float(jnp.mean(losses_d))
         else:
             losses, sizes = [], []

@@ -18,6 +18,7 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--patience", type=int, default=60)
     ap.add_argument("--n-sp", type=int, default=500)
+    ap.add_argument("--batch-size", type=int, default=2048)
     args = ap.parse_args()
 
     import jax
@@ -57,7 +58,7 @@ def main():
                                         rig_config, rig)
     net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
                                         rig_config, rig, augment=False)
-    tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=512,
+    tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
                              lr=args.lr)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
