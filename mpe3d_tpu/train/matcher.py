@@ -15,6 +15,7 @@ loss weights (train/matcher_data.py).
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -78,16 +79,30 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
 
     step = jax.jit(_step)
 
-    @jax.jit
-    def epoch_step(params, opt_state, stacked):
-        """One dispatch per epoch: lax.scan over stacked batches (each
-        element of the 7-tuple is [K, B, ...])."""
+    @functools.partial(jax.jit,
+                       static_argnames=("k_batches", "batch_size",
+                                        "batch_sharding"),
+                       donate_argnames=("params", "opt_state"))
+    def epoch_step(params, opt_state, scenes_res, key,
+                   k_batches, batch_size, batch_sharding=None):
+        """One dispatch per epoch: shuffle the device-resident scene tensors
+        on device, then lax.scan over the batches (zero per-epoch host
+        traffic).  scenes_res: 7-tuple of [N, ...] arrays."""
+        n = k_batches * batch_size
+        perm = jax.random.permutation(key, scenes_res[0].shape[0])[:n]
+        batches = []
+        for f in scenes_res:
+            b = f[perm].reshape(k_batches, batch_size, *f.shape[1:])
+            if batch_sharding is not None:
+                b = jax.lax.with_sharding_constraint(b, batch_sharding)
+            batches.append(b)
+
         def body(carry, batch):
             p, o = carry
             p, o, loss = _step(p, o, batch)
             return (p, o), loss
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), stacked)
+            body, (params, opt_state), tuple(batches))
         return params, opt_state, losses
 
     @jax.jit
@@ -122,20 +137,17 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
         match_rig, rig_config, topo, cfg, tx)
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
-    stacked_sharding = jax.sharding.NamedSharding(
+    batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
-
-    def stacked_epoch(scenes: MatcherScenes, rng: np.random.Generator):
-        bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
-        K = len(scenes) // bs
-        if K == 0:
-            return None
-        order = rng.permutation(len(scenes))[: K * bs]
-        s = scenes.select(order)
-        fields = (s.kp, s.valid, s.prob, s.observed, s.present,
-                  s.labels, s.pair_weight)
-        return tuple(jax.device_put(f.reshape(K, bs, *f.shape[1:]),
-                                    stacked_sharding) for f in fields)
+    # scene tensors uploaded ONCE, device-resident for all epochs
+    bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
+    k_batches = len(train_scenes) // bs
+    if tcfg.scan_epoch and k_batches > 0:
+        scenes_res = tuple(replicate(mesh, jnp.asarray(f)) for f in (
+            train_scenes.kp, train_scenes.valid, train_scenes.prob,
+            train_scenes.observed, train_scenes.present,
+            train_scenes.labels, train_scenes.pair_weight))
+    epoch_key = jax.random.PRNGKey(tcfg.seed + 1)
 
     def batches(scenes: MatcherScenes, rng: np.random.Generator):
         order = rng.permutation(len(scenes))
@@ -164,10 +176,11 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     for epoch in range(tcfg.epochs):
         # keep losses on device until epoch end (readbacks are expensive
         # through remote-TPU relays; see pipeline.py)
-        stacked = stacked_epoch(train_scenes, rng) if tcfg.scan_epoch else None
-        if stacked is not None:
-            params, opt_state, losses_d = epoch_step(params, opt_state,
-                                                     stacked)
+        if tcfg.scan_epoch and k_batches > 0:
+            epoch_key, k = jax.random.split(epoch_key)
+            params, opt_state, losses_d = epoch_step(
+                params, opt_state, scenes_res, k, k_batches=k_batches,
+                batch_size=bs, batch_sharding=batch_sharding)
             train_loss = float(jnp.mean(losses_d))
         else:
             losses = []
