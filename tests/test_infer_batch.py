@@ -35,3 +35,11 @@ def test_infer_batch_matches_single(panoptic_rig):
                               np.sort(b.persons, axis=0))
         assert np.allclose(np.sort(s.poses.ravel()),
                            np.sort(b.poses.ravel()), atol=1e-4)
+
+    # pipelined streaming yields the same results, in order
+    streamed = list(pipe.infer_stream(frames, depth=2))
+    assert len(streamed) == len(frames)
+    for st, f in zip(streamed, frames):
+        s = pipe.infer_fused(f)
+        assert len(st.persons) == len(s.persons)
+        assert np.allclose(st.poses, s.poses, atol=1e-5)
