@@ -122,17 +122,139 @@ def _project_np(pts_w: np.ndarray, T_wc: np.ndarray, K: np.ndarray,
     return np.stack([u, v], -1), z
 
 
+# kinematic chains in the local frame (x lateral, y forward, z up)
+_CHAINS = {
+    "l_arm": (5, (7, 9)),     # pivot shoulder -> (elbow, wrist)
+    "r_arm": (6, (8, 10)),
+    "l_leg": (11, (13, 15)),  # pivot hip -> (knee, ankle)
+    "r_leg": (12, (14, 16)),
+}
+_ANKLES = (15, 16)
+
+
+def _rx(a: float) -> np.ndarray:
+    """Rotation about the local x (lateral) axis; +a swings a downward limb
+    forward (+y)."""
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+def _rotate_chain(pts: np.ndarray, pivot: int, chain: Sequence[int],
+                  R: np.ndarray) -> None:
+    p = pts[pivot]
+    for j in chain:
+        pts[j] = p + R @ (pts[j] - p)
+
+
+def sample_pose(rng: np.random.Generator) -> np.ndarray:
+    """Articulated COCO-18 pose in the person-local frame (up = +z).
+
+    The reference trains on real recordings with natural pose variety
+    (walking, sitting, gesturing people — README.md:56-66); a single standing
+    template makes every synthetic person near-identical, which both caps
+    matcher difficulty (overlapping clones are maximally ambiguous) and
+    narrows the lifter's training distribution.  Styles: stand / walk / sit /
+    reach, each a continuous family via random joint angles.
+    """
+    pts = _TEMPLATE.copy()
+    style = rng.choice(4, p=[0.3, 0.35, 0.15, 0.2])
+    if style == 1:          # walk: opposite leg stride + counter arm swing
+        th = float(rng.uniform(0.15, 0.55)) * (1 if rng.random() < 0.5 else -1)
+        _rotate_chain(pts, _CHAINS["l_leg"][0], _CHAINS["l_leg"][1], _rx(th))
+        _rotate_chain(pts, _CHAINS["r_leg"][0], _CHAINS["r_leg"][1], _rx(-th))
+        # back-leg knee bend (shank folds backwards)
+        back = "l_leg" if th < 0 else "r_leg"
+        knee, ankle = _CHAINS[back][1]
+        _rotate_chain(pts, knee, (ankle,), _rx(-float(rng.uniform(0.2, 0.6))))
+        _rotate_chain(pts, _CHAINS["l_arm"][0], _CHAINS["l_arm"][1],
+                      _rx(-0.7 * th))
+        _rotate_chain(pts, _CHAINS["r_arm"][0], _CHAINS["r_arm"][1],
+                      _rx(0.7 * th))
+    elif style == 2:        # sit: thighs forward ~horizontal, shanks down
+        a = float(rng.uniform(1.25, 1.55))
+        for leg in ("l_leg", "r_leg"):
+            hip, (knee, ankle) = _CHAINS[leg]
+            _rotate_chain(pts, hip, (knee, ankle), _rx(a))
+            _rotate_chain(pts, knee, (ankle,),
+                          _rx(-a - float(rng.uniform(-0.15, 0.15))))
+        # relaxed arms slightly forward
+        for arm in ("l_arm", "r_arm"):
+            _rotate_chain(pts, _CHAINS[arm][0], _CHAINS[arm][1],
+                          _rx(float(rng.uniform(0.1, 0.5))))
+    elif style == 3:        # reach: one or both arms raised overhead
+        arms = ["l_arm", "r_arm"] if rng.random() < 0.3 else \
+            [rng.choice(["l_arm", "r_arm"])]
+        for arm in arms:
+            _rotate_chain(pts, _CHAINS[arm][0], _CHAINS[arm][1],
+                          _rx(float(rng.uniform(2.2, 3.1))))
+        other = [a for a in ("l_arm", "r_arm") if a not in arms]
+        for arm in other:
+            _rotate_chain(pts, _CHAINS[arm][0], _CHAINS[arm][1],
+                          _rx(float(rng.uniform(-0.3, 0.6))))
+    else:                   # stand: small independent limb angles
+        for limb in _CHAINS:
+            pivot, chain = _CHAINS[limb]
+            amp = 0.45 if "arm" in limb else 0.12
+            _rotate_chain(pts, pivot, chain,
+                          _rx(float(rng.uniform(-amp, amp))))
+    # slight whole-torso lean (head/arms/neck about the hip line)
+    torso = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 17)
+    lean = _rx(float(rng.uniform(-0.08, 0.2)))
+    hip_c = 0.5 * (pts[11] + pts[12])
+    for j in torso:
+        pts[j] = hip_c + lean @ (pts[j] - hip_c)
+    # re-ground: lowest ankle back to template ankle height (sitting/striding
+    # changes leg geometry; people stay floor-supported)
+    pts[:, 2] -= min(pts[a, 2] for a in _ANKLES) - _TEMPLATE[_ANKLES[0], 2]
+    return pts
+
+
+# BODY_25 joint index -> COCO-18 source index for the directly-shared joints
+# (vocabularies: reference skeleton_matching/graph_generator.py:60-74).
+# BODY_25 8 (hip center) and 19-24 (foot points) are derived, not mapped.
+_B25_FROM_COCO = {
+    0: 0, 1: 17, 2: 6, 3: 8, 4: 10, 5: 5, 6: 7, 7: 9,
+    9: 12, 10: 14, 11: 16, 12: 11, 13: 13, 14: 15,
+    15: 2, 16: 1, 17: 4, 18: 3,
+}
+
+
+def _body25_from_coco(p18: np.ndarray) -> np.ndarray:
+    """Derive a BODY_25 skeleton from an articulated COCO-18 pose in the
+    local frame (x lateral, y forward, z up): shared joints are copied, hip
+    center is the hip midpoint, and each foot gets heel/ball/toes points
+    around the ankle."""
+    p25 = np.zeros((25, 3), np.float32)
+    for b, c in _B25_FROM_COCO.items():
+        p25[b] = p18[c]
+    p25[8] = 0.5 * (p18[11] + p18[12])          # hip center
+    fwd = np.array([0.0, 1.0, 0.0], np.float32)
+    dz = np.array([0.0, 0.0, 1.0], np.float32)
+    for ankle, (ball, toes, heel) in ((15, (19, 20, 21)),   # left foot
+                                      (16, (22, 23, 24))):  # right foot
+        a = p18[ankle]
+        ground = a - 0.06 * dz
+        p25[ball] = ground + 0.10 * fwd
+        p25[toes] = ground + 0.17 * fwd
+        p25[heel] = ground - 0.06 * fwd
+    return p25
+
+
 def sample_person(rng: np.random.Generator, rig_config: RigConfig,
                   center: np.ndarray, radius: float = 1.2,
                   jitter: float = 0.02) -> np.ndarray:
-    """Random posed person: template + jitter, random yaw/scale, placed on a
-    disc around the scene center.  Returns world joints [18, 3]."""
+    """Random posed person: articulated pose + jitter, random yaw/scale,
+    placed on a disc around the scene center.  Returns world joints
+    [n_joints, 3] in the rig config's joint format."""
     R_up = _up_rotation(rig_config)
     yaw = rng.uniform(0, 2 * np.pi)
     c, s = np.cos(yaw), np.sin(yaw)
     R_yaw = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-    scale = rng.uniform(0.92, 1.08)
-    local = (_TEMPLATE + rng.normal(0, jitter, _TEMPLATE.shape)) * scale
+    scale = rng.uniform(0.88, 1.10)
+    local = sample_pose(rng)
+    if rig_config.joint_format == "BODY_25":
+        local = _body25_from_coco(local)
+    local = (local + rng.normal(0, jitter, local.shape)) * scale
     local = local @ R_yaw.T
     # place feet near the floor through the scene center
     offset_local = np.array([rng.uniform(-radius, radius),

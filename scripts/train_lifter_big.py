@@ -1,0 +1,91 @@
+"""Large lifter training run: from-scratch (or --resume) on fresh synthetic
+single-person recordings with the articulated pose sampler.
+
+Usage: python scripts/train_lifter_big.py --out runs/lifter_big
+           [--n-sp 20000] [--files 3] [--epochs 4000] [--batch-size 2048]
+           [--lr 1e-4] [--resume]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-sp", type=int, default=20000)
+    ap.add_argument("--files", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=4000)
+    ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--patience", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--resume", action="store_true",
+                    help="warm-start from <out>/pose_estimator if present")
+    args = ap.parse_args()
+
+    import jax
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, LifterTrainConfig
+    from mpe3d_tpu.data.synthetic import (SceneNoise,
+                                          generate_single_person_frames,
+                                          synthetic_ring_rig)
+    from mpe3d_tpu.geometry.calib_io import rig_from_files
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.lifter import train_lifter
+    from mpe3d_tpu.train.lifter_data import build_lifter_dataset
+    from mpe3d_tpu.utils.logging import JsonlLogger
+
+    os.makedirs(args.out, exist_ok=True)
+    rig_config = PANOPTIC
+    ref_tm = "/root/reference/tm_panoptic.pickle"
+    rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
+           else synthetic_ring_rig(rig_config))
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    log = JsonlLogger(os.path.join(args.out, "run.jsonl"))
+
+    params = None
+    ckpt = os.path.join(args.out, "pose_estimator")
+    if args.resume and os.path.exists(ckpt + ".npz"):
+        params, _, meta = load_checkpoint(
+            ckpt, init_lifter(jax.random.PRNGKey(1), lcfg))
+        log.event("resume", from_epoch=meta.get("epoch"),
+                  from_val=meta.get("val_loss"))
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    t0 = time.time()
+    sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
+                                        seed=1000 + s, noise=noise)
+          for s in range(args.files)]
+    dev = [generate_single_person_frames(rig_config, rig,
+                                         max(200, args.n_sp // 10),
+                                         seed=2000 + s, noise=noise)
+           for s in range(2)]
+    log.event("gen", n_train_frames=args.files * args.n_sp,
+              gen_s=round(time.time() - t0, 1))
+
+    t0 = time.time()
+    net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
+                                        rig_config, rig)
+    net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
+                                        rig_config, rig, augment=False)
+    log.event("dataset", train=len(net_t), dev=len(net_d),
+              build_s=round(time.time() - t0, 1))
+
+    tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                             eval_every=10, patience=args.patience,
+                             lr=args.lr)
+    res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
+                       tcfg, params=params, checkpoint_path=ckpt, log=log)
+    log.event("done", best_val=res.best_val_loss, epochs=res.epochs_run)
+    print("best_val", res.best_val_loss, "epochs", res.epochs_run)
+
+
+if __name__ == "__main__":
+    main()
