@@ -192,9 +192,11 @@ def _pose_metrics(args, backend: str):
         from mpe3d_tpu.geometry.calib_io import load_transform_manager
         ts = load_transform_manager(args.dataset_tm)
         dataset_T = ts.get_transform("root", rig_config.camera_names[1])
+    pipe.decode_on_device = getattr(args, "device_decode", False)
     report = run_pose_metrics(_load_files(args.testfiles), rig_config, pipe,
                               datastep=args.datastep,
-                              dataset_T_wc1=dataset_T, fused=args.fused)
+                              dataset_T_wc1=dataset_T, fused=args.fused,
+                              stream=getattr(args, "stream", 0))
     _print_report(report)
 
 
@@ -376,6 +378,10 @@ def make_parser() -> argparse.ArgumentParser:
                        help="dataset calibration if GT is in another frame")
         p.add_argument("--fused", action="store_true",
                        help="single-program pipeline (one device round trip)")
+        p.add_argument("--stream", type=int, default=0,
+                       help="pipelined inference with N frames in flight")
+        p.add_argument("--device-decode", action="store_true",
+                       help="staged path: fuse greedy decode into stage 1")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("sm-metrics-without-gt")

@@ -40,19 +40,24 @@ def transform_gt_to_world(gt3d: np.ndarray, dataset_T_wc1: np.ndarray,
 def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
                      pipeline: PoseEstimationPipeline, datastep: int = 12,
                      dataset_T_wc1: Optional[np.ndarray] = None,
-                     max_skeletons: int = 10, fused: bool = False) -> Dict:
+                     max_skeletons: int = 10, fused: bool = False,
+                     stream: int = 0) -> Dict:
     """Full-pipeline 3D accuracy + timing (≙ metrics_from_model.py:104-390).
 
     ``dataset_T_wc1``: the *dataset* calibration's root→camera1 transform
     when GT lives in a different frame than the model calibration.
     ``fused=True`` runs the single-program pipeline (one device round trip;
     reports t_e2e instead of the t_pp/t_3D split).
+    ``stream>0`` (implies fused) keeps that many frames in flight via
+    ``infer_stream`` — dispatch/readback round trips overlap, and t_e2e_ms
+    becomes steady-state wall-clock per frame.
     """
     acc = PoseEvalAccumulator(rig_config.used_joints)
     timing = TimingAccumulator()
     model_T_c1w = np.asarray(pipeline.rig.T_cw[1]) \
         if pipeline.rig.n_cameras > 1 else np.eye(4)
-    n_frames = 0
+
+    selected = []            # (FrameArrays, gt3d, gt)
     for i, frame in enumerate(frames):
         if i % datastep != 0:
             continue
@@ -62,8 +67,25 @@ def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
         gt3d = gt.gt3d
         if dataset_T_wc1 is not None:
             gt3d = transform_gt_to_world(gt3d, dataset_T_wc1, model_T_c1w)
-        fa = parse_frame(frame, rig_config, max_skeletons)
-        n_frames += 1
+        selected.append((parse_frame(frame, rig_config, max_skeletons),
+                         gt3d, gt))
+    n_frames = len(selected)
+
+    if stream > 0 and len(pipeline.match_idx) > 1:
+        import time as _time
+        t0 = _time.perf_counter()
+        outs = list(pipeline.infer_stream((fa for fa, _, _ in selected),
+                                          depth=stream))
+        wall = _time.perf_counter() - t0
+        for (fa, gt3d, gt), out_f in zip(selected, outs):
+            acc.update(gt3d, gt.gt_valid, gt.person_valid, out_f.poses)
+        out = acc.summary()
+        out["t_e2e_ms"] = wall / max(n_frames, 1) * 1e3
+        out["stream_depth"] = stream
+        out["n_frames"] = n_frames
+        return out
+
+    for fa, gt3d, gt in selected:
         if fused and len(pipeline.match_idx) > 1:
             with timing.span("t_e2e", 1):
                 out_f = pipeline.infer_fused(fa)
@@ -74,6 +96,8 @@ def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
                     from mpe3d_tpu.matching.decode import single_camera_bypass
                     persons = single_camera_bypass(
                         fa.present[np.asarray(pipeline.match_idx)])
+                elif pipeline.decode_on_device:
+                    scores, pm, topo, S, persons = pipeline.match_decode(fa)
                 else:
                     scores, pm, topo, S = pipeline.match(fa)
                     np.asarray(scores)   # block: t_pp covers the device work

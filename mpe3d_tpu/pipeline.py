@@ -57,7 +57,8 @@ class PoseEstimationPipeline:
                  slot_buckets: Tuple[int, ...] = (2, 4, 10),
                  person_buckets: Tuple[int, ...] = (4, 8, 16),
                  threshold: float = 0.5, backend: str = "mlp",
-                 compute_dtype=None, decode_top_k: int = 64):
+                 compute_dtype=None, decode_top_k: int = 64,
+                 decode_on_device: bool = False):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -70,6 +71,7 @@ class PoseEstimationPipeline:
         self.backend = backend
         self.compute_dtype = compute_dtype
         self.decode_top_k = decode_top_k
+        self.decode_on_device = decode_on_device
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -119,6 +121,36 @@ class PoseEstimationPipeline:
             scores = apply_matcher(params, hfeats, efeats,
                                    topo_dev, pm, self.matcher_cfg)
             return scores * pm, pm
+
+        return run
+
+    @functools.lru_cache(maxsize=16)
+    def _match_decode_fn(self, slots: int, p_max: int):
+        """Staged path, stage 1 with the greedy decode fused in: features +
+        GAT + on-device union-find decode in ONE dispatch, so the stage-1
+        readback already carries person proposals (no host decode between
+        the two stages)."""
+        from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
+
+        topo = self.topology(slots)
+        topo_dev = TopologyArrays.from_topology(topo)
+        efeats = edge_node_features(
+            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(
+                self.rig_config.graph_alternative))
+        min_views = self.rig_config.min_number_of_views
+
+        @jax.jit
+        def run(params, kp, valid, prob, observed, present):
+            hfeats, _ = head_features(kp, valid, prob, observed, present,
+                                      self.match_rig, self.image_size,
+                                      alt=self.rig_config.graph_alternative)
+            pm = pair_mask_from_present(present, topo)
+            scores = apply_matcher(params, hfeats, efeats,
+                                   topo_dev, pm, self.matcher_cfg) * pm
+            persons, person_mask = decode_person_proposals_device(
+                scores, pm, topo, min_views, self.threshold, p_max,
+                top_k=self.decode_top_k)
+            return scores, pm, persons, person_mask
 
         return run
 
@@ -338,6 +370,26 @@ class PoseEstimationPipeline:
                                        prob, observed, present)
         return np.asarray(scores), np.asarray(pm), topo, S
 
+    def match_decode(self, frame: FrameArrays):
+        """Matcher stage with the decode fused on-device (one dispatch).
+
+        Returns (scores, pair_mask, topo, slots, persons)."""
+        mi = np.asarray(self.match_idx)
+        S = self._bucket(max(1, int(frame.present[mi].sum(axis=1).max())))
+        topo = self.topology(S)
+        p_max = min(self.person_buckets[-1],
+                    max(len(self.match_idx) * S
+                        // max(self.rig_config.min_number_of_views, 1), 1))
+        scores, pm, persons, person_mask = jax.device_get(
+            self._match_decode_fn(S, p_max)(
+                self.matcher_params, jnp.asarray(frame.kp[mi, :S]),
+                jnp.asarray(frame.valid[mi, :S]),
+                jnp.asarray(frame.prob[mi, :S]),
+                jnp.asarray(frame.in_view[mi, :S]),
+                jnp.asarray(frame.present[mi, :S])))
+        n = int(person_mask.sum())
+        return scores, pm, topo, S, persons[:n]
+
     def gather_person_obs(self, frame: FrameArrays, persons: np.ndarray):
         """Per-person per-used-camera observation buffers for the lifter.
 
@@ -392,6 +444,8 @@ class PoseEstimationPipeline:
             persons = single_camera_bypass(
                 frame.present[np.asarray(self.match_idx)])
             scores = np.zeros(0, np.float32)
+        elif self.decode_on_device:
+            scores, pm, topo, S, persons = self.match_decode(frame)
         else:
             scores, pm, topo, S = self.match(frame)
             persons = decode_person_proposals(

@@ -57,6 +57,50 @@ def test_fused_matches_staged(pipe, panoptic_rig):
     assert checked > 0
 
 
+def test_staged_device_decode_matches_host(pipe, panoptic_rig):
+    """decode_on_device=True (decode fused into stage 1) reproduces the
+    host-decode staged path exactly."""
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 6, n_people=(1, 3),
+                             seed=11, noise=noise, with_gt=False)
+    checked = 0
+    try:
+        pipe.decode_on_device = True
+        for f in frames:
+            fa = parse_frame(f, PANOPTIC, max_skeletons=4)
+            pipe.decode_on_device = False
+            host = pipe(fa)
+            pipe.decode_on_device = True
+            dev = pipe(fa)
+            assert _person_sets(host.persons) == _person_sets(dev.persons)
+            checked += len(host.persons)
+    finally:
+        pipe.decode_on_device = False
+    assert checked > 0
+
+
+def test_pose_metrics_stream_matches_sequential(pipe, panoptic_rig):
+    """run_pose_metrics(stream=N) returns the same accuracy numbers as the
+    frame-by-frame fused path."""
+    from mpe3d_tpu.eval.runners import run_pose_metrics
+
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.02,
+                       spurious_rate=0.0, camera_dropout=0.0)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 6, n_people=(1, 2),
+                             seed=13, noise=noise)
+    seq = run_pose_metrics(frames, PANOPTIC, pipe, datastep=1, fused=True)
+    st = run_pose_metrics(frames, PANOPTIC, pipe, datastep=1, stream=3)
+    assert st["n_frames"] == seq["n_frames"] > 0
+    assert st["stream_depth"] == 3
+    for k in ("mpjpe_mm", "mAP", "mR"):
+        a, b = seq.get(k), st.get(k)
+        if a is None or (isinstance(a, float) and np.isnan(a)):
+            assert b is None or np.isnan(b)
+        else:
+            assert np.isclose(a, b, atol=1e-6), (k, a, b)
+
+
 def test_fused_empty_frame(pipe):
     from mpe3d_tpu.data.frames import FrameArrays
 
