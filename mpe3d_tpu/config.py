@@ -115,8 +115,12 @@ class RigConfig:
         return 2 + self.n_matching_cameras * self.n_joints * 10
 
     def matcher_feature_dim_alt(self, alt: str = "3") -> int:
-        """Feature width per graph alternative (alt-2: 4 numbers/(cam,
-        joint), reference graph_generator.py:121-127)."""
+        """Feature width per graph alternative (alt-1: node-type + camera
+        one-hots + 4 joint metrics + n_joints, reference
+        graph_generator.py:119-120; alt-2: 4 numbers/(cam, joint),
+        :121-127)."""
+        if alt == "1":
+            return 2 + self.n_joints + self.n_matching_cameras + 4 + 1
         per = {"2": 4, "3": 10}[alt]
         return 2 + self.n_matching_cameras * self.n_joints * per
 

@@ -105,24 +105,50 @@ class PoseEstimationPipeline:
     # axon tunnel's slow hidden-parameter path (measured ~27 ms/call).
     # Calibration/topology are host-numpy and inline as HLO literals.
     @functools.lru_cache(maxsize=16)
-    def _match_fn(self, slots: int):
+    def _score_core(self, slots: int):
+        """Traced (params, kp, valid, prob, observed, present) → (scores,
+        pair_mask) for the configured graph alternative — shared by the
+        staged, staged+decode, and fused programs."""
         topo = self.topology(slots)
+        alt = self.rig_config.graph_alternative
+        if alt == "1":
+            from mpe3d_tpu.matching.alt1 import (alt1_edge_node_features,
+                                                 alt1_node_features,
+                                                 apply_matcher_alt1,
+                                                 build_alt1_topology)
+            topo1 = build_alt1_topology(topo, self.rig_config.n_joints,
+                                        self.rig_config.joint_format)
+            efeats = alt1_edge_node_features(
+                topo.n_pairs, self.rig_config.matcher_feature_dim_alt("1"))
+
+            def core(params, kp, valid, prob, observed, present):
+                feats_hj, live = alt1_node_features(
+                    kp, valid, prob, observed, present, self.image_size,
+                    self.rig_config.joint_format)
+                pm = pair_mask_from_present(present, topo)
+                feats = jnp.concatenate([feats_hj, jnp.asarray(efeats)])
+                scores = apply_matcher_alt1(params, feats, live, pm, topo1,
+                                            self.matcher_cfg)
+                return scores * pm, pm
+            return core
+
         topo_dev = TopologyArrays.from_topology(topo)
         efeats = edge_node_features(
-            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(
-                self.rig_config.graph_alternative))
+            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(alt))
 
-        @jax.jit
-        def run(params, kp, valid, prob, observed, present):
+        def core(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,
                                       self.match_rig, self.image_size,
-                                      alt=self.rig_config.graph_alternative)
+                                      alt=alt)
             pm = pair_mask_from_present(present, topo)
             scores = apply_matcher(params, hfeats, efeats,
                                    topo_dev, pm, self.matcher_cfg)
             return scores * pm, pm
+        return core
 
-        return run
+    @functools.lru_cache(maxsize=16)
+    def _match_fn(self, slots: int):
+        return jax.jit(self._score_core(slots))
 
     @functools.lru_cache(maxsize=16)
     def _match_decode_fn(self, slots: int, p_max: int):
@@ -133,20 +159,12 @@ class PoseEstimationPipeline:
         from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
 
         topo = self.topology(slots)
-        topo_dev = TopologyArrays.from_topology(topo)
-        efeats = edge_node_features(
-            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(
-                self.rig_config.graph_alternative))
+        core = self._score_core(slots)
         min_views = self.rig_config.min_number_of_views
 
         @jax.jit
         def run(params, kp, valid, prob, observed, present):
-            hfeats, _ = head_features(kp, valid, prob, observed, present,
-                                      self.match_rig, self.image_size,
-                                      alt=self.rig_config.graph_alternative)
-            pm = pair_mask_from_present(present, topo)
-            scores = apply_matcher(params, hfeats, efeats,
-                                   topo_dev, pm, self.matcher_cfg) * pm
+            scores, pm = core(params, kp, valid, prob, observed, present)
             persons, person_mask = decode_person_proposals_device(
                 scores, pm, topo, min_views, self.threshold, p_max,
                 top_k=self.decode_top_k)
@@ -193,10 +211,7 @@ class PoseEstimationPipeline:
         from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
 
         topo = self.topology(slots)
-        topo_dev = TopologyArrays.from_topology(topo)
-        efeats = edge_node_features(
-            topo.n_pairs, self.rig_config.matcher_feature_dim_alt(
-                self.rig_config.graph_alternative))
+        core = self._score_core(slots)
         # static used-camera → matching-row map (-1: not matched)
         match_names = [self.rig_config.camera_names[i] for i in self.match_idx]
         used_pos = np.array(
@@ -216,12 +231,7 @@ class PoseEstimationPipeline:
             km, vm = kp[match_sel], valid[match_sel]
             pmm, om = prob[match_sel], observed[match_sel]
             prm = present[match_sel]
-            hfeats, _ = head_features(km, vm, pmm, om, prm,
-                                      self.match_rig, self.image_size,
-                                      alt=self.rig_config.graph_alternative)
-            pmask = pair_mask_from_present(prm, topo)
-            scores = apply_matcher(mparams, hfeats, efeats, topo_dev,
-                                   pmask, self.matcher_cfg) * pmask
+            scores, pmask = core(mparams, km, vm, pmm, om, prm)
             persons, person_mask = decode_person_proposals_device(
                 scores, pmask, topo, min_views, self.threshold, p_max,
                 top_k=self.decode_top_k)

@@ -50,17 +50,35 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
 
     ``rig`` must be the matching-camera sub-rig in matching order.
     """
-    topo_dev = TopologyArrays.from_topology(topo)
-    efeats = edge_node_features(topo.n_pairs, cfg.in_dim)
     img = (float(rig_config.image_width), float(rig_config.image_height))
     alt = rig_config.graph_alternative
 
-    def scene_scores(params, kp, valid, prob, obs, present, weight):
-        hfeats, _ = head_features(kp, valid, prob, obs, present, rig, img,
-                                  alt=alt)
-        return apply_matcher(params, hfeats, efeats, topo_dev,
-                             (weight > 0).astype(kp.dtype), cfg,
-                             pair_softmax_weight=weight)
+    if alt == "1":
+        from mpe3d_tpu.matching.alt1 import (alt1_edge_node_features,
+                                             alt1_node_features,
+                                             apply_matcher_alt1,
+                                             build_alt1_topology)
+        topo1 = build_alt1_topology(topo, rig_config.n_joints,
+                                    rig_config.joint_format)
+        efeats1 = alt1_edge_node_features(topo.n_pairs, cfg.in_dim)
+
+        def scene_scores(params, kp, valid, prob, obs, present, weight):
+            feats_hj, live = alt1_node_features(
+                kp, valid, prob, obs, present, img, rig_config.joint_format)
+            feats = jnp.concatenate([feats_hj, jnp.asarray(efeats1)])
+            return apply_matcher_alt1(params, feats, live,
+                                      (weight > 0).astype(kp.dtype), topo1,
+                                      cfg, pair_softmax_weight=weight)
+    else:
+        topo_dev = TopologyArrays.from_topology(topo)
+        efeats = edge_node_features(topo.n_pairs, cfg.in_dim)
+
+        def scene_scores(params, kp, valid, prob, obs, present, weight):
+            hfeats, _ = head_features(kp, valid, prob, obs, present, rig, img,
+                                      alt=alt)
+            return apply_matcher(params, hfeats, efeats, topo_dev,
+                                 (weight > 0).astype(kp.dtype), cfg,
+                                 pair_softmax_weight=weight)
 
     def loss_fn(params, batch):
         kp, valid, prob, obs, present, labels, weight = batch
