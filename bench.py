@@ -66,6 +66,13 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
 
+    # pipelined streaming latency (depth-8 in-flight: dispatch/readback
+    # round trips overlap — steady-state per-frame wall clock)
+    list(pipe.infer_stream(frames, depth=8))   # warm
+    t0 = time.perf_counter()
+    outs = list(pipe.infer_stream(frames, depth=8))
+    stream_ms = (time.perf_counter() - t0) / max(len(outs), 1) * 1e3
+
     # batched offline-eval throughput (one dispatch per batch)
     B = 32
     pipe.infer_batch(frames[:B], slots=4)      # warm
@@ -80,6 +87,7 @@ def main() -> int:
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 2),
+        "stream_latency_ms": round(stream_ms, 3),
         "batched_throughput_fps": round(fps, 1),
     }))
     return 0
