@@ -13,7 +13,7 @@ metrics dict; the CLI wraps them 1:1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -25,7 +25,7 @@ from mpe3d_tpu.eval.reprojection import per_camera_stats, reprojection_pixel_err
 from mpe3d_tpu.eval.timing import TimingAccumulator
 from mpe3d_tpu.matching.decode import decode_person_proposals
 from mpe3d_tpu.pipeline import PoseEstimationPipeline
-from mpe3d_tpu.train.matcher_data import MatcherScenes, build_matcher_scenes
+from mpe3d_tpu.train.matcher_data import build_matcher_scenes
 
 
 def transform_gt_to_world(gt3d: np.ndarray, dataset_T_wc1: np.ndarray,
