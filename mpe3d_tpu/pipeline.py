@@ -284,11 +284,16 @@ class PoseEstimationPipeline:
 
         return run
 
-    def infer_batch(self, frames, slots: Optional[int] = None):
+    def infer_batch(self, frames, slots: Optional[int] = None, mesh=None):
         """Batched fused inference over a list of FrameArrays.
 
         Returns a list of PipelineOutput.  One dispatch + one readback for
         the whole batch — the throughput mode for offline evaluation.
+
+        ``mesh``: a ``jax.sharding.Mesh`` to shard the frame axis across its
+        devices (params replicated, zero collectives — frames are
+        independent), the multi-chip offline-eval mode.  Frames are padded
+        to a device-count multiple; padding is masked out of the outputs.
         """
         if not frames:
             return []
@@ -297,13 +302,23 @@ class PoseEstimationPipeline:
         p_max = min(self.person_buckets[-1],
                     max(len(self.match_idx) * S
                         // max(self.rig_config.min_number_of_views, 1), 1))
-        stack = lambda name: jnp.asarray(
-            np.stack([getattr(f, name)[:, :S] for f in frames]))
+        names = ("kp", "valid", "prob", "in_view", "present")
+        stacked = [np.stack([getattr(f, n)[:, :S] for f in frames])
+                   for n in names]
+        mparams, lparams = self.matcher_params, self.lifter_params
+        if mesh is not None:
+            from mpe3d_tpu.parallel.mesh import (data_sharding,
+                                                 pad_to_multiple, replicate)
+            n_dev = mesh.devices.size
+            stacked = [pad_to_multiple(a, n_dev)[0] for a in stacked]
+            s = data_sharding(mesh)
+            args = [jax.device_put(a, s) for a in stacked]
+            mparams = replicate(mesh, mparams)
+            lparams = replicate(mesh, lparams)
+        else:
+            args = [jnp.asarray(a) for a in stacked]
         poses, persons, person_mask, scores = jax.device_get(
-            self._fused_batch_fn(S, p_max)(
-                self.matcher_params, self.lifter_params, stack("kp"),
-                stack("valid"), stack("prob"), stack("in_view"),
-                stack("present")))
+            self._fused_batch_fn(S, p_max)(mparams, lparams, *args))
         out = []
         for i, f in enumerate(frames):
             n = int(person_mask[i].sum())

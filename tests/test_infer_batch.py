@@ -43,3 +43,15 @@ def test_infer_batch_matches_single(panoptic_rig):
         s = pipe.infer_fused(f)
         assert len(st.persons) == len(s.persons)
         assert np.allclose(st.poses, s.poses, atol=1e-5)
+
+    # multi-chip data-parallel batch (frames sharded over the 8 virtual
+    # devices, 6 frames pad to 8) matches the single-device batch
+    from mpe3d_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = pipe.infer_batch(frames, slots=4, mesh=mesh)
+    assert len(sharded) == len(frames)
+    for a, b in zip(batched, sharded):
+        assert len(a.persons) == len(b.persons)
+        assert np.allclose(a.poses, b.poses, atol=1e-5)
+        assert np.allclose(a.scores, b.scores, atol=1e-5)
