@@ -10,6 +10,7 @@ reference's scripts (SURVEY.md §5 config plan):
   reprojection-error        ≙ test/reprojection_error.py
   show-results              ≙ test/show_results_from_{model,triangulation}.py
   merge-jsons               ≙ utils/merge_jsons.py
+  infer                     (new) frames JSON → 3D poses JSON
   generate-synthetic        (new) synthetic wire-format data generator
   convert-torch             (new) reference torch checkpoints → npz
 
@@ -241,6 +242,36 @@ def cmd_reprojection_error(args):
     _print_report(report)
 
 
+def cmd_infer(args):
+    """Run the frame→poses pipeline on wire-format JSON and emit 3D poses.
+
+    (New surface — the reference only ships metric/viewer scripts; this is
+    the library path of test/show_results_from_model.py:139-336 without the
+    GL window.)  Output: JSON list of {frame, n_persons, persons, poses_m}.
+    """
+    from mpe3d_tpu.data.frames import parse_frame
+
+    rig_config, rig, pipe = build_pipeline(args, args.backend)
+    frames = _load_files(args.testfiles)
+    fas = [parse_frame(f, rig_config, args.max_skeletons) for f in frames]
+    if args.batch:
+        outs = pipe.infer_batch(fas)
+    else:
+        outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
+    result = [{"frame": i,
+               "n_persons": int(len(o.persons)),
+               "persons": np.asarray(o.persons).tolist(),
+               "poses_m": np.asarray(o.poses).round(4).tolist()}
+              for i, o in enumerate(outs)]
+    text = json.dumps(result)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out} ({len(result)} frames)", file=sys.stderr)
+    else:
+        print(text)
+
+
 def cmd_show_results(args):
     from mpe3d_tpu.data.frames import parse_frame, parse_frame_gt
     from mpe3d_tpu.viz.viewer import render_sequence
@@ -397,6 +428,20 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--showgt", action="store_true",
                    help="also reproject GT 3D when frames carry it")
     p.set_defaults(fn=cmd_reprojection_error)
+
+    p = sub.add_parser("infer")
+    _add_common(p)
+    p.add_argument("--testfiles", nargs="+", required=True)
+    p.add_argument("--backend", choices=("mlp", "triangulation"),
+                   default="mlp")
+    p.add_argument("--max-skeletons", type=int, default=10)
+    p.add_argument("--out", default=None, help="output JSON path (default "
+                   "stdout)")
+    p.add_argument("--batch", action="store_true",
+                   help="one batched dispatch instead of streaming")
+    p.add_argument("--stream", type=int, default=3,
+                   help="streaming depth (frames in flight)")
+    p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("show-results")
     _add_common(p)

@@ -77,6 +77,30 @@ def test_metrics_subcommands(datasets, modelsdir, capsys):
     assert "mlp" in out and "triangulation" in out
 
 
+def test_infer_subcommand(datasets, modelsdir, workdir, capsys):
+    out_json = str(workdir / "poses.json")
+    main(["infer", "--modelsdir", modelsdir,
+          "--testfiles", datasets["test_multi"], "--backend",
+          "triangulation", "--out", out_json])
+    capsys.readouterr()
+    with open(out_json) as f:
+        result = json.load(f)
+    assert len(result) == 10
+    found = [r for r in result if r["n_persons"] > 0]
+    assert found, "no persons found in any frame"
+    for r in found:
+        poses = np.asarray(r["poses_m"])
+        assert poses.shape[1:] == (18, 3)
+        assert np.isfinite(poses).all()
+
+    # batched mode agrees on person counts
+    main(["infer", "--modelsdir", modelsdir, "--testfiles",
+          datasets["test_multi"], "--backend", "triangulation", "--batch"])
+    batched = json.loads(capsys.readouterr().out)
+    assert [r["n_persons"] for r in batched] == \
+        [r["n_persons"] for r in result]
+
+
 def test_show_results_and_merge(datasets, modelsdir, workdir, capsys):
     gif = str(workdir / "vis.gif")
     main(["show-results", "--modelsdir", modelsdir,
