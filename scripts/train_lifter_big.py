@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--resume", action="store_true",
                     help="warm-start from <out>/pose_estimator if present")
+    ap.add_argument("--seed-base", type=int, default=1000,
+                    help="data seed base — bump per resume leg so each leg "
+                    "trains on fresh frames")
     args = ap.parse_args()
 
     import jax
@@ -61,11 +64,12 @@ def main():
                        spurious_rate=0.1, camera_dropout=0.05)
     t0 = time.time()
     sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
-                                        seed=1000 + s, noise=noise)
+                                        seed=args.seed_base + s, noise=noise)
           for s in range(args.files)]
     dev = [generate_single_person_frames(rig_config, rig,
                                          max(200, args.n_sp // 10),
-                                         seed=2000 + s, noise=noise)
+                                         seed=args.seed_base + 997 + s,
+                                         noise=noise)
            for s in range(2)]
     log.event("gen", n_train_frames=args.files * args.n_sp,
               gen_s=round(time.time() - t0, 1))
