@@ -295,8 +295,12 @@ def _gt_dict(joints_w: np.ndarray, visible_any: np.ndarray) -> Dict[str, list]:
 def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
                     n_people: Tuple[int, int] = (1, 4), seed: int = 0,
                     noise: Optional[SceneNoise] = None,
-                    with_gt: bool = True) -> List[Dict]:
-    """Multi-person wire frames (test format when with_gt=True)."""
+                    with_gt: bool = True, spread: float = 1.2) -> List[Dict]:
+    """Multi-person wire frames (test format when with_gt=True).
+
+    ``spread`` is the placement-disc radius in metres: 1.2 (default) packs
+    people into constant overlap (hard-mode scenes); ~2.5 approximates the
+    person density of typical CMU Panoptic footage."""
     noise = noise or SceneNoise()
     rng = np.random.default_rng(seed)
     center = scene_center(rig)
@@ -304,7 +308,8 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
     joint_ids = np.arange(rig_config.n_joints)
     for fi in range(n_frames):
         P = int(rng.integers(n_people[0], n_people[1] + 1))
-        people = [sample_person(rng, rig_config, center) for _ in range(P)]
+        people = [sample_person(rng, rig_config, center, radius=spread)
+                  for _ in range(P)]
         frame: Dict[str, list] = {}
         gt_dicts: List[Dict] = [_gt_dict(p, np.ones(len(p), bool))
                                 for p in people]

@@ -30,11 +30,15 @@ from mpe3d_tpu.matching.features import PairTopology
 def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
                             topo: PairTopology, min_views: int = 2,
                             threshold: float = 0.5,
-                            present: Optional[np.ndarray] = None
+                            present: Optional[np.ndarray] = None,
+                            order_scores: Optional[np.ndarray] = None
                             ) -> np.ndarray:
     """Greedy camera-consistent clustering of heads.
 
     scores: [E] matcher outputs; pair_mask: [E] 0/1; topo: static topology.
+    ``order_scores`` (optional, [E]) replaces ``scores`` for the greedy
+    ordering only — eligibility still thresholds the raw scores.  Used by
+    the geometric rerank (features.pair_ray_distances).
     Returns persons as an int array [P, C] of skeleton-slot indices per
     matching camera, -1 where the person has no view in that camera
     (equivalent to the reference's ``{camera: head or None}`` dicts).
@@ -43,7 +47,8 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
     C = topo.n_cameras
     keep = (np.asarray(pair_mask) > 0.5) & (np.asarray(scores) > threshold)
     idx = np.nonzero(keep)[0]
-    order = idx[np.argsort(-np.asarray(scores)[idx], kind="stable")]
+    rank = np.asarray(scores if order_scores is None else order_scores)
+    order = idx[np.argsort(-rank[idx], kind="stable")]
 
     H = topo.n_heads
     cluster = -np.ones(H, np.int64)          # head -> cluster id

@@ -37,7 +37,8 @@ from mpe3d_tpu.matching.features import PairTopology
 def decode_person_proposals_device(
         scores: jnp.ndarray, pair_mask: jnp.ndarray, topo: PairTopology,
         min_views: int = 2, threshold: float = 0.5,
-        max_persons: int = 0, top_k: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        max_persons: int = 0, top_k: int = 0,
+        order_scores: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy camera-consistent clustering, fully on device.
 
     scores/pair_mask: [E].  Returns (persons [P_max, C] int32 slot per camera
@@ -46,6 +47,9 @@ def decode_person_proposals_device(
     ``top_k`` bounds the sequential loop to the K best candidates (0 = all E)
     — the loop is the latency-critical piece; K ≥ the number of
     above-threshold pairs gives exact results.
+
+    ``order_scores`` (optional, [E]) replaces ``scores`` for the greedy
+    ordering only (geometric rerank); eligibility still uses ``scores``.
 
     Jit-safe: all shapes static, one fori_loop over the candidates.
     """
@@ -62,8 +66,9 @@ def decode_person_proposals_device(
     cam2 = jnp.asarray(topo.cam2, jnp.int32)
 
     eligible = (pair_mask > 0.5) & (scores > threshold)
-    neg = jnp.asarray(-jnp.inf, scores.dtype)
-    masked = jnp.where(eligible, scores, neg)
+    rank = scores if order_scores is None else order_scores
+    neg = jnp.asarray(-jnp.inf, rank.dtype)
+    masked = jnp.where(eligible, rank, neg)
     if K < E:
         _, order = jax.lax.top_k(masked, K)                    # [K], desc
     else:

@@ -157,3 +157,49 @@ def pair_mask_from_present(present: jnp.ndarray, topo: PairTopology
     """pair valid ⇔ both endpoint slots occupied.  present: [C, S]."""
     flat = present.reshape(-1).astype(jnp.float32)
     return flat[jnp.asarray(topo.e1)] * flat[jnp.asarray(topo.e2)]
+
+
+def pair_ray_distances(kp: jnp.ndarray, shared: jnp.ndarray,
+                       rig: CameraRig, topo: PairTopology) -> jnp.ndarray:
+    """Triangulation-consistency distance per candidate pair (metres).
+
+    For each cross-camera candidate pair, back-project every joint the two
+    skeletons share into world rays (same raw-pixel rays the alt-3 features
+    use, graph_generator.py:481-490) and take the mean closest-approach
+    distance between the two rays.  A true cross-view match of the same
+    person gives millimetre-scale distances (bounded by detector noise);
+    two different people give tens of centimetres — a geometric signal the
+    GAT's saturated scores cannot express.  Framework extension (no
+    reference counterpart): used only to ORDER the greedy decode, see
+    ``decode_person_proposals(order_scores=...)``.
+
+    kp: [C, S, J, 2] raw pixels; shared: [C, S, J] per-joint usability
+    (valid & observed); ``rig`` restricted to the matching cameras.
+    Returns d: [E]; pairs with no shared joints get a large sentinel
+    (1e3) so they rank behind geometrically-confirmed pairs.
+    """
+    C, S, J, _ = kp.shape
+    # static host-side gathers (rig/topology are host numpy → HLO literals)
+    centers = np.asarray(cam_centers_world(np.asarray(rig.T_cw)))  # [C, 3]
+    rays = pixel_rays_world(kp, rig.K_inv[:, None, None],
+                            rig.T_cw[:, None, None])             # [C, S, J, 3]
+    flat_rays = rays.reshape(C * S, J, 3)
+    flat_ok = shared.reshape(C * S, J).astype(kp.dtype)
+    e1, e2 = jnp.asarray(topo.e1), jnp.asarray(topo.e2)
+    v1, v2 = flat_rays[e1], flat_rays[e2]                        # [E, J, 3]
+    p1 = jnp.asarray(centers[np.asarray(topo.cam1)])[:, None, :]  # [E, 1, 3]
+    p2 = jnp.asarray(centers[np.asarray(topo.cam2)])[:, None, :]
+    both = flat_ok[e1] * flat_ok[e2]                             # [E, J]
+
+    dp = p2 - p1                                                 # [E, 1, 3]
+    n = jnp.cross(v1, v2)                                        # [E, J, 3]
+    nn = jnp.linalg.norm(n, axis=-1)
+    d_skew = jnp.abs(jnp.sum(dp * n, -1)) / jnp.maximum(nn, 1e-9)
+    # (near-)parallel rays: perpendicular distance of the baseline to v1
+    v1n = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-9)
+    perp = dp - jnp.sum(dp * v1n, -1, keepdims=True) * v1n
+    d = jnp.where(nn > 1e-6, d_skew, jnp.linalg.norm(perp, axis=-1))
+
+    cnt = jnp.sum(both, -1)
+    mean_d = jnp.sum(d * both, -1) / jnp.maximum(cnt, 1.0)
+    return jnp.where(cnt > 0, mean_d, jnp.asarray(1e3, kp.dtype))

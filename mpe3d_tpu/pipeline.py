@@ -31,7 +31,8 @@ from mpe3d_tpu.lifting.pack import pack_lifter_input
 from mpe3d_tpu.matching.decode import decode_person_proposals, single_camera_bypass
 from mpe3d_tpu.matching.features import (PairTopology, build_topology,
                                          edge_node_features, head_features,
-                                         pair_mask_from_present)
+                                         pair_mask_from_present,
+                                         pair_ray_distances)
 from mpe3d_tpu.models.gat import TopologyArrays, apply_matcher
 from mpe3d_tpu.models.mlp import apply_lifter
 
@@ -58,7 +59,8 @@ class PoseEstimationPipeline:
                  person_buckets: Tuple[int, ...] = (4, 8, 16),
                  threshold: float = 0.5, backend: str = "mlp",
                  compute_dtype=None, decode_top_k: int = 64,
-                 decode_on_device: bool = False):
+                 decode_on_device: bool = False,
+                 geo_rerank: float = 0.0, geo_scale: float = 0.3):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -72,6 +74,10 @@ class PoseEstimationPipeline:
         self.compute_dtype = compute_dtype
         self.decode_top_k = decode_top_k
         self.decode_on_device = decode_on_device
+        # geometric rerank of the greedy decode order (framework extension;
+        # matching/features.pair_ray_distances).  0 = reference behaviour.
+        self.geo_rerank = geo_rerank
+        self.geo_scale = geo_scale
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -161,13 +167,19 @@ class PoseEstimationPipeline:
         topo = self.topology(slots)
         core = self._score_core(slots)
         min_views = self.rig_config.min_number_of_views
+        lam, scale = self.geo_rerank, self.geo_scale
 
         @jax.jit
         def run(params, kp, valid, prob, observed, present):
             scores, pm = core(params, kp, valid, prob, observed, present)
+            order = None
+            if lam > 0.0:
+                d = pair_ray_distances(kp, valid * observed.astype(kp.dtype),
+                                       self.match_rig, topo)
+                order = scores - lam * jnp.clip(d / scale, 0.0, 1.0)
             persons, person_mask = decode_person_proposals_device(
                 scores, pm, topo, min_views, self.threshold, p_max,
-                top_k=self.decode_top_k)
+                top_k=self.decode_top_k, order_scores=order)
             return scores, pm, persons, person_mask
 
         return run
@@ -232,9 +244,15 @@ class PoseEstimationPipeline:
             pmm, om = prob[match_sel], observed[match_sel]
             prm = present[match_sel]
             scores, pmask = core(mparams, km, vm, pmm, om, prm)
+            order = None
+            if self.geo_rerank > 0.0:
+                d = pair_ray_distances(km, vm * om.astype(km.dtype),
+                                       self.match_rig, topo)
+                order = scores - self.geo_rerank * jnp.clip(
+                    d / self.geo_scale, 0.0, 1.0)
             persons, person_mask = decode_person_proposals_device(
                 scores, pmask, topo, min_views, self.threshold, p_max,
-                top_k=self.decode_top_k)
+                top_k=self.decode_top_k, order_scores=order)
 
             # gather per-person observations for the used cameras
             up = jnp.asarray(used_pos)                            # [Cu]
@@ -473,9 +491,19 @@ class PoseEstimationPipeline:
             scores, pm, topo, S, persons = self.match_decode(frame)
         else:
             scores, pm, topo, S = self.match(frame)
+            order = None
+            if self.geo_rerank > 0.0:
+                mi = np.asarray(self.match_idx)
+                d = np.asarray(pair_ray_distances(
+                    jnp.asarray(frame.kp[mi, :S]),
+                    jnp.asarray(frame.valid[mi, :S]
+                                * frame.in_view[mi, :S]),
+                    self.match_rig, topo))
+                order = scores - self.geo_rerank * np.clip(
+                    d / self.geo_scale, 0.0, 1.0)
             persons = decode_person_proposals(
                 scores, pm, topo, self.rig_config.min_number_of_views,
-                self.threshold)
+                self.threshold, order_scores=order)
         poses = self.lift(frame, persons)
         return PipelineOutput(poses, persons, scores,
                               int(frame.present.sum()))

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--datastep", type=int, default=2)
     ap.add_argument("--seed", type=int, default=30)
+    ap.add_argument("--spread", type=float, default=1.2,
+                    help="person placement-disc radius (m); 1.2 = dense "
+                    "hard-mode scenes, ~2.5 ≈ typical Panoptic density")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,8 @@ def main():
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
     test_multi = generate_frames(rig_config, rig, args.frames,
-                                 n_people=(2, 4), seed=args.seed, noise=noise)
+                                 n_people=(2, 4), seed=args.seed, noise=noise,
+                                 spread=args.spread)
 
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
@@ -62,7 +66,9 @@ def main():
 
     S = int(mmeta.get("n_slots", 6))
     report = {"matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
-              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")}}
+              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
+              "spread": args.spread, "frames": args.frames,
+              "seed": args.seed}
 
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),

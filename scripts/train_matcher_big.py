@@ -1,7 +1,8 @@
 """Large matcher training run: more composites, bigger batch, longer patience.
 
 Usage: python scripts/train_matcher_big.py --out runs/matcher_big
-           [--limit 40000] [--epochs 200] [--batch-size 60]
+           [--env PANOPTIC|ARPLAB] [--limit 40000] [--epochs 200]
+           [--batch-size 60]
 """
 
 import argparse
@@ -22,9 +23,17 @@ def main():
     ap.add_argument("--n-files", type=int, default=4)
     ap.add_argument("--slots", type=int, default=6)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--env", default="PANOPTIC",
+                    choices=["PANOPTIC", "ARPLAB"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU free)")
     args = ap.parse_args()
 
-    from mpe3d_tpu.config import PANOPTIC, MatcherConfig, MatcherTrainConfig
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from mpe3d_tpu.config import get_rig, MatcherConfig, MatcherTrainConfig
     from mpe3d_tpu.data.synthetic import (SceneNoise,
                                           generate_single_person_frames,
                                           synthetic_ring_rig)
@@ -36,8 +45,9 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     log = JsonlLogger(os.path.join(args.out, "run.jsonl"))
-    rig_config = PANOPTIC
-    ref_tm = "/root/reference/tm_panoptic.pickle"
+    rig_config = get_rig(args.env)
+    ref_tm = ("/root/reference/tm_arp.pickle" if args.env == "ARPLAB"
+              else "/root/reference/tm_panoptic.pickle")
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,

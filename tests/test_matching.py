@@ -139,3 +139,73 @@ def test_single_camera_bypass():
     present = np.array([[True, False, True]])
     persons = single_camera_bypass(present)
     assert persons.tolist() == [[0], [2]]
+
+
+def test_pair_ray_distances_separates_people(panoptic_rig):
+    """True cross-view matches get ~mm ray distances; cross-person pairs of
+    people ~1 m apart get ~m distances (the geometric rerank signal)."""
+    from mpe3d_tpu.data.synthetic import scene_center
+    from mpe3d_tpu.geometry.camera import project_points
+    from mpe3d_tpu.matching.features import pair_ray_distances
+
+    rig = panoptic_rig
+    C = len(np.asarray(rig.K))
+    S, J = 2, 18
+    center = scene_center(rig)
+    rng = np.random.default_rng(3)
+    people = np.stack([center + rng.normal(0, 0.25, (J, 3)),
+                       center + np.array([1.2, 0, 0.3])
+                       + rng.normal(0, 0.25, (J, 3))])   # [2, J, 3]
+
+    kp = np.zeros((C, S, J, 2), np.float32)
+    for c in range(C):
+        for s in range(S):
+            kp[c, s] = np.asarray(project_points(
+                jnp.asarray(people[s]), rig.T_wc[c], rig.K[c], rig.dist[c]))
+    shared = np.ones((C, S, J), np.float32)
+    topo = build_topology(C, S)
+    d = np.asarray(pair_ray_distances(jnp.asarray(kp), jnp.asarray(shared),
+                                      rig, topo))
+    same = (topo.e1 % S) == (topo.e2 % S)
+    assert d[same].max() < 0.02          # noiseless projections → ~0
+    assert d[~same].min() > 0.15         # different people → far rays
+
+    # no shared joints → sentinel
+    shared0 = shared.copy()
+    shared0[0, 0] = 0.0
+    d0 = np.asarray(pair_ray_distances(jnp.asarray(kp), jnp.asarray(shared0),
+                                       rig, topo))
+    first_cam0 = (topo.cam1 == 0) & (topo.e1 % S == 0)
+    assert np.all(d0[first_cam0] == 1e3)
+
+
+def test_decode_order_scores_flip():
+    """order_scores reorders the greedy merge without changing eligibility:
+    an ambiguous competitor with the higher raw score loses to the
+    geometrically-confirmed pair."""
+    topo = build_topology(2, 2)
+    scores = np.zeros(topo.n_pairs, np.float32)
+    pm = np.ones(topo.n_pairs, np.float32)
+
+    def pidx(s1, s2):
+        return int(np.nonzero((topo.e1 == s1) & (topo.e2 == 2 + s2))[0][0])
+
+    scores[pidx(0, 0)] = 0.90          # the correct match
+    scores[pidx(0, 1)] = 0.95          # saturated impostor wins raw order
+    persons = decode_person_proposals(scores, pm, topo, min_views=2)
+    assert persons.tolist() == [[0, 1]]           # impostor merged
+
+    order = scores.copy()
+    order[pidx(0, 0)] = 0.89           # small geometric penalty
+    order[pidx(0, 1)] = 0.35           # large geometric penalty
+    persons = decode_person_proposals(scores, pm, topo, min_views=2,
+                                      order_scores=order)
+    assert persons.tolist() == [[0, 0]]           # geometry wins
+
+    # device decoder agrees
+    from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
+    dp, dmask = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, 2,
+        order_scores=jnp.asarray(order))
+    dp = np.asarray(dp)[np.asarray(dmask)]
+    assert dp.tolist() == [[0, 0]]
