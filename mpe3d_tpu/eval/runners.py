@@ -103,7 +103,9 @@ def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
                     np.asarray(scores)   # block: t_pp covers the device work
                     persons = decode_person_proposals(
                         scores, pm, topo, rig_config.min_number_of_views,
-                        pipeline.threshold)
+                        pipeline.threshold,
+                        order_scores=pipeline.order_scores_for(
+                            fa, scores, topo, S))
             with timing.span("t_3D", max(len(persons), 1)):
                 poses = pipeline.lift(fa, persons)
         acc.update(gt3d, gt.gt_valid, gt.person_valid, poses)
@@ -177,10 +179,14 @@ def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
         if not gt_labels:
             continue
         fa = parse_frame(frame, rig_config, max_skeletons)
-        scores, pm, topo, S = pipeline.match(fa)
-        persons = decode_person_proposals(scores, pm, topo,
-                                          rig_config.min_number_of_views,
-                                          pipeline.threshold)
+        if pipeline.decode_on_device:
+            scores, pm, topo, S, persons = pipeline.match_decode(fa)
+        else:
+            scores, pm, topo, S = pipeline.match(fa)
+            persons = decode_person_proposals(
+                scores, pm, topo, rig_config.min_number_of_views,
+                pipeline.threshold,
+                order_scores=pipeline.order_scores_for(fa, scores, topo, S))
         # per-head labels in (matching camera, slot) order, present heads
         # whose GT slot exists; unassigned heads share one label (reference
         # sm_metrics.py:211-218 leaves them at len(final_output))

@@ -433,6 +433,23 @@ class PoseEstimationPipeline:
         n = int(person_mask.sum())
         return scores, pm, topo, S, persons[:n]
 
+    def order_scores_for(self, frame: FrameArrays, scores: np.ndarray,
+                         topo: PairTopology, slots: int):
+        """Geometric-rerank ordering scores for a host decode (None when
+        geo_rerank is off).  Costs one extra device dispatch per frame —
+        the staged-host path is the debug path; the device-decode and fused
+        paths fold the same rerank into their single program."""
+        if self.geo_rerank <= 0.0:
+            return None
+        mi = np.asarray(self.match_idx)
+        d = np.asarray(pair_ray_distances(
+            jnp.asarray(frame.kp[mi, :slots]),
+            jnp.asarray(frame.valid[mi, :slots]
+                        * frame.in_view[mi, :slots]),
+            self.match_rig, topo))
+        return np.asarray(scores) - self.geo_rerank * np.clip(
+            d / self.geo_scale, 0.0, 1.0)
+
     def gather_person_obs(self, frame: FrameArrays, persons: np.ndarray):
         """Per-person per-used-camera observation buffers for the lifter.
 
@@ -491,19 +508,10 @@ class PoseEstimationPipeline:
             scores, pm, topo, S, persons = self.match_decode(frame)
         else:
             scores, pm, topo, S = self.match(frame)
-            order = None
-            if self.geo_rerank > 0.0:
-                mi = np.asarray(self.match_idx)
-                d = np.asarray(pair_ray_distances(
-                    jnp.asarray(frame.kp[mi, :S]),
-                    jnp.asarray(frame.valid[mi, :S]
-                                * frame.in_view[mi, :S]),
-                    self.match_rig, topo))
-                order = scores - self.geo_rerank * np.clip(
-                    d / self.geo_scale, 0.0, 1.0)
             persons = decode_person_proposals(
                 scores, pm, topo, self.rig_config.min_number_of_views,
-                self.threshold, order_scores=order)
+                self.threshold,
+                order_scores=self.order_scores_for(frame, scores, topo, S))
         poses = self.lift(frame, persons)
         return PipelineOutput(poses, persons, scores,
                               int(frame.present.sum()))
