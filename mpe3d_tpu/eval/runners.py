@@ -101,11 +101,11 @@ def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
                 else:
                     scores, pm, topo, S = pipeline.match(fa)
                     np.asarray(scores)   # block: t_pp covers the device work
+                    eff, order = pipeline.host_decode_scores(
+                        fa, scores, topo, S)
                     persons = decode_person_proposals(
-                        scores, pm, topo, rig_config.min_number_of_views,
-                        pipeline.threshold,
-                        order_scores=pipeline.order_scores_for(
-                            fa, scores, topo, S))
+                        eff, pm, topo, rig_config.min_number_of_views,
+                        pipeline.threshold, order_scores=order)
             with timing.span("t_3D", max(len(persons), 1)):
                 poses = pipeline.lift(fa, persons)
         acc.update(gt3d, gt.gt_valid, gt.person_valid, poses)
@@ -183,10 +183,10 @@ def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
             scores, pm, topo, S, persons = pipeline.match_decode(fa)
         else:
             scores, pm, topo, S = pipeline.match(fa)
+            eff, order = pipeline.host_decode_scores(fa, scores, topo, S)
             persons = decode_person_proposals(
-                scores, pm, topo, rig_config.min_number_of_views,
-                pipeline.threshold,
-                order_scores=pipeline.order_scores_for(fa, scores, topo, S))
+                eff, pm, topo, rig_config.min_number_of_views,
+                pipeline.threshold, order_scores=order)
         # per-head labels in (matching camera, slot) order, present heads
         # whose GT slot exists; unassigned heads share one label (reference
         # sm_metrics.py:211-218 leaves them at len(final_output))

@@ -60,7 +60,8 @@ class PoseEstimationPipeline:
                  threshold: float = 0.5, backend: str = "mlp",
                  compute_dtype=None, decode_top_k: int = 64,
                  decode_on_device: bool = False,
-                 geo_rerank: float = 0.0, geo_scale: float = 0.3):
+                 geo_rerank: float = 0.0, geo_scale: float = 0.3,
+                 geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -74,10 +75,17 @@ class PoseEstimationPipeline:
         self.compute_dtype = compute_dtype
         self.decode_top_k = decode_top_k
         self.decode_on_device = decode_on_device
-        # geometric rerank of the greedy decode order (framework extension;
-        # matching/features.pair_ray_distances).  0 = reference behaviour.
+        # geometric rerank/rescue of the greedy decode (framework extension;
+        # matching/features.pair_ray_distances).  0/0 = reference behaviour.
+        # rerank: order by score − λ·clip(d/scale, 0, 1) (λ = geo_rerank).
+        # rescue: pairs with score > geo_rescue AND ray distance <
+        # geo_rescue_dist become eligible even below the class threshold —
+        # targets the dense-scene failure mode (under-merging: the GAT
+        # under-scores true pairs of overlapping people).
         self.geo_rerank = geo_rerank
         self.geo_scale = geo_scale
+        self.geo_rescue = geo_rescue
+        self.geo_rescue_dist = geo_rescue_dist
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -152,6 +160,30 @@ class PoseEstimationPipeline:
             return scores * pm, pm
         return core
 
+    def _geo_active(self) -> bool:
+        return self.geo_rerank > 0.0 or self.geo_rescue > 0.0
+
+    def _geo_decode_scores(self, scores, kp, valid, observed, topo):
+        """(eligibility_scores, order_scores) under the geometric
+        rerank/rescue extensions.  Traceable (used inside the fused and
+        staged-device programs) and eager-safe (host decode path).
+        Identity when both knobs are off."""
+        if not self._geo_active():
+            return scores, None
+        d = pair_ray_distances(kp, valid * observed.astype(kp.dtype),
+                               self.match_rig, topo)
+        eff = scores
+        if self.geo_rescue > 0.0:
+            rescued = (scores > self.geo_rescue) & (d < self.geo_rescue_dist)
+            eff = jnp.where(rescued,
+                            jnp.maximum(scores, self.threshold + 1e-3),
+                            scores)
+        order = None
+        if self.geo_rerank > 0.0:
+            order = eff - self.geo_rerank * jnp.clip(
+                d / self.geo_scale, 0.0, 1.0)
+        return eff, order
+
     @functools.lru_cache(maxsize=16)
     def _match_fn(self, slots: int):
         return jax.jit(self._score_core(slots))
@@ -167,18 +199,14 @@ class PoseEstimationPipeline:
         topo = self.topology(slots)
         core = self._score_core(slots)
         min_views = self.rig_config.min_number_of_views
-        lam, scale = self.geo_rerank, self.geo_scale
 
         @jax.jit
         def run(params, kp, valid, prob, observed, present):
             scores, pm = core(params, kp, valid, prob, observed, present)
-            order = None
-            if lam > 0.0:
-                d = pair_ray_distances(kp, valid * observed.astype(kp.dtype),
-                                       self.match_rig, topo)
-                order = scores - lam * jnp.clip(d / scale, 0.0, 1.0)
+            eff, order = self._geo_decode_scores(scores, kp, valid,
+                                                 observed, topo)
             persons, person_mask = decode_person_proposals_device(
-                scores, pm, topo, min_views, self.threshold, p_max,
+                eff, pm, topo, min_views, self.threshold, p_max,
                 top_k=self.decode_top_k, order_scores=order)
             return scores, pm, persons, person_mask
 
@@ -244,14 +272,9 @@ class PoseEstimationPipeline:
             pmm, om = prob[match_sel], observed[match_sel]
             prm = present[match_sel]
             scores, pmask = core(mparams, km, vm, pmm, om, prm)
-            order = None
-            if self.geo_rerank > 0.0:
-                d = pair_ray_distances(km, vm * om.astype(km.dtype),
-                                       self.match_rig, topo)
-                order = scores - self.geo_rerank * jnp.clip(
-                    d / self.geo_scale, 0.0, 1.0)
+            eff, order = self._geo_decode_scores(scores, km, vm, om, topo)
             persons, person_mask = decode_person_proposals_device(
-                scores, pmask, topo, min_views, self.threshold, p_max,
+                eff, pmask, topo, min_views, self.threshold, p_max,
                 top_k=self.decode_top_k, order_scores=order)
 
             # gather per-person observations for the used cameras
@@ -433,22 +456,23 @@ class PoseEstimationPipeline:
         n = int(person_mask.sum())
         return scores, pm, topo, S, persons[:n]
 
-    def order_scores_for(self, frame: FrameArrays, scores: np.ndarray,
-                         topo: PairTopology, slots: int):
-        """Geometric-rerank ordering scores for a host decode (None when
-        geo_rerank is off).  Costs one extra device dispatch per frame —
-        the staged-host path is the debug path; the device-decode and fused
-        paths fold the same rerank into their single program."""
-        if self.geo_rerank <= 0.0:
-            return None
+    def host_decode_scores(self, frame: FrameArrays, scores: np.ndarray,
+                           topo: PairTopology, slots: int):
+        """(eligibility_scores, order_scores) for a host decode under the
+        geometric rerank/rescue extensions ((scores, None) when off).
+        Costs one extra device dispatch per frame — the staged-host path is
+        the debug path; the device-decode and fused paths fold the same
+        logic into their single program."""
+        if not self._geo_active():
+            return scores, None
         mi = np.asarray(self.match_idx)
-        d = np.asarray(pair_ray_distances(
+        eff, order = self._geo_decode_scores(
+            jnp.asarray(scores),
             jnp.asarray(frame.kp[mi, :slots]),
-            jnp.asarray(frame.valid[mi, :slots]
-                        * frame.in_view[mi, :slots]),
-            self.match_rig, topo))
-        return np.asarray(scores) - self.geo_rerank * np.clip(
-            d / self.geo_scale, 0.0, 1.0)
+            jnp.asarray(frame.valid[mi, :slots]),
+            jnp.asarray(frame.in_view[mi, :slots]), topo)
+        return (np.asarray(eff),
+                None if order is None else np.asarray(order))
 
     def gather_person_obs(self, frame: FrameArrays, persons: np.ndarray):
         """Per-person per-used-camera observation buffers for the lifter.
@@ -508,10 +532,10 @@ class PoseEstimationPipeline:
             scores, pm, topo, S, persons = self.match_decode(frame)
         else:
             scores, pm, topo, S = self.match(frame)
+            eff, order = self.host_decode_scores(frame, scores, topo, S)
             persons = decode_person_proposals(
-                scores, pm, topo, self.rig_config.min_number_of_views,
-                self.threshold,
-                order_scores=self.order_scores_for(frame, scores, topo, S))
+                eff, pm, topo, self.rig_config.min_number_of_views,
+                self.threshold, order_scores=order)
         poses = self.lift(frame, persons)
         return PipelineOutput(poses, persons, scores,
                               int(frame.present.sum()))

@@ -209,3 +209,46 @@ def test_decode_order_scores_flip():
         order_scores=jnp.asarray(order))
     dp = np.asarray(dp)[np.asarray(dmask)]
     assert dp.tolist() == [[0, 0]]
+
+
+def test_geo_rescue_eligibility(panoptic_rig):
+    """geo_rescue lifts under-scored but geometrically-consistent pairs over
+    the decode threshold; geometrically-inconsistent pairs stay put."""
+    from mpe3d_tpu.data.synthetic import scene_center
+    from mpe3d_tpu.geometry.camera import project_points
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    rig = panoptic_rig
+    C = len(np.asarray(rig.K))
+    S, J = 2, 18
+    center = scene_center(rig)
+    rng = np.random.default_rng(4)
+    people = np.stack([center + rng.normal(0, 0.25, (J, 3)),
+                       center + np.array([1.0, 0.2, 0.1])
+                       + rng.normal(0, 0.25, (J, 3))])
+    kp = np.zeros((C, S, J, 2), np.float32)
+    for c in range(C):
+        for s in range(S):
+            kp[c, s] = np.asarray(project_points(
+                jnp.asarray(people[s]), rig.T_wc[c], rig.K[c], rig.dist[c]))
+    ones = np.ones((C, S, J), np.float32)
+
+    pipe = PoseEstimationPipeline(PANOPTIC, rig, None, None,
+                                  geo_rescue=0.2, geo_rescue_dist=0.05)
+    topo = build_topology(C, S)
+    scores = np.full(topo.n_pairs, 0.35, np.float32)  # all below 0.5
+    eff, order = pipe._geo_decode_scores(
+        jnp.asarray(scores), jnp.asarray(kp), jnp.asarray(ones),
+        jnp.asarray(ones.astype(bool)), topo)
+    eff = np.asarray(eff)
+    same = (topo.e1 % S) == (topo.e2 % S)
+    assert np.all(eff[same] > pipe.threshold)       # rescued
+    assert np.all(eff[~same] == scores[~same])      # untouched
+    assert order is None                            # rerank off
+
+    # both off → identity
+    pipe0 = PoseEstimationPipeline(PANOPTIC, rig, None, None)
+    eff0, order0 = pipe0._geo_decode_scores(
+        jnp.asarray(scores), jnp.asarray(kp), jnp.asarray(ones),
+        jnp.asarray(ones.astype(bool)), topo)
+    assert order0 is None and np.all(np.asarray(eff0) == scores)
