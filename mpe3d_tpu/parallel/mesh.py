@@ -4,9 +4,12 @@ The reference has no distributed execution at all (SURVEY.md §2c — single
 CUDA/CPU device chosen at import).  The TPU-native framework ships
 batch-data-parallel training over an ICI mesh as the default strategy:
 parameters replicated, batches sharded on a 'data' axis, gradient psum
-inserted by XLA under jit.  The mesh keeps a 'model' axis so tensor-parallel
-shardings can be layered in without API changes (both networks here are far
-below the size where TP pays for itself).
+inserted by XLA under jit.  The mesh keeps a 'model' axis; the lifter MLP
+additionally supports Megatron-style tensor parallelism over it
+(``lifter_tp_shardings`` — train_lifter(mesh=make_mesh(n_model=k)) shards
+every hidden layer, alternating column/row-parallel).  Both networks are far
+below the size where TP pays for itself on real hardware; the layout exists
+so the mesh abstraction is exercised end-to-end (SURVEY.md §2c).
 """
 
 from __future__ import annotations
@@ -61,3 +64,38 @@ def pad_to_multiple(x: np.ndarray, multiple: int):
         return x, n
     pad = np.zeros((rem, *x.shape[1:]), x.dtype)
     return np.concatenate([x, pad], axis=0), n
+
+
+def lifter_tp_shardings(mesh: Mesh, params) -> dict:
+    """Tensor-parallel shardings for the lifter MLP over the 'model' axis.
+
+    Megatron-style alternation: even layers column-parallel (weight
+    [in, out] split on out, bias split), odd layers row-parallel (weight
+    split on in, bias replicated) — XLA's SPMD partitioner then inserts
+    exactly one all-reduce per row-parallel layer (riding ICI), the
+    scaling-book recipe.  Layers whose dims don't divide the axis (the
+    54-wide output head) stay replicated.  With ``n_model == 1`` every
+    entry is replicated and this is a no-op layout.
+    """
+    m = mesh.shape["model"]
+    layers = []
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        d_in, d_out = layer["w"].shape
+        col = i % 2 == 0
+        if m == 1 or i == n - 1 or (col and d_out % m) \
+                or (not col and d_in % m):
+            layers.append({"w": replicated(mesh), "b": replicated(mesh)})
+        elif col:
+            layers.append({"w": NamedSharding(mesh, P(None, "model")),
+                           "b": NamedSharding(mesh, P("model"))})
+        else:
+            layers.append({"w": NamedSharding(mesh, P("model", None)),
+                           "b": replicated(mesh)})
+    return {"layers": layers}
+
+
+def shard_tree(tree, shardings):
+    """device_put a pytree with a matching pytree of shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings)

@@ -29,8 +29,9 @@ from mpe3d_tpu.config import LifterConfig, LifterTrainConfig, RigConfig
 from mpe3d_tpu.geometry.camera import CameraRig
 from mpe3d_tpu.lifting.loss import reprojection_loss
 from mpe3d_tpu.models.mlp import apply_lifter, init_lifter
-from mpe3d_tpu.parallel.mesh import (data_sharding, make_mesh, replicate,
-                                     replicated, shard_batch)
+from mpe3d_tpu.parallel.mesh import (data_sharding, lifter_tp_shardings,
+                                     make_mesh, replicate, replicated,
+                                     shard_batch, shard_tree)
 from mpe3d_tpu.train.checkpoint import save_checkpoint
 
 
@@ -130,8 +131,19 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
     step, eval_loss, epoch_step = make_train_step(rig, J, cfg, tcfg, tx,
                                                   tcfg.optimise_matrices)
 
-    trainable = replicate(mesh, trainable)
-    opt_state = replicate(mesh, opt_state)
+    if mesh.shape.get("model", 1) > 1:
+        # tensor-parallel layout for the MLP (parallel/mesh.py): rig and any
+        # other leaves stay replicated; the optimizer state inherits the
+        # parameter shardings through jit's output-sharding propagation.
+        shardings = {k: (lifter_tp_shardings(mesh, v) if k == "model"
+                         else jax.tree_util.tree_map(
+                             lambda _: replicated(mesh), v))
+                     for k, v in trainable.items()}
+        trainable = shard_tree(trainable, shardings)
+        opt_state = jax.jit(tx.init)(trainable)
+    else:
+        trainable = replicate(mesh, trainable)
+        opt_state = replicate(mesh, opt_state)
     batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
     # dataset uploaded ONCE, device-resident for all epochs

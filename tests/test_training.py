@@ -99,3 +99,41 @@ def test_checkpoint_roundtrip(tmp_path):
         assert np.allclose(a, b)
     assert meta["epoch"] == 3
     assert meta["lifter_config"]["widths"] == [32]
+
+
+def test_lifter_training_tensor_parallel(single_person_files, panoptic_rig):
+    """dp×tp mesh (4 data × 2 model): Megatron-style sharded MLP training
+    matches the replicated run's math (same seeds → same losses)."""
+    from mpe3d_tpu.parallel.mesh import lifter_tp_shardings, make_mesh
+
+    net, err = build_lifter_dataset(
+        single_person_files[0], PANOPTIC, panoptic_rig, augment=False)
+    net_dev, err_dev = build_lifter_dataset(
+        single_person_files[2], PANOPTIC, panoptic_rig, augment=False)
+
+    cfg = LifterConfig(widths=(256, 128))
+    tcfg = LifterTrainConfig(epochs=4, batch_size=32, eval_every=2,
+                             patience=10, lr=1e-3)
+    mesh_tp = make_mesh(n_data=4, n_model=2)
+    res_tp = train_lifter(net, err, net_dev, err_dev, PANOPTIC, panoptic_rig,
+                          cfg, tcfg, mesh=mesh_tp, log=lambda s: None)
+    res_dp = train_lifter(net, err, net_dev, err_dev, PANOPTIC, panoptic_rig,
+                          cfg, tcfg, log=lambda s: None)
+    assert res_tp.history[-1]["train_loss"] < res_tp.history[0]["train_loss"]
+    # same math, different layout: losses agree to float tolerance
+    for htp, hdp in zip(res_tp.history, res_dp.history):
+        assert abs(htp["val_loss"] - hdp["val_loss"]) \
+            <= 1e-3 * max(abs(hdp["val_loss"]), 1.0)
+
+    # layout sanity: alternating column/row-parallel, output head replicated
+    sh = lifter_tp_shardings(mesh_tp, res_tp.params and
+                             {"layers": [{"w": np.zeros((1260, 256)),
+                                          "b": np.zeros(256)},
+                                         {"w": np.zeros((256, 128)),
+                                          "b": np.zeros(128)},
+                                         {"w": np.zeros((128, 54)),
+                                          "b": np.zeros(54)}]})
+    specs = [tuple(l["w"].spec) for l in sh["layers"]]
+    assert specs[0] == (None, "model")
+    assert specs[1] == ("model",) or specs[1] == ("model", None)
+    assert specs[2] == ()
