@@ -30,7 +30,6 @@ from mpe3d_tpu.matching.features import PairTopology
 def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
                             topo: PairTopology, min_views: int = 2,
                             threshold: float = 0.5,
-                            present: Optional[np.ndarray] = None,
                             order_scores: Optional[np.ndarray] = None
                             ) -> np.ndarray:
     """Greedy camera-consistent clustering of heads.

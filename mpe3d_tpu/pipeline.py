@@ -456,21 +456,31 @@ class PoseEstimationPipeline:
         n = int(person_mask.sum())
         return scores, pm, topo, S, persons[:n]
 
+    @functools.lru_cache(maxsize=16)
+    def _host_geo_fn(self, slots: int):
+        topo = self.topology(slots)
+
+        @jax.jit
+        def run(scores, kp, valid, observed):
+            return self._geo_decode_scores(scores, kp, valid, observed, topo)
+        return run
+
     def host_decode_scores(self, frame: FrameArrays, scores: np.ndarray,
                            topo: PairTopology, slots: int):
         """(eligibility_scores, order_scores) for a host decode under the
         geometric rerank/rescue extensions ((scores, None) when off).
-        Costs one extra device dispatch per frame — the staged-host path is
-        the debug path; the device-decode and fused paths fold the same
-        logic into their single program."""
+        One jitted dispatch per frame — the staged-host path is the debug
+        path; the device-decode and fused paths fold the same logic into
+        their single program."""
         if not self._geo_active():
             return scores, None
         mi = np.asarray(self.match_idx)
-        eff, order = self._geo_decode_scores(
+        out = self._host_geo_fn(slots)(
             jnp.asarray(scores),
             jnp.asarray(frame.kp[mi, :slots]),
             jnp.asarray(frame.valid[mi, :slots]),
-            jnp.asarray(frame.in_view[mi, :slots]), topo)
+            jnp.asarray(frame.in_view[mi, :slots]))
+        eff, order = out                       # jit preserves the None leaf
         return (np.asarray(eff),
                 None if order is None else np.asarray(order))
 

@@ -127,7 +127,6 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
 
     tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm),
                      optax.adam(tcfg.lr))
-    opt_state = tx.init(trainable)
     step, eval_loss, epoch_step = make_train_step(rig, J, cfg, tcfg, tx,
                                                   tcfg.optimise_matrices)
 
@@ -143,7 +142,7 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
         opt_state = jax.jit(tx.init)(trainable)
     else:
         trainable = replicate(mesh, trainable)
-        opt_state = replicate(mesh, opt_state)
+        opt_state = replicate(mesh, tx.init(trainable))
     batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
     # dataset uploaded ONCE, device-resident for all epochs

@@ -72,7 +72,8 @@ def main():
             pipe = PoseEstimationPipeline(
                 rig_config, rig, mparams, mcfg, slot_buckets=(S,),
                 person_buckets=(8,), backend="triangulation",
-                decode_on_device=True, geo_rerank=lam, geo_scale=args.scale,
+                decode_on_device=True, decode_top_k=0,   # exact: no top-K cap
+                geo_rerank=lam, geo_scale=args.scale,
                 geo_rescue=rescue, geo_rescue_dist=args.rescue_dist)
             row = {}
             for tag, cams in subsets.items():
@@ -87,7 +88,9 @@ def main():
                   {t: row[t]["ari"] for t in row})
 
     out = args.out or "runs/georank_experiment.json"
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    d = os.path.dirname(out)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print("wrote", out)

@@ -113,3 +113,36 @@ def test_fused_empty_frame(pipe):
     out = pipe.infer_fused(fa)
     assert len(out.persons) == 0
     assert len(out.poses) == 0
+
+
+def test_geo_paths_agree(panoptic_rig):
+    """With geo_rerank+geo_rescue on, all four decode paths (staged host,
+    staged device, fused, batched-fused) produce identical person sets."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    kw = dict(slot_buckets=(4,), person_buckets=(8,),
+              backend="triangulation", threshold=0.05, decode_top_k=0,
+              geo_rerank=0.3, geo_rescue=0.001, geo_rescue_dist=0.05)
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    host = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, **kw)
+    dev = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg,
+                                 decode_on_device=True, **kw)
+
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 6, n_people=(1, 3),
+                             seed=11, noise=noise, with_gt=False)
+    fas = [parse_frame(f, PANOPTIC, max_skeletons=4) for f in frames]
+    batched = dev.infer_batch(fas, slots=4)
+    saw_rescued = 0
+    for fa, out_b in zip(fas, batched):
+        ph = _person_sets(host(fa).persons)
+        pd = _person_sets(dev(fa).persons)
+        pf = _person_sets(dev.infer_fused(fa).persons)
+        pb = _person_sets(out_b.persons)
+        assert ph == pd == pf == pb
+        # rescue really fires: some decoded pair scores sit below threshold
+        scores = host(fa).scores
+        if len(ph) and scores.size and (scores <= 0.05).any():
+            saw_rescued += 1
+    assert saw_rescued > 0
