@@ -94,8 +94,11 @@ def build_pipeline(args, backend: str):
 
     rig_config, rig = load_rig(args)
     mparams, mcfg, lparams, lcfg = load_models(args.modelsdir, rig_config)
-    pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
-                                  lparams, lcfg, backend=backend)
+    pipe = PoseEstimationPipeline(
+        rig_config, rig, mparams, mcfg, lparams, lcfg, backend=backend,
+        geo_rerank=getattr(args, "geo_rerank", 0.0),
+        geo_rescue=getattr(args, "geo_rescue", 0.0),
+        geo_rescue_dist=getattr(args, "geo_rescue_dist", 0.05))
     return rig_config, rig, pipe
 
 
@@ -364,6 +367,14 @@ def _add_common(p, models=True):
     if models:
         p.add_argument("--modelsdir", default="./models",
                        help="directory with model checkpoints")
+        p.add_argument("--geo-rerank", type=float, default=0.0,
+                       help="geometric decode rerank weight (0 = off; "
+                       "docs/ARCHITECTURE.md)")
+        p.add_argument("--geo-rescue", type=float, default=0.0,
+                       help="geometric rescue low-score floor (0 = off; "
+                       "0.001 ≈ geometry-only)")
+        p.add_argument("--geo-rescue-dist", type=float, default=0.05,
+                       help="rescue ray-distance cut in metres")
 
 
 def make_parser() -> argparse.ArgumentParser:
