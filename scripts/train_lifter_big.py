@@ -28,7 +28,12 @@ def main():
     ap.add_argument("--seed-base", type=int, default=1000,
                     help="data seed base — bump per resume leg so each leg "
                     "trains on fresh frames")
+    ap.add_argument("--spread", default="1.2",
+                    help="placement-disc radius in m, or 'lo,hi' to sample "
+                    "per frame (volume-covering training)")
     args = ap.parse_args()
+    sp_parts = [float(x) for x in args.spread.split(",")]
+    spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts[:2])
 
     import jax
 
@@ -64,12 +69,13 @@ def main():
                        spurious_rate=0.1, camera_dropout=0.05)
     t0 = time.time()
     sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
-                                        seed=args.seed_base + s, noise=noise)
+                                        seed=args.seed_base + s, noise=noise,
+                                        spread=spread)
           for s in range(args.files)]
     dev = [generate_single_person_frames(rig_config, rig,
                                          max(200, args.n_sp // 10),
                                          seed=args.seed_base + 997 + s,
-                                         noise=noise)
+                                         noise=noise, spread=spread)
            for s in range(2)]
     log.event("gen", n_train_frames=args.files * args.n_sp,
               gen_s=round(time.time() - t0, 1))

@@ -27,7 +27,12 @@ def main():
                     choices=["PANOPTIC", "ARPLAB"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the TPU free)")
+    ap.add_argument("--spread", default="1.2",
+                    help="placement-disc radius in m, or 'lo,hi' to sample "
+                    "per frame (volume-covering training)")
     args = ap.parse_args()
+    sp_parts = [float(x) for x in args.spread.split(",")]
+    spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts[:2])
 
     if args.cpu:
         import jax
@@ -55,10 +60,11 @@ def main():
 
     # more source files → composites with up to n_files people
     sp = [generate_single_person_frames(rig_config, rig, args.n_sp, seed=s,
-                                        noise=noise)
+                                        noise=noise, spread=spread)
           for s in range(args.n_files)]
     dev = [generate_single_person_frames(rig_config, rig, args.n_sp // 4,
-                                         seed=100 + s, noise=noise)
+                                         seed=100 + s, noise=noise,
+                                         spread=spread)
            for s in range(args.n_files)]
     topo = build_topology(rig_config.n_matching_cameras, args.slots)
     train = build_matcher_scenes(sp, rig_config, topo, limit=args.limit,
