@@ -295,7 +295,8 @@ def _gt_dict(joints_w: np.ndarray, visible_any: np.ndarray) -> Dict[str, list]:
 def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
                     n_people: Tuple[int, int] = (1, 4), seed: int = 0,
                     noise: Optional[SceneNoise] = None,
-                    with_gt: bool = True, spread=1.2) -> List[Dict]:
+                    with_gt: bool = True, spread=1.2,
+                    min_cam_dist: float = 0.0) -> List[Dict]:
     """Multi-person wire frames (test format when with_gt=True).
 
     ``spread`` is the placement-disc radius in metres: 1.2 (default) packs
@@ -304,18 +305,36 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
     samples the radius uniformly per frame — use for *training* data so the
     models cover the rig's whole capture volume (a fixed-radius training
     disc makes wider scenes out-of-distribution: measured 23.5 mm at
-    spread 1.2 but 289 mm at 2.5 for a spread-1.2-trained lifter)."""
+    spread 1.2 but 289 mm at 2.5 for a spread-1.2-trained lifter).
+
+    ``min_cam_dist > 0`` resamples people that land closer than that to any
+    camera.  Near-camera people make the reference's MSE-of-summed-pixel-
+    errors loss explode (huge projection sensitivity), and a handful of
+    such frames dominate mean val loss so badly that early stopping breaks
+    (measured: val diverging 1.4 M → 4 M while train fell, on spread ≤ 2.6
+    without the guard)."""
     noise = noise or SceneNoise()
     rng = np.random.default_rng(seed)
     center = scene_center(rig)
     frames: List[Dict] = []
     joint_ids = np.arange(rig_config.n_joints)
+    cam_pos = np.asarray(rig.T_cw)[:, :3, 3]                     # [C, 3]
+
+    def place(rng, r):
+        for _ in range(20):
+            p = sample_person(rng, rig_config, center, radius=r)
+            if min_cam_dist <= 0.0:
+                return p
+            d = np.linalg.norm(cam_pos - p.mean(0)[None, :], axis=1).min()
+            if d >= min_cam_dist:
+                return p
+        return p
+
     for fi in range(n_frames):
         P = int(rng.integers(n_people[0], n_people[1] + 1))
         r = (float(rng.uniform(*spread)) if isinstance(spread, (tuple, list))
              else float(spread))
-        people = [sample_person(rng, rig_config, center, radius=r)
-                  for _ in range(P)]
+        people = [place(rng, r) for _ in range(P)]
         frame: Dict[str, list] = {}
         gt_dicts: List[Dict] = [_gt_dict(p, np.ones(len(p), bool))
                                 for p in people]
@@ -352,15 +371,17 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
 def generate_single_person_frames(rig_config: RigConfig, rig: CameraRig,
                                   n_frames: int, seed: int = 0,
                                   noise: Optional[SceneNoise] = None,
-                                  spread=1.2) -> List[Dict]:
+                                  spread=1.2,
+                                  min_cam_dist: float = 0.0) -> List[Dict]:
     """Single-person recording in the *training* wire format (no GT) — one
     person per frame, optional spurious detections, the format consumed by
     both trainers (reference: graph_generator.py:672-810 and
-    pose_estimator_dataset_from_json.py:146-236).  ``spread`` as in
-    generate_frames; pass a range for volume-covering training data."""
+    pose_estimator_dataset_from_json.py:146-236).  ``spread``/
+    ``min_cam_dist`` as in generate_frames; pass a spread range for
+    volume-covering training data."""
     return generate_frames(rig_config, rig, n_frames, n_people=(1, 1),
                            seed=seed, noise=noise, with_gt=False,
-                           spread=spread)
+                           spread=spread, min_cam_dist=min_cam_dist)
 
 
 def write_frames(frames: List[Dict], path: str) -> None:

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--spread", default="1.2",
                     help="placement-disc radius in m, or 'lo,hi' to sample "
                     "per frame (volume-covering training)")
+    ap.add_argument("--min-cam-dist", type=float, default=0.0,
+                    help="resample people closer than this to any camera "
+                    "(keeps the outlier-dominated loss sane on wide spreads)")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
     spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts[:2])
@@ -70,12 +73,14 @@ def main():
     t0 = time.time()
     sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
                                         seed=args.seed_base + s, noise=noise,
-                                        spread=spread)
+                                        spread=spread,
+                                        min_cam_dist=args.min_cam_dist)
           for s in range(args.files)]
     dev = [generate_single_person_frames(rig_config, rig,
                                          max(200, args.n_sp // 10),
                                          seed=args.seed_base + 997 + s,
-                                         noise=noise, spread=spread)
+                                         noise=noise, spread=spread,
+                                         min_cam_dist=args.min_cam_dist)
            for s in range(2)]
     log.event("gen", n_train_frames=args.files * args.n_sp,
               gen_s=round(time.time() - t0, 1))
