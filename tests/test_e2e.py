@@ -126,3 +126,46 @@ def test_e2e_untrained_matcher_runs(panoptic_rig, synthetic_world):
     out = pipe(fa)
     assert out.poses.shape[1:] == (18, 3)
     assert out.scores.shape[0] == pipe.topology(4).n_pairs
+
+
+def test_generator_spread_and_camera_guard(panoptic_rig):
+    """spread ranges sample per frame; min_cam_dist keeps people away from
+    cameras (the wide-volume training-data knobs)."""
+    import numpy as np
+
+    from mpe3d_tpu.data.synthetic import generate_frames
+
+    cam_pos = np.asarray(panoptic_rig.T_cw)[:, :3, 3]
+
+    def min_cam_distance(frames):
+        m = np.inf
+        cam = PANOPTIC.camera_names[0]
+        for f in frames:
+            for g in f[cam][3]:
+                c = np.mean([v for k, v in g.items() if k != "-1"],
+                            axis=0) / 100.0
+                m = min(m, float(np.linalg.norm(cam_pos - c[None],
+                                                axis=1).min()))
+        return m
+
+    free = generate_frames(PANOPTIC, panoptic_rig, 30, n_people=(2, 3),
+                           seed=5, spread=(0.8, 2.0))
+    guarded = generate_frames(PANOPTIC, panoptic_rig, 30, n_people=(2, 3),
+                              seed=5, spread=(0.8, 2.0), min_cam_dist=1.2)
+    assert min_cam_distance(guarded) >= 1.2
+    assert min_cam_distance(free) < min_cam_distance(guarded)
+
+    # wider spread really spreads people (person-center spread grows)
+    def mean_pair_dist(frames):
+        ds = []
+        cam = PANOPTIC.camera_names[0]
+        for f in frames:
+            cs = [np.mean([v for k, v in g.items() if k != "-1"], axis=0)
+                  for g in f[cam][3]]
+            ds += [np.linalg.norm(np.asarray(a) - np.asarray(b))
+                   for i, a in enumerate(cs) for b in cs[i + 1:]]
+        return float(np.mean(ds))
+
+    narrow = generate_frames(PANOPTIC, panoptic_rig, 30, n_people=(2, 3),
+                             seed=5, spread=1.0)
+    assert mean_pair_dist(free) > mean_pair_dist(narrow) * 1.1
