@@ -166,9 +166,13 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             yield shard_batch(mesh, (jnp.asarray(net[sel]),
                                      jnp.asarray(err[sel])))
 
-    result = LifterTrainResult(params=trainable)
+    result = LifterTrainResult(params=None)
     rng = np.random.default_rng(tcfg.seed)
     best, patience = float("inf"), 0
+    # best params live ON DEVICE between saves: pulling the full parameter
+    # tree host-side at every improving eval dominated wall clock through
+    # remote-TPU relays (see LifterTrainConfig.save_rel_improve)
+    best_device, best_meta, last_saved = None, {}, float("inf")
     t0 = time.time()
     for epoch in range(tcfg.epochs):
         if stop_flag and stop_flag():
@@ -213,21 +217,30 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             if val_loss < best:
                 best = val_loss
                 patience = 0
-                result.params = jax.device_get(trainable)["model"]
                 result.best_val_loss = best
-                if checkpoint_path:
-                    save_checkpoint(checkpoint_path,
-                                    result.params,
-                                    meta={"epoch": epoch,
-                                          "val_loss": val_loss,
-                                          "train_loss": train_loss,
-                                          "lifter_config": cfg,
-                                          "train_config": tcfg})
+                # on-device copy — `trainable` is donated into the next
+                # epoch_step, so a bare reference would dangle
+                best_device = jax.tree_util.tree_map(lambda x: x + 0
+                                                     if hasattr(x, "dtype")
+                                                     else x, trainable)
+                best_meta = {"epoch": epoch, "val_loss": val_loss,
+                             "train_loss": train_loss,
+                             "lifter_config": cfg, "train_config": tcfg}
+                if val_loss <= last_saved * (1.0 - tcfg.save_rel_improve):
+                    last_saved = val_loss
+                    result.params = jax.device_get(best_device)["model"]
+                    if checkpoint_path:
+                        save_checkpoint(checkpoint_path, result.params,
+                                        meta=best_meta)
             else:
                 patience += 1
                 if patience >= tcfg.patience:
                     break
         result.epochs_run = epoch + 1
-    if result.params is trainable:   # never evaluated
+    if best_device is not None and best < last_saved:
+        result.params = jax.device_get(best_device)["model"]
+        if checkpoint_path:                      # final best always persisted
+            save_checkpoint(checkpoint_path, result.params, meta=best_meta)
+    elif result.params is None:                  # never evaluated
         result.params = jax.device_get(trainable)["model"]
     return result
