@@ -94,11 +94,14 @@ def build_pipeline(args, backend: str):
 
     rig_config, rig = load_rig(args)
     mparams, mcfg, lparams, lcfg = load_models(args.modelsdir, rig_config)
+    # forward only the geo flags this subcommand defines — the pipeline
+    # signature stays the single source of the defaults
+    geo_kw = {k: getattr(args, k)
+              for k in ("geo_rerank", "geo_rescue", "geo_rescue_dist")
+              if hasattr(args, k)}
     pipe = PoseEstimationPipeline(
         rig_config, rig, mparams, mcfg, lparams, lcfg, backend=backend,
-        geo_rerank=getattr(args, "geo_rerank", 0.0),
-        geo_rescue=getattr(args, "geo_rescue", 0.0),
-        geo_rescue_dist=getattr(args, "geo_rescue_dist", 0.05))
+        **geo_kw)
     return rig_config, rig, pipe
 
 

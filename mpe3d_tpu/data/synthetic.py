@@ -318,17 +318,27 @@ def generate_frames(rig_config: RigConfig, rig: CameraRig, n_frames: int,
     center = scene_center(rig)
     frames: List[Dict] = []
     joint_ids = np.arange(rig_config.n_joints)
-    cam_pos = np.asarray(rig.T_cw)[:, :3, 3]                     # [C, 3]
+    if isinstance(spread, (tuple, list)):
+        if len(spread) != 2 or spread[0] > spread[1]:
+            raise ValueError(f"spread range must be (lo, hi), got {spread!r}")
+    from mpe3d_tpu.geometry.camera import cam_centers_world
+    cam_pos = np.asarray(cam_centers_world(np.asarray(rig.T_cw)))  # [C, 3]
 
     def place(rng, r):
-        for _ in range(20):
-            p = sample_person(rng, rig_config, center, radius=r)
-            if min_cam_dist <= 0.0:
-                return p
-            d = np.linalg.norm(cam_pos - p.mean(0)[None, :], axis=1).min()
-            if d >= min_cam_dist:
-                return p
-        return p
+        # shrink the disc toward the centre if the guard can't be satisfied
+        # at this radius — never silently emit a violating placement
+        while True:
+            for _ in range(20):
+                p = sample_person(rng, rig_config, center, radius=r)
+                if min_cam_dist <= 0.0:
+                    return p
+                d = np.linalg.norm(cam_pos - p.mean(0)[None, :],
+                                   axis=1).min()
+                if d >= min_cam_dist:
+                    return p
+            r *= 0.8
+            if r < 0.05:
+                return p        # guard unsatisfiable even at the centre
 
     for fi in range(n_frames):
         P = int(rng.integers(n_people[0], n_people[1] + 1))

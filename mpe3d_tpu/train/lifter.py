@@ -174,73 +174,79 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
     # remote-TPU relays (see LifterTrainConfig.save_rel_improve)
     best_device, best_meta, last_saved = None, {}, float("inf")
     t0 = time.time()
-    for epoch in range(tcfg.epochs):
-        if stop_flag and stop_flag():
-            break
-        # losses stay on device until epoch end: device→host readbacks are
-        # expensive through remote-TPU relays (see pipeline.py)
-        if tcfg.scan_epoch and k_batches > 0:
-            epoch_key, k = jax.random.split(epoch_key)
-            trainable, opt_state, losses_d = epoch_step(
-                trainable, opt_state, net_dev_res, err_dev_res, k,
-                k_batches=k_batches, batch_size=bs,
-                batch_sharding=batch_sharding)
-            train_loss = float(jnp.mean(losses_d))
-        else:
-            losses, sizes = [], []
-            for net_b, err_b in batches(net_train, err_train, rng):
-                trainable, opt_state, loss = step(trainable, opt_state,
-                                                  net_b, err_b)
-                losses.append(loss)
-                sizes.append(net_b.shape[0])
-            host = jax.device_get(losses)
-            train_loss = (sum(l * b for l, b in zip(host, sizes))
-                          / max(sum(sizes), 1))
-        mae_per_coord = (train_loss ** 0.5) / rig_config.n_cameras / J / 2
-
-        if epoch % tcfg.eval_every == 0:
-            vlosses, vsizes = [], []
-            for net_b, err_b in batches(net_dev, err_dev,
-                                        np.random.default_rng(0)):
-                vlosses.append(eval_loss(trainable, net_b, err_b))
-                vsizes.append(net_b.shape[0])
-            vhost = jax.device_get(vlosses)
-            val_loss = (sum(l * b for l, b in zip(vhost, vsizes))
-                        / max(sum(vsizes), 1))
-            result.history.append({"epoch": epoch, "train_loss": train_loss,
-                                   "val_loss": val_loss,
-                                   "mae_per_coord": mae_per_coord,
-                                   "elapsed_s": time.time() - t0})
-            log(f"epoch {epoch:5d} | loss {train_loss:.5f} | "
-                f"val {val_loss:.5f} | mae/coord {mae_per_coord:.5f} | "
-                f"patience {patience}")
-            if val_loss < best:
-                best = val_loss
-                patience = 0
-                result.best_val_loss = best
-                # on-device copy — `trainable` is donated into the next
-                # epoch_step, so a bare reference would dangle
-                best_device = jax.tree_util.tree_map(lambda x: x + 0
-                                                     if hasattr(x, "dtype")
-                                                     else x, trainable)
-                best_meta = {"epoch": epoch, "val_loss": val_loss,
-                             "train_loss": train_loss,
-                             "lifter_config": cfg, "train_config": tcfg}
-                if val_loss <= last_saved * (1.0 - tcfg.save_rel_improve):
-                    last_saved = val_loss
-                    result.params = jax.device_get(best_device)["model"]
-                    if checkpoint_path:
-                        save_checkpoint(checkpoint_path, result.params,
-                                        meta=best_meta)
+    try:
+        for epoch in range(tcfg.epochs):
+            if stop_flag and stop_flag():
+                break
+            # losses stay on device until epoch end: device→host readbacks are
+            # expensive through remote-TPU relays (see pipeline.py)
+            if tcfg.scan_epoch and k_batches > 0:
+                epoch_key, k = jax.random.split(epoch_key)
+                trainable, opt_state, losses_d = epoch_step(
+                    trainable, opt_state, net_dev_res, err_dev_res, k,
+                    k_batches=k_batches, batch_size=bs,
+                    batch_sharding=batch_sharding)
+                train_loss = float(jnp.mean(losses_d))
             else:
-                patience += 1
-                if patience >= tcfg.patience:
-                    break
-        result.epochs_run = epoch + 1
-    if best_device is not None and best < last_saved:
-        result.params = jax.device_get(best_device)["model"]
-        if checkpoint_path:                      # final best always persisted
-            save_checkpoint(checkpoint_path, result.params, meta=best_meta)
-    elif result.params is None:                  # never evaluated
-        result.params = jax.device_get(trainable)["model"]
+                losses, sizes = [], []
+                for net_b, err_b in batches(net_train, err_train, rng):
+                    trainable, opt_state, loss = step(trainable, opt_state,
+                                                      net_b, err_b)
+                    losses.append(loss)
+                    sizes.append(net_b.shape[0])
+                host = jax.device_get(losses)
+                train_loss = (sum(l * b for l, b in zip(host, sizes))
+                              / max(sum(sizes), 1))
+            mae_per_coord = (train_loss ** 0.5) / rig_config.n_cameras / J / 2
+
+            if epoch % tcfg.eval_every == 0:
+                vlosses, vsizes = [], []
+                for net_b, err_b in batches(net_dev, err_dev,
+                                            np.random.default_rng(0)):
+                    vlosses.append(eval_loss(trainable, net_b, err_b))
+                    vsizes.append(net_b.shape[0])
+                vhost = jax.device_get(vlosses)
+                val_loss = (sum(l * b for l, b in zip(vhost, vsizes))
+                            / max(sum(vsizes), 1))
+                result.history.append({"epoch": epoch, "train_loss": train_loss,
+                                       "val_loss": val_loss,
+                                       "mae_per_coord": mae_per_coord,
+                                       "elapsed_s": time.time() - t0})
+                log(f"epoch {epoch:5d} | loss {train_loss:.5f} | "
+                    f"val {val_loss:.5f} | mae/coord {mae_per_coord:.5f} | "
+                    f"patience {patience}")
+                if val_loss < best:
+                    best = val_loss
+                    patience = 0
+                    result.best_val_loss = best
+                    # on-device copy — `trainable` is donated into the next
+                    # epoch_step, so a bare reference would dangle
+                    best_device = jax.tree_util.tree_map(lambda x: x + 0
+                                                         if hasattr(x, "dtype")
+                                                         else x, trainable)
+                    best_meta = {"epoch": epoch, "val_loss": val_loss,
+                                 "train_loss": train_loss,
+                                 "lifter_config": cfg, "train_config": tcfg}
+                    if val_loss <= last_saved * (1.0 - tcfg.save_rel_improve):
+                        last_saved = val_loss
+                        result.params = jax.device_get(best_device)["model"]
+                        if checkpoint_path:
+                            save_checkpoint(checkpoint_path, result.params,
+                                            meta=best_meta)
+                else:
+                    patience += 1
+                    if patience >= tcfg.patience:
+                        result.epochs_run = epoch + 1
+                        break
+            result.epochs_run = epoch + 1
+    finally:
+        # persist the tracked best even on interruption (relay
+        # drops and Ctrl-C are routine on multi-hour remote legs)
+        if best_device is not None and best < last_saved:
+            result.params = jax.device_get(best_device)["model"]
+            if checkpoint_path:
+                save_checkpoint(checkpoint_path, result.params,
+                                meta=best_meta)
+        elif result.params is None:      # never evaluated
+            result.params = jax.device_get(trainable)["model"]
     return result

@@ -19,7 +19,18 @@ def main():
     ap.add_argument("--patience", type=int, default=60)
     ap.add_argument("--n-sp", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--seed-base", type=int, default=0,
+                    help="bump per leg so each continuation sees fresh frames")
+    ap.add_argument("--spread", default="1.2",
+                    help="placement-disc radius in m, or 'lo,hi' per frame — "
+                    "MATCH the original training spread or the model snaps "
+                    "back to the narrow distribution")
+    ap.add_argument("--min-cam-dist", type=float, default=0.0)
     args = ap.parse_args()
+    sp_parts = [float(x) for x in args.spread.split(",")]
+    if len(sp_parts) > 2:
+        ap.error("--spread takes one value or lo,hi")
+    spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts)
 
     import jax
 
@@ -49,10 +60,15 @@ def main():
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
-    sp = [generate_single_person_frames(rig_config, rig, args.n_sp, seed=s,
-                                        noise=noise) for s in (0, 1, 2)]
+    sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
+                                        seed=args.seed_base + s, noise=noise,
+                                        spread=spread,
+                                        min_cam_dist=args.min_cam_dist)
+          for s in (0, 1, 2)]
     dev = [generate_single_person_frames(rig_config, rig, args.n_sp // 3,
-                                         seed=s, noise=noise)
+                                         seed=args.seed_base + s, noise=noise,
+                                         spread=spread,
+                                         min_cam_dist=args.min_cam_dist)
            for s in (10, 11)]
     net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
                                         rig_config, rig)

@@ -36,7 +36,9 @@ def main():
                     "(keeps the outlier-dominated loss sane on wide spreads)")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
-    spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts[:2])
+    if len(sp_parts) > 2:
+        ap.error("--spread takes one value or lo,hi")
+    spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts)
 
     import jax
 
