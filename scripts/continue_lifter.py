@@ -74,6 +74,11 @@ def main():
                                         rig_config, rig)
     net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
                                         rig_config, rig, augment=False)
+    # graceful stop on SIGTERM — see train_lifter_big.py
+    import signal
+    stop = {"flag": False}
+    signal.signal(signal.SIGTERM, lambda *_: stop.update(flag=True))
+
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
                              lr=args.lr)
@@ -81,7 +86,7 @@ def main():
                        tcfg, params=params,
                        checkpoint_path=os.path.join(args.models,
                                                     "pose_estimator"),
-                       log=log)
+                       log=log, stop_flag=lambda: stop["flag"])
     log.event("continue_done", best_val=res.best_val_loss,
               epochs=res.epochs_run)
 

@@ -95,11 +95,20 @@ def main():
     log.event("dataset", train=len(net_t), dev=len(net_d),
               build_s=round(time.time() - t0, 1))
 
+    # graceful stop on SIGTERM (e.g. `timeout`-bounded legs): exit at the
+    # next epoch boundary so train_lifter's finally-persist runs (a raw
+    # SIGTERM would skip it; ≙ the reference's SIGINT guard,
+    # train_pose_estimator.py:111-127)
+    import signal
+    stop = {"flag": False}
+    signal.signal(signal.SIGTERM, lambda *_: stop.update(flag=True))
+
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
                              lr=args.lr)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
-                       tcfg, params=params, checkpoint_path=ckpt, log=log)
+                       tcfg, params=params, checkpoint_path=ckpt, log=log,
+                       stop_flag=lambda: stop["flag"])
     log.event("done", best_val=res.best_val_loss, epochs=res.epochs_run)
     print("best_val", res.best_val_loss, "epochs", res.epochs_run)
 
