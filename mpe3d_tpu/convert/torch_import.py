@@ -76,6 +76,8 @@ def load_reference_matcher(tch_path: str, prms_path: str
         n_classes=int(prms["n_classes"]),
         alpha=float(prms["alpha"]),
         residual=bool(prms["residual"]),
+        feat_drop=float(prms.get("in_drop", 0.0)),
+        attn_drop=float(prms.get("attn_drop", 0.0)),
     )
     n_layers = len(cfg.hidden) + 1
     layers = []
@@ -94,5 +96,13 @@ def load_reference_matcher(tch_path: str, prms_path: str
         if f"layers.{l}.fc1.bias" in state:
             p["b1"] = state[f"layers.{l}.fc1.bias"].numpy().astype(np.float32)
             p["b2"] = state[f"layers.{l}.fc2.bias"].numpy().astype(np.float32)
+        # residual projection shortcut (reference gat2.py:42-48)
+        if f"layers.{l}.res_fc.weight" in state:
+            p["wr"] = np.ascontiguousarray(
+                state[f"layers.{l}.res_fc.weight"].numpy().T
+                .astype(np.float32))
+            if f"layers.{l}.res_fc.bias" in state:
+                p["br"] = state[f"layers.{l}.res_fc.bias"].numpy() \
+                    .astype(np.float32)
         layers.append(p)
     return {"layers": layers}, cfg

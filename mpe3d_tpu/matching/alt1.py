@@ -292,7 +292,8 @@ def alt1_edge_node_features(n_pairs: int, feat_dim: int,
 def apply_matcher_alt1(params: Dict, feats: jnp.ndarray, node_live: jnp.ndarray,
                        pair_mask: jnp.ndarray, topo1: Alt1Topology,
                        cfg: MatcherConfig,
-                       pair_softmax_weight: jnp.ndarray = None) -> jnp.ndarray:
+                       pair_softmax_weight: jnp.ndarray = None,
+                       dropout_key=None) -> jnp.ndarray:
     """Run the GAT stack over the alt-1 edge list; sigmoid scores [E].
 
     feats: [n_nodes, F] — head+joint rows (``alt1_node_features``) followed
@@ -304,8 +305,12 @@ def apply_matcher_alt1(params: Dict, feats: jnp.ndarray, node_live: jnp.ndarray,
     softmax over live in-edges, attention-weighted sum (gat2.py:50-88).
     ``pair_softmax_weight`` [E] reproduces training-graph pair duplication
     on the edge-node→head link edges (see models/gat.py docstring).
+    ``dropout_key`` enables train-mode cfg.feat_drop/attn_drop;
+    ``cfg.residual`` adds the reference shortcut on every layer but the
+    first (gat2.py:27-34,69-75,101-135) — same semantics as
+    ``models.gat.apply_matcher``.
     """
-    from mpe3d_tpu.models.gat import _layer_dims
+    from mpe3d_tpu.models.gat import _dropout, _layer_dims, _residual_val
 
     N = topo1.n_nodes
     src = jnp.asarray(topo1.src)
@@ -345,6 +350,13 @@ def apply_matcher_alt1(params: Dict, feats: jnp.ndarray, node_live: jnp.ndarray,
     dead = w <= 0
     for l, (d_in, d_out, nh) in enumerate(dims):
         layer = params["layers"][l]
+        lkey = None
+        if dropout_key is not None and (cfg.feat_drop > 0.0
+                                        or cfg.attn_drop > 0.0):
+            dropout_key, lkey = jax.random.split(dropout_key)
+        if lkey is not None and cfg.feat_drop > 0.0:
+            kf, lkey = jax.random.split(lkey)
+            x = _dropout(kf, x, cfg.feat_drop)
         z = proj(layer, x, nh, d_out)                            # [N, nh, d]
         a1 = jnp.einsum("nhd,hd->nh", z, layer["attn_l"],
                         precision="highest")
@@ -358,11 +370,23 @@ def apply_matcher_alt1(params: Dict, feats: jnp.ndarray, node_live: jnp.ndarray,
         ex = jnp.where(dead[:, None], 0.0,
                        jnp.exp(logits - m[dst])) * w[:, None]    # [Et, nh]
         denom = jax.ops.segment_sum(ex, dst, num_segments=N)     # [N, nh]
-        num = jax.ops.segment_sum(
-            (ex[..., None] * z[src]).reshape(-1, nh * d_out), dst,
-            num_segments=N).reshape(N, nh, d_out)
-        out = jnp.where(denom[..., None] > 0, num
-                        / jnp.maximum(denom[..., None], 1e-30), 0.0)
+        if lkey is not None and cfg.attn_drop > 0.0:
+            # attn_drop on normalised edge_softmax coefficients, aggregated
+            # without renormalisation (gat2.py:63-68,83-88)
+            coef = ex / jnp.maximum(denom[dst], 1e-30)           # [Et, nh]
+            ka, lkey = jax.random.split(lkey)
+            coef = _dropout(ka, coef, cfg.attn_drop)
+            out = jax.ops.segment_sum(
+                (coef[..., None] * z[src]).reshape(-1, nh * d_out), dst,
+                num_segments=N).reshape(N, nh, d_out)
+        else:
+            num = jax.ops.segment_sum(
+                (ex[..., None] * z[src]).reshape(-1, nh * d_out), dst,
+                num_segments=N).reshape(N, nh, d_out)
+            out = jnp.where(denom[..., None] > 0, num
+                            / jnp.maximum(denom[..., None], 1e-30), 0.0)
+        if cfg.residual and l > 0:
+            out = out + _residual_val(layer, x, nh, d_out)
         if l < n_layers - 1:
             x = jax.nn.leaky_relu(out.reshape(N, nh * d_out), cfg.hidden_slope)
         else:

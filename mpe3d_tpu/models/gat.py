@@ -84,11 +84,14 @@ def _layer_dims(cfg: MatcherConfig):
 
 def init_matcher(key: jax.Array, cfg: MatcherConfig) -> Params:
     """Xavier-normal(gain=1.414) weights like the reference (gat2.py:37-40);
-    torch-default uniform biases."""
+    torch-default uniform biases.  With ``cfg.residual`` every layer but the
+    first gains a projection shortcut ``wr``/``br`` when its in/out widths
+    differ (reference gat2.py:42-48,101-135: the input layer is always
+    built with residual=False)."""
     layers = []
     gain = 1.414
-    for (d_in, d_out, nh) in _layer_dims(cfg):
-        key, k1, k2, k3, k4, k5, k6 = jax.random.split(key, 7)
+    for li, (d_in, d_out, nh) in enumerate(_layer_dims(cfg)):
+        key, k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 9)
         layer = {
             "w1": _xavier_normal(k1, (d_in, d_in), gain),
             "w2": _xavier_normal(k2, (d_in, nh * d_out), gain),
@@ -98,19 +101,57 @@ def init_matcher(key: jax.Array, cfg: MatcherConfig) -> Params:
         if cfg.bias:
             layer["b1"] = _linear_bias(k5, d_in, (d_in,))
             layer["b2"] = _linear_bias(k6, d_in, (nh * d_out,))
+        if cfg.residual and li > 0 and d_in != d_out:
+            layer["wr"] = _xavier_normal(k7, (d_in, nh * d_out), gain)
+            if cfg.bias:
+                layer["br"] = _linear_bias(k8, d_in, (nh * d_out,))
         layers.append(layer)
     return {"layers": layers}
+
+
+def _residual_val(layer: Params, x: jnp.ndarray, nh: int,
+                  d_out: int) -> jnp.ndarray:
+    """Reference gat2.py:69-75: projection shortcut when widths differ,
+    otherwise the (post-feat-drop) input broadcast over heads."""
+    if "wr" in layer:
+        r = jnp.dot(x, layer["wr"], precision="highest",
+                    preferred_element_type=jnp.float32)
+        if "br" in layer:
+            r = r + layer["br"]
+        return r.reshape(-1, nh, d_out)
+    return x[:, None, :]
+
+
+def _dropout(key, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Inverted dropout, torch semantics (nn.Dropout: keep/(1-p))."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
 
 
 def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
                topo: TopologyArrays, pair_w: jnp.ndarray,
                nh: int, d_out: int, alpha: float,
-               use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               use_pallas: bool = False, residual: bool = False,
+               drop_key=None, feat_drop: float = 0.0,
+               attn_drop: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One attention layer.  xh: [H, Din] head feats, xe: [E, Din] edge-node
     feats, pair_w: [E] softmax weight per pair (0 = absent, 2 = duplicated).
-    Returns (out_h [H, nh, d_out], out_e [E, nh, d_out])."""
+    Returns (out_h [H, nh, d_out], out_e [E, nh, d_out]).
+
+    ``drop_key`` enables train-time dropout (reference gat2.py:27-34,50-52,
+    83-88): feat_drop on the layer input before fc1, attn_drop on the
+    NORMALISED attention coefficients (this DGL edge_softmax returns
+    normalised scores; the reference drops them and aggregates WITHOUT
+    renormalising — gat2.py:63-68).  ``residual`` adds the reference's
+    shortcut (gat2.py:69-75) from the post-feat-drop input."""
     H = xh.shape[0]
     E = xe.shape[0]
+
+    if drop_key is not None and feat_drop > 0.0:
+        kh, ke, drop_key = jax.random.split(drop_key, 3)
+        xh = _dropout(kh, xh, feat_drop)
+        xe = _dropout(ke, xe, feat_drop)
 
     # fp32 operands on the MXU ("highest"): the matcher is latency-bound,
     # not FLOP-bound, and bf16 operand rounding (TPU default) visibly moves
@@ -156,6 +197,10 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
                           lrelu(a1h_e1 + a2e),
                           lrelu(a1h_e2 + a2e)], axis=-1)         # [E, nh, 3]
     att_e = jax.nn.softmax(logits_e, axis=-1)
+    attn_active = drop_key is not None and attn_drop > 0.0
+    if attn_active:
+        ka_e, ka_h, drop_key = jax.random.split(drop_key, 3)
+        att_e = _dropout(ka_e, att_e, attn_drop)
     out_e = (att_e[..., 0:1] * ze + att_e[..., 1:2] * zh_e1
              + att_e[..., 2:3] * zh_e2)                          # [E, nh, d]
 
@@ -180,12 +225,31 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
     x2 = jnp.exp(jnp.where(live, l2 - mm(topo.inc2, m), neg)) \
         * pair_w[:, None]
     denom = es + mm(topo.inc1.T, x1) + mm(topo.inc2.T, x2)       # [H, nh]
-    num = (es[..., None] * zh
-           + mm(topo.inc1.T, (x1[..., None] * ze).reshape(E, nh * d_out)
-                ).reshape(H, nh, d_out)
-           + mm(topo.inc2.T, (x2[..., None] * ze).reshape(E, nh * d_out)
-                ).reshape(H, nh, d_out))
-    out_h = num / denom[..., None]
+    if attn_active:
+        # normalised per-edge coefficients so attn_drop applies to the
+        # edge_softmax OUTPUT (DGL semantics; no renormalisation after)
+        cs = es / denom                                          # [H, nh]
+        c1 = x1 / mm(topo.inc1, denom)                           # [E, nh]
+        c2 = x2 / mm(topo.inc2, denom)
+        ks, k1, k2 = jax.random.split(ka_h, 3)
+        cs = _dropout(ks, cs, attn_drop)
+        c1 = _dropout(k1, c1, attn_drop)
+        c2 = _dropout(k2, c2, attn_drop)
+        out_h = (cs[..., None] * zh
+                 + mm(topo.inc1.T, (c1[..., None] * ze).reshape(E, nh * d_out)
+                      ).reshape(H, nh, d_out)
+                 + mm(topo.inc2.T, (c2[..., None] * ze).reshape(E, nh * d_out)
+                      ).reshape(H, nh, d_out))
+    else:
+        num = (es[..., None] * zh
+               + mm(topo.inc1.T, (x1[..., None] * ze).reshape(E, nh * d_out)
+                    ).reshape(H, nh, d_out)
+               + mm(topo.inc2.T, (x2[..., None] * ze).reshape(E, nh * d_out)
+                    ).reshape(H, nh, d_out))
+        out_h = num / denom[..., None]
+    if residual:
+        out_h = out_h + _residual_val(layer, xh, nh, d_out)
+        out_e = out_e + _residual_val(layer, xe, nh, d_out)
     return out_h, out_e
 
 
@@ -193,7 +257,8 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
                   edge_feats: jnp.ndarray, topo: TopologyArrays,
                   pair_mask: jnp.ndarray, cfg: MatcherConfig,
                   duplicate_pairs: bool = False,
-                  pair_softmax_weight: jnp.ndarray = None) -> jnp.ndarray:
+                  pair_softmax_weight: jnp.ndarray = None,
+                  dropout_key=None) -> jnp.ndarray:
     """Run the full GAT stack; returns sigmoid scores per candidate pair [E].
 
     head_feats: [H, in_dim]; edge_feats: [E, in_dim]; pair_mask: [E] 0/1.
@@ -203,6 +268,11 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
     everything else twice, graph_generator.py:753-798) pass
     ``pair_softmax_weight`` [E] explicitly — it overrides both the mask and
     the duplicate flag in the head softmax.
+
+    ``dropout_key``: train-mode PRNG key enabling cfg.feat_drop/attn_drop
+    (None = eval mode, dropout off — torch model.eval() semantics).
+    ``cfg.residual`` adds the reference's shortcut on every layer but the
+    first (gat2.py:101-135).
     """
     if pair_softmax_weight is not None:
         pair_w = pair_softmax_weight
@@ -212,9 +282,16 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
     xh, xe = head_feats, edge_feats
     n = len(dims)
     for l, (d_in, d_out, nh) in enumerate(dims):
+        lkey = None
+        if dropout_key is not None and (cfg.feat_drop > 0.0
+                                        or cfg.attn_drop > 0.0):
+            dropout_key, lkey = jax.random.split(dropout_key)
         oh, oe = _gat_layer(params["layers"][l], xh, xe, topo, pair_w,
                             nh, d_out, cfg.alpha,
-                            use_pallas=cfg.use_pallas_proj)
+                            use_pallas=cfg.use_pallas_proj,
+                            residual=cfg.residual and l > 0,
+                            drop_key=lkey, feat_drop=cfg.feat_drop,
+                            attn_drop=cfg.attn_drop)
         if l < n - 1:
             xh = jax.nn.leaky_relu(oh.reshape(-1, nh * d_out), cfg.hidden_slope)
             xe = jax.nn.leaky_relu(oe.reshape(-1, nh * d_out), cfg.hidden_slope)

@@ -45,13 +45,19 @@ class MatcherTrainResult:
 
 def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
                       topo: PairTopology, cfg: MatcherConfig,
-                      tx: optax.GradientTransformation):
+                      tx: optax.GradientTransformation,
+                      use_bce: bool = False):
     """Jitted train/eval steps over batched scenes.
 
     ``rig`` must be the matching-camera sub-rig in matching order.
+    ``use_bce`` selects nn.BCELoss over nn.MSELoss (reference:
+    train_skeleton_matching.py:32-38).  When cfg.feat_drop/attn_drop are
+    non-zero, train steps take a PRNG key and run the model in dropout
+    mode; eval always runs deterministic (torch model.eval()).
     """
     img = (float(rig_config.image_width), float(rig_config.image_height))
     alt = rig_config.graph_alternative
+    dropout_on = cfg.feat_drop > 0.0 or cfg.attn_drop > 0.0
 
     if alt == "1":
         from mpe3d_tpu.matching.alt1 import (alt1_edge_node_features,
@@ -62,35 +68,52 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
                                     rig_config.joint_format)
         efeats1 = alt1_edge_node_features(topo.n_pairs, cfg.in_dim)
 
-        def scene_scores(params, kp, valid, prob, obs, present, weight):
+        def scene_scores(params, kp, valid, prob, obs, present, weight,
+                         key=None):
             feats_hj, live = alt1_node_features(
                 kp, valid, prob, obs, present, img, rig_config.joint_format)
             feats = jnp.concatenate([feats_hj, jnp.asarray(efeats1)])
             return apply_matcher_alt1(params, feats, live,
                                       (weight > 0).astype(kp.dtype), topo1,
-                                      cfg, pair_softmax_weight=weight)
+                                      cfg, pair_softmax_weight=weight,
+                                      dropout_key=key)
     else:
         topo_dev = TopologyArrays.from_topology(topo)
         efeats = edge_node_features(topo.n_pairs, cfg.in_dim)
 
-        def scene_scores(params, kp, valid, prob, obs, present, weight):
+        def scene_scores(params, kp, valid, prob, obs, present, weight,
+                         key=None):
             hfeats, _ = head_features(kp, valid, prob, obs, present, rig, img,
                                       alt=alt)
             return apply_matcher(params, hfeats, efeats, topo_dev,
                                  (weight > 0).astype(kp.dtype), cfg,
-                                 pair_softmax_weight=weight)
+                                 pair_softmax_weight=weight,
+                                 dropout_key=key)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, key=None):
         kp, valid, prob, obs, present, labels, weight = batch
-        scores = jax.vmap(scene_scores, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-            params, kp, valid, prob, obs, present, weight)
-        # MSE over all edge-nodes in the batch, duplicates counted twice
+        if key is not None and dropout_on:
+            keys = jax.random.split(key, kp.shape[0])
+            scores = jax.vmap(scene_scores,
+                              in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                params, kp, valid, prob, obs, present, weight, keys)
+        else:
+            scores = jax.vmap(scene_scores, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                params, kp, valid, prob, obs, present, weight)
+        # mean over all edge-nodes in the batch, duplicates counted twice
         # (reference: train_skeleton_matching.py:179 + dgl.batch collate)
-        sq = (scores - labels) ** 2 * weight
-        return jnp.sum(sq) / jnp.maximum(jnp.sum(weight), 1.0)
+        if use_bce:
+            # nn.BCELoss semantics: per-element binary cross-entropy on the
+            # sigmoid scores, log clamped at -100 (torch's BCELoss clamp)
+            per = -(labels * jnp.clip(jnp.log(scores), -100.0)
+                    + (1.0 - labels) * jnp.clip(jnp.log1p(-scores), -100.0))
+        else:
+            per = (scores - labels) ** 2
+        per = per * weight
+        return jnp.sum(per) / jnp.maximum(jnp.sum(weight), 1.0)
 
-    def _step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def _step(params, opt_state, batch, key=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -106,21 +129,24 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
         """One dispatch per epoch: shuffle the device-resident scene tensors
         on device, then lax.scan over the batches (zero per-epoch host
         traffic).  scenes_res: 7-tuple of [N, ...] arrays."""
+        perm_key, drop_key = jax.random.split(key)
         n = k_batches * batch_size
-        perm = jax.random.permutation(key, scenes_res[0].shape[0])[:n]
+        perm = jax.random.permutation(perm_key, scenes_res[0].shape[0])[:n]
         batches = []
         for f in scenes_res:
             b = f[perm].reshape(k_batches, batch_size, *f.shape[1:])
             if batch_sharding is not None:
                 b = jax.lax.with_sharding_constraint(b, batch_sharding)
             batches.append(b)
+        dkeys = jax.random.split(drop_key, k_batches)
 
-        def body(carry, batch):
+        def body(carry, xs):
             p, o = carry
-            p, o, loss = _step(p, o, batch)
+            batch, dk = xs[:-1], xs[-1]
+            p, o, loss = _step(p, o, batch, dk if dropout_on else None)
             return (p, o), loss
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), tuple(batches))
+            body, (params, opt_state), tuple(batches) + (dkeys,))
         return params, opt_state, losses
 
     @jax.jit
@@ -149,10 +175,14 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
 
     if params is None:
         params = init_matcher(jax.random.PRNGKey(tcfg.seed), cfg)
+    # optax.adamw is DEcoupled weight decay vs torch Adam's L2-coupled
+    # (reference train_skeleton_matching.py:151); at wd=1e-20 the two are
+    # numerically indistinguishable.
     tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
     opt_state = tx.init(params)
     step, eval_step, _, epoch_step = make_matcher_step(
-        match_rig, rig_config, topo, cfg, tx)
+        match_rig, rig_config, topo, cfg, tx, use_bce=tcfg.use_bce)
+    dropout_on = cfg.feat_drop > 0.0 or cfg.attn_drop > 0.0
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
     batch_sharding = jax.sharding.NamedSharding(
@@ -203,7 +233,10 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
         else:
             losses = []
             for batch in batches(train_scenes, rng):
-                params, opt_state, loss = step(params, opt_state, batch)
+                dk = None
+                if dropout_on:
+                    epoch_key, dk = jax.random.split(epoch_key)
+                params, opt_state, loss = step(params, opt_state, batch, dk)
                 losses.append(loss)
             host = jax.device_get(losses)
             train_loss = sum(host) / max(len(host), 1)

@@ -44,10 +44,11 @@ def test_lifter_bf16_close_to_fp32():
 # ---------------------------------------------------------------------------
 
 
-def _naive_gat_layer(layer, x, edges, nh, d_out, alpha):
+def _naive_gat_layer(layer, x, edges, nh, d_out, alpha, residual=False):
     """x: [N, Din]; edges: list of (src, dst).  Reference semantics:
     fc1+leaky(alpha) → fc2 → per-edge logits leaky(alpha, a_l·z_src+a_r·z_dst)
-    → softmax per dst → weighted sum of z_src."""
+    → softmax per dst → weighted sum of z_src (+ residual shortcut,
+    gat2.py:69-75)."""
     def leaky(v):
         return np.where(v > 0, v, alpha * v)
 
@@ -63,10 +64,18 @@ def _naive_gat_layer(layer, x, edges, nh, d_out, alpha):
         e = np.exp(logits - logits.max(axis=0, keepdims=True))
         att = e / e.sum(axis=0, keepdims=True)
         out[dst] = np.einsum("kh,khd->hd", att, z[srcs])
+    if residual:
+        if "wr" in layer:
+            r = (x @ np.asarray(layer["wr"]) + np.asarray(layer["br"])
+                 ).reshape(len(x), nh, d_out)
+        else:
+            r = x[:, None, :]
+        out = out + r
     return out
 
 
-def _naive_matcher(params, feats_h, feats_e, pairs, cfg, duplicate=False):
+def _naive_matcher(params, feats_h, feats_e, pairs, cfg, duplicate=False,
+                   residual=False):
     """Full naive stack over the explicit alt-3 edge list.
 
     With ``duplicate=True`` each pair gets TWO feature-identical edge-nodes,
@@ -90,7 +99,7 @@ def _naive_matcher(params, feats_h, feats_e, pairs, cfg, duplicate=False):
     dims.append((d_in, cfg.n_classes, 1))
     for l, (din, dout, nh) in enumerate(dims):
         out = _naive_gat_layer(params["layers"][l], x, edges, nh, dout,
-                               cfg.alpha)
+                               cfg.alpha, residual=residual and l > 0)
         if l < len(dims) - 1:
             x = np.where(out > 0, out, cfg.hidden_slope * out).reshape(
                 len(x), nh * dout)
@@ -99,14 +108,16 @@ def _naive_matcher(params, feats_h, feats_e, pairs, cfg, duplicate=False):
     return 1.0 / (1.0 + np.exp(-x[H:H + len(pairs)]))
 
 
-@pytest.mark.parametrize("duplicate", [False, True])
-def test_gat_matches_naive_edge_list(duplicate):
+@pytest.mark.parametrize("duplicate,residual", [(False, False), (True, False),
+                                                (False, True)])
+def test_gat_matches_naive_edge_list(duplicate, residual):
     """Structured masked attention == explicit edge-list GAT.
 
     Runs in float64 so the comparison isolates *semantics* from fp32
     accumulation-order noise; agreement is ~1e-14."""
     C, S = 3, 2
-    cfg = MatcherConfig(in_dim=16, hidden=(8, 6), heads=(2, 3))
+    cfg = MatcherConfig(in_dim=16, hidden=(8, 6), heads=(2, 3),
+                        residual=residual)
     topo = build_topology(C, S)
     rng = np.random.default_rng(0)
 
@@ -143,10 +154,57 @@ def test_gat_matches_naive_edge_list(duplicate):
     naive = _naive_matcher(
         jax.tree_util.tree_map(np.asarray, params),
         feats_h[real_heads], feats_e_full[:len(pairs)], pairs, cfg,
-        duplicate=duplicate)
+        duplicate=duplicate, residual=residual)
 
     got = got[real_pairs]
     assert np.allclose(got, naive, atol=1e-10), np.abs(got - naive).max()
+
+
+def test_gat_residual_changes_output_and_adds_params():
+    """residual=True must actually change the computed function (VERDICT
+    round-1 'dead config branch' fix) and add res_fc parameters."""
+    cfg0 = MatcherConfig(in_dim=16, hidden=(8, 6), heads=(2, 3))
+    cfg1 = MatcherConfig(in_dim=16, hidden=(8, 6), heads=(2, 3),
+                         residual=True)
+    topo = build_topology(3, 2)
+    p1 = init_matcher(jax.random.PRNGKey(0), cfg1)
+    assert "wr" in p1["layers"][1] and "wr" not in p1["layers"][0]
+    # drop the shortcut weights → same tree as cfg0
+    p0 = {"layers": [{k: v for k, v in l.items() if k not in ("wr", "br")}
+                     for l in p1["layers"]]}
+    fh = jax.random.normal(jax.random.PRNGKey(1), (topo.n_heads, cfg0.in_dim))
+    fe = jnp.zeros((topo.n_pairs, cfg0.in_dim)).at[:, 1].set(1.0)
+    ta = TopologyArrays.from_topology(topo)
+    pm = jnp.ones(topo.n_pairs)
+    s0 = apply_matcher(p0, fh, fe, ta, pm, cfg0)
+    s1 = apply_matcher(p1, fh, fe, ta, pm, cfg1)
+    assert not np.allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
+
+
+def test_gat_dropout_train_vs_eval():
+    """feat/attn dropout fires only with a dropout_key (train mode), is
+    stochastic across keys, and eval mode stays deterministic."""
+    cfg = MatcherConfig(in_dim=16, hidden=(8, 6), heads=(2, 3),
+                        feat_drop=0.3, attn_drop=0.3)
+    topo = build_topology(3, 2)
+    params = init_matcher(jax.random.PRNGKey(0), cfg)
+    fh = jax.random.normal(jax.random.PRNGKey(1), (topo.n_heads, cfg.in_dim))
+    fe = jnp.zeros((topo.n_pairs, cfg.in_dim)).at[:, 1].set(1.0)
+    ta = TopologyArrays.from_topology(topo)
+    pm = jnp.ones(topo.n_pairs)
+    e1 = apply_matcher(params, fh, fe, ta, pm, cfg)
+    e2 = apply_matcher(params, fh, fe, ta, pm, cfg)
+    assert np.allclose(np.asarray(e1), np.asarray(e2))      # eval: no key
+    t1 = apply_matcher(params, fh, fe, ta, pm, cfg,
+                       dropout_key=jax.random.PRNGKey(7))
+    t2 = apply_matcher(params, fh, fe, ta, pm, cfg,
+                       dropout_key=jax.random.PRNGKey(8))
+    assert not np.allclose(np.asarray(t1), np.asarray(e1), atol=1e-6)
+    assert not np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+    # same key → reproducible
+    t1b = apply_matcher(params, fh, fe, ta, pm, cfg,
+                        dropout_key=jax.random.PRNGKey(7))
+    assert np.allclose(np.asarray(t1), np.asarray(t1b))
 
 
 def test_matcher_default_config_runs():
