@@ -145,29 +145,78 @@ def load_frames(path: str) -> List[Dict]:
 
 def parse_frames_batch(text: bytes, rig: RigConfig, max_skeletons: int = 10,
                        cameras: Optional[Sequence[str]] = None,
-                       use_native: bool = True) -> List[FrameArrays]:
+                       use_native: bool = True, with_gt: bool = False):
     """Parse a whole wire JSON payload into FrameArrays, using the C++
     parser (mpe3d_tpu/native) when available — ~30× faster than the python
-    loop on large recordings — with a transparent python fallback."""
+    loop on large recordings — with a transparent python fallback.
+
+    ``with_gt=True`` additionally extracts per-frame 3D ground truth
+    (best-camera selection per ``parse_frame_gt``) and returns
+    ``(frames, gts)`` where gts is a List[Optional[FrameGroundTruth]].
+    """
     cameras = tuple(cameras) if cameras is not None else rig.camera_names
     if use_native:
         from mpe3d_tpu.native import parse_frames_native
 
-        out = parse_frames_native(text, cameras, max_skeletons, rig.n_joints)
+        out = parse_frames_native(text, cameras, max_skeletons, rig.n_joints,
+                                  with_gt=with_gt)
         if out is not None:
-            kp, valid, prob, in_view, present, ts = out
-            return [FrameArrays(kp[f], valid[f], prob[f], in_view[f],
-                                present[f], ts[f]) for f in range(len(kp))]
+            kp, valid, prob, in_view, present, ts = out[:6]
+            fas = [FrameArrays(kp[f], valid[f], prob[f], in_view[f],
+                               present[f], ts[f]) for f in range(len(kp))]
+            if not with_gt:
+                return fas
+            gt, gt_valid, gt_pvalid, gt_count = out[6:]
+            gts: List[Optional[FrameGroundTruth]] = []
+            for f in range(len(kp)):
+                counts = gt_count[f]
+                # best camera = first one with the strictly-largest GT list
+                # (parse_frame_gt iterates in file order and keeps on '>')
+                best_ci, best_n = -1, -1
+                for ci in range(len(cameras)):
+                    if counts[ci] >= 0 and counts[ci] > best_n:
+                        best_ci, best_n = ci, int(counts[ci])
+                if best_ci < 0 or best_n == 0:
+                    gts.append(None)
+                    continue
+                P = min(best_n, gt.shape[2])
+                gts.append(FrameGroundTruth(
+                    gt[f, best_ci, :P] / 100.0,          # cm -> m
+                    gt_valid[f, best_ci, :P],
+                    gt_pvalid[f, best_ci, :P],
+                    cameras[best_ci]))
+            return fas, gts
     frames = json.loads(text)
-    return [parse_frame(f, rig, max_skeletons, cameras) for f in frames]
+    fas = [parse_frame(f, rig, max_skeletons, cameras) for f in frames]
+    if not with_gt:
+        return fas
+    return fas, [parse_frame_gt(f, rig) for f in frames]
 
 
 def parse_frames_file(path: str, rig: RigConfig, max_skeletons: int = 10,
                       cameras: Optional[Sequence[str]] = None,
-                      use_native: bool = True) -> List[FrameArrays]:
+                      use_native: bool = True,
+                      with_gt: bool = False):
     with open(path, "rb") as f:
         return parse_frames_batch(f.read(), rig, max_skeletons, cameras,
-                                  use_native)
+                                  use_native, with_gt=with_gt)
+
+
+def load_eval_frames(paths: Sequence[str], rig: RigConfig,
+                     max_skeletons: int = 10, use_native: bool = True
+                     ) -> Tuple[List[FrameArrays],
+                                List[Optional[FrameGroundTruth]]]:
+    """Load wire files straight into (FrameArrays, GroundTruth) pairs via
+    the native parser — the eval-loop loading path (≙ the reference's
+    per-frame json.loads hot loop, metrics_from_model.py:104-174)."""
+    fas: List[FrameArrays] = []
+    gts: List[Optional[FrameGroundTruth]] = []
+    for p in paths:
+        fa, gt = parse_frames_file(p, rig, max_skeletons,
+                                   use_native=use_native, with_gt=True)
+        fas.extend(fa)
+        gts.extend(gt)
+    return fas, gts
 
 
 def merge_frame_files(paths: Sequence[str], out_path: str) -> int:

@@ -37,13 +37,17 @@ def transform_gt_to_world(gt3d: np.ndarray, dataset_T_wc1: np.ndarray,
     return gt3d @ M[:3, :3].T + M[:3, 3]
 
 
-def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
+def run_pose_metrics(frames, rig_config: RigConfig,
                      pipeline: PoseEstimationPipeline, datastep: int = 12,
                      dataset_T_wc1: Optional[np.ndarray] = None,
                      max_skeletons: int = 10, fused: bool = False,
                      stream: int = 0) -> Dict:
     """Full-pipeline 3D accuracy + timing (≙ metrics_from_model.py:104-390).
 
+    ``frames``: raw wire dicts (List[Dict], parsed per frame in python) OR
+    the output of ``data.frames.load_eval_frames`` — a
+    ``(List[FrameArrays], List[Optional[FrameGroundTruth]])`` tuple from the
+    native C++ parser, which is the fast loading path for large recordings.
     ``dataset_T_wc1``: the *dataset* calibration's root→camera1 transform
     when GT lives in a different frame than the model calibration.
     ``fused=True`` runs the single-program pipeline (one device round trip;
@@ -58,17 +62,28 @@ def run_pose_metrics(frames: List[Dict], rig_config: RigConfig,
         if pipeline.rig.n_cameras > 1 else np.eye(4)
 
     selected = []            # (FrameArrays, gt3d, gt)
-    for i, frame in enumerate(frames):
-        if i % datastep != 0:
-            continue
-        gt = parse_frame_gt(frame, rig_config)
-        if gt is None:
-            continue
-        gt3d = gt.gt3d
-        if dataset_T_wc1 is not None:
-            gt3d = transform_gt_to_world(gt3d, dataset_T_wc1, model_T_c1w)
-        selected.append((parse_frame(frame, rig_config, max_skeletons),
-                         gt3d, gt))
+    if isinstance(frames, tuple):
+        for i, (fa, gt) in enumerate(zip(*frames)):
+            if i % datastep != 0 or gt is None:
+                continue
+            gt3d = gt.gt3d
+            if dataset_T_wc1 is not None:
+                gt3d = transform_gt_to_world(gt3d, dataset_T_wc1,
+                                             model_T_c1w)
+            selected.append((fa, gt3d, gt))
+    else:
+        for i, frame in enumerate(frames):
+            if i % datastep != 0:
+                continue
+            gt = parse_frame_gt(frame, rig_config)
+            if gt is None:
+                continue
+            gt3d = gt.gt3d
+            if dataset_T_wc1 is not None:
+                gt3d = transform_gt_to_world(gt3d, dataset_T_wc1,
+                                             model_T_c1w)
+            selected.append((parse_frame(frame, rig_config, max_skeletons),
+                             gt3d, gt))
     n_frames = len(selected)
 
     if stream > 0 and len(pipeline.match_idx) > 1:
@@ -268,7 +283,7 @@ def run_sm_metrics_without_gt(inputs: List[List[Dict]],
     return {k: v / n for k, v in sums.items()} | {"n_scenes": n}
 
 
-def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
+def run_reprojection_error(frames, rig_config: RigConfig,
                            pipeline: PoseEstimationPipeline,
                            tri_pipeline: Optional[PoseEstimationPipeline] = None,
                            datastep: int = 1, max_skeletons: int = 10,
@@ -276,9 +291,11 @@ def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
     """Per-camera reprojection pixel error of estimated 3D
     (≙ reprojection_error.py:160-431) for rigs without 3D GT.
 
-    ``show_gt=True`` also reprojects GT 3D poses when the frames carry them
-    (the reference's optional GT column, reprojection_error.py:384-419) —
-    matched to proposals by best permutation of mean joint distance.
+    ``frames``: raw wire dicts or a ``load_eval_frames`` tuple (see
+    ``run_pose_metrics``).  ``show_gt=True`` also reprojects GT 3D poses
+    when the frames carry them (the reference's optional GT column,
+    reprojection_error.py:384-419) — matched to proposals by best
+    permutation of mean joint distance.
     """
     from mpe3d_tpu.eval.pose_metrics import best_permutation, pose_error_table
 
@@ -287,10 +304,19 @@ def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
     errs_tri: List[List[float]] = [[] for _ in range(C)]
     errs_gt: List[List[float]] = [[] for _ in range(C)]
     n = 0
-    for i, frame in enumerate(frames):
+    if isinstance(frames, tuple):
+        pairs = list(zip(*frames))
+    else:
+        pairs = [(None, None)] * len(frames)   # parsed lazily below
+    for i in range(len(pairs)):
         if i % datastep != 0:
             continue
-        fa = parse_frame(frame, rig_config, max_skeletons)
+        if isinstance(frames, tuple):
+            fa, pre_gt = pairs[i]
+        else:
+            frame = frames[i]
+            fa = parse_frame(frame, rig_config, max_skeletons)
+            pre_gt = None
         out = pipeline(fa)
         if len(out.persons) == 0:
             continue
@@ -306,7 +332,8 @@ def run_reprojection_error(frames: List[Dict], rig_config: RigConfig,
             for c in range(len(pe)):
                 errs[c].extend(pe[c])
         if show_gt:
-            gt = parse_frame_gt(frame, rig_config)
+            gt = pre_gt if isinstance(frames, tuple) \
+                else parse_frame_gt(frame, rig_config)
             if gt is not None and len(gt.gt3d):
                 table = pose_error_table(gt.gt3d, gt.gt_valid, poses_mlp,
                                          rig_config.used_joints)

@@ -6,6 +6,11 @@ Here the host-side hot loop — wire-format JSON parsing into dense buffers —
 is a C++ shared library built lazily with g++ and bound via ctypes (no
 pybind11 dependency).  ``parse_frames_native`` returns None when the library
 is unavailable; callers fall back to the python parser.
+
+Allocation is exact: a cheap native counting pass (``mpe3d_count_frames``)
+sizes the [F, ...] buffers before the parse, so arbitrarily large
+recordings parse in O(file size) memory (round-1 fix: the old
+``len(text)//4`` frame cap allocated ~3800× the input size).
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "frameparse.cpp")
-_LIB_NAME = "libmpe3dframe.so"
+_LIB_NAME = "libmpe3dframe2.so"
 _lib = None
 _tried = False
 
@@ -50,17 +55,19 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
                    _SRC, "-o", lib_path]
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         lib = ctypes.CDLL(lib_path)
-        lib.mpe3d_parse_frames.restype = ctypes.c_int
-        lib.mpe3d_parse_frames.argtypes = [
+        lib.mpe3d_count_frames.restype = ctypes.c_int64
+        lib.mpe3d_count_frames.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.mpe3d_parse_frames_v2.restype = ctypes.c_int
+        lib.mpe3d_parse_frames_v2.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            f32, f32, f32, u8, u8,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
@@ -71,14 +78,29 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def count_frames_native(text: bytes) -> Optional[int]:
+    """Exact top-level frame count (None if the library is unavailable)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if isinstance(text, str):
+        text = text.encode()
+    n = lib.mpe3d_count_frames(text, len(text))
+    return None if n < 0 else int(n)
+
+
 def parse_frames_native(text: bytes, camera_names: Sequence[str],
                         max_skeletons: int, n_joints: int,
-                        max_frames: Optional[int] = None
+                        max_frames: Optional[int] = None,
+                        with_gt: bool = False, max_gt_persons: int = 16
                         ) -> Optional[Tuple[np.ndarray, ...]]:
     """Batch-parse a whole wire JSON file into dense buffers.
 
-    Returns (kp [F,C,S,J,2], valid, prob, in_view, present, timestamps) or
-    None if the native library is unavailable or parsing failed.
+    Returns (kp [F,C,S,J,2], valid, prob, in_view, present, timestamps)
+    — plus (gt [F,C,P,J,3] in raw wire cm, gt_valid [F,C,P,J],
+    gt_pvalid [F,C,P], gt_count [F,C]; count -1 = camera entry had no GT
+    list) when ``with_gt`` — or None if the native library is unavailable
+    or parsing failed.
     """
     lib = load_library()
     if lib is None:
@@ -86,23 +108,44 @@ def parse_frames_native(text: bytes, camera_names: Sequence[str],
     if isinstance(text, str):
         text = text.encode()
     C, S, J = len(camera_names), max_skeletons, n_joints
-    # frames are at least ~2 bytes each ('{}'); generous upper bound
-    F_cap = max_frames if max_frames is not None else max(len(text) // 4, 4)
+    if max_frames is not None:
+        F_cap = max_frames
+    else:
+        n = lib.mpe3d_count_frames(text, len(text))
+        if n < 0:
+            print("[mpe3d.native] count failed; using python parser",
+                  file=sys.stderr)
+            return None
+        F_cap = max(int(n), 1)
     kp = np.zeros((F_cap, C, S, J, 2), np.float32)
     valid = np.zeros((F_cap, C, S, J), np.float32)
     prob = np.zeros((F_cap, C, S, J), np.float32)
     in_view = np.zeros((F_cap, C, S, J), np.uint8)
     present = np.zeros((F_cap, C, S), np.uint8)
     ts = np.zeros((F_cap, C), np.float64)
+    if with_gt:
+        P = max_gt_persons
+        gt = np.zeros((F_cap, C, P, J, 3), np.float32)
+        gt_valid = np.zeros((F_cap, C, P, J), np.uint8)
+        gt_pvalid = np.zeros((F_cap, C, P), np.uint8)
+        gt_count = np.full((F_cap, C), -1, np.int32)
+        gt_args = (gt.ctypes.data, gt_valid.ctypes.data,
+                   gt_pvalid.ctypes.data, gt_count.ctypes.data, P)
+    else:
+        gt_args = (None, None, None, None, 0)
     names = (ctypes.c_char_p * C)(*[c.encode() for c in camera_names])
     n_out = ctypes.c_int64(0)
-    rc = lib.mpe3d_parse_frames(text, len(text), names, C, S, J, F_cap,
-                                kp, valid, prob, in_view, present, ts,
-                                ctypes.byref(n_out))
+    rc = lib.mpe3d_parse_frames_v2(text, len(text), names, C, S, J, F_cap,
+                                   kp, valid, prob, in_view, present, ts,
+                                   *gt_args, ctypes.byref(n_out))
     if rc != 0:
         print(f"[mpe3d.native] parse failed (rc={rc}); using python parser",
               file=sys.stderr)
         return None
     F = n_out.value
-    return (kp[:F], valid[:F], prob[:F], in_view[:F].astype(bool),
-            present[:F].astype(bool), ts[:F])
+    out = (kp[:F], valid[:F], prob[:F], in_view[:F].astype(bool),
+           present[:F].astype(bool), ts[:F])
+    if with_gt:
+        out = out + (gt[:F], gt_valid[:F].astype(bool),
+                     gt_pvalid[:F].astype(bool), gt_count[:F])
+    return out

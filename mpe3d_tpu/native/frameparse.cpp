@@ -11,8 +11,13 @@
 // camera name → [skeletons_json_str, timestamp, 'no_image', gt?]; the
 // skeletons string is itself JSON: a list of {joint_id: [id, x, y, valid,
 // prob], "ID"?: ...} dicts.  The inner string is unescaped into a scratch
-// buffer and parsed with the same machinery.  GT (element 3) is skipped —
-// it is only needed at evaluation rate and stays in python.
+// buffer and parsed with the same machinery.  GT (element 3, a list of
+// {joint_id: [x, y, z], "-1": marker} dicts in cm; reference:
+// test/metrics_from_model.py:128-174) is parsed into dense per-camera
+// buffers when requested, so the eval loop never touches python json.
+//
+// mpe3d_count_frames provides an exact frame count in a cheap first pass so
+// callers allocate [F, ...] buffers exactly (no size-guessing).
 //
 // Build: g++ -O3 -shared -fPIC frameparse.cpp -o libmpe3dframe.so
 // (done lazily by mpe3d_tpu/native/__init__.py; python fallback otherwise).
@@ -151,6 +156,12 @@ struct Buffers {
   uint8_t* present;
   double* ts;
   int C, S, J;
+  // optional ground-truth buffers (null = skip GT)
+  float* gt = nullptr;        // [F, C, P, J, 3] raw wire units (cm)
+  uint8_t* gt_valid = nullptr;   // [F, C, P, J]
+  uint8_t* gt_pvalid = nullptr;  // [F, C, P] '-1' marker present
+  int32_t* gt_count = nullptr;   // [F, C] list length (-1 = no GT element)
+  int P = 0;
 
   inline int64_t kp_idx(int64_t f, int ci, int s, int j) const {
     return (((f * C + ci) * S + s) * J + j) * 2;
@@ -158,7 +169,82 @@ struct Buffers {
   inline int64_t j_idx(int64_t f, int ci, int s, int j) const {
     return ((f * C + ci) * S + s) * J + j;
   }
+  inline int64_t gt_idx(int64_t f, int ci, int p, int j) const {
+    return (((f * C + ci) * P + p) * J + j) * 3;
+  }
+  inline int64_t gtj_idx(int64_t f, int ci, int p, int j) const {
+    return ((f * C + ci) * P + p) * J + j;
+  }
 };
+
+// Parse one GT list (element 3 of a camera entry) into camera ci of frame f.
+// Persons beyond b.P are consumed but not stored (the count still includes
+// them, matching len(entry[3]) used for best-camera selection in python).
+bool parse_gt_list(Cursor& c, const Buffers& b, int64_t f, int ci) {
+  if (!c.expect('[')) return false;
+  int32_t count = 0;
+  if (c.peek_is(']')) {
+    ++c.p;
+    if (b.gt_count) b.gt_count[f * b.C + ci] = 0;
+    return true;
+  }
+  while (c.ok) {
+    if (!c.expect('{')) return false;
+    int p = count;
+    bool store_p = b.gt && p < b.P;
+    if (c.peek_is('}')) {
+      ++c.p;
+    } else {
+      while (c.ok) {
+        std::string key;
+        if (!parse_string(c, key)) return false;
+        if (!c.expect(':')) return false;
+        bool is_marker = (key == "-1");
+        long j = is_marker ? -1 : strtol(key.c_str(), nullptr, 10);
+        if (is_marker && store_p && b.gt_pvalid)
+          b.gt_pvalid[(f * b.C + ci) * b.P + p] = 1;
+        bool store_j = store_p && !is_marker && j >= 0 && j < b.J;
+        if (c.peek_is('[')) {
+          ++c.p;
+          double vals[3] = {0, 0, 0};
+          int n = 0;
+          if (!c.peek_is(']')) {
+            while (c.ok) {
+              double v;
+              if (!parse_number(c, &v)) return false;
+              if (n < 3) vals[n] = v;
+              ++n;
+              c.skip_ws();
+              if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+              break;
+            }
+          }
+          if (!c.expect(']')) return false;
+          if (store_j) {
+            int64_t k = b.gt_idx(f, ci, p, (int)j);
+            b.gt[k] = (float)vals[0];
+            b.gt[k + 1] = (float)vals[1];
+            b.gt[k + 2] = (float)vals[2];
+            b.gt_valid[b.gtj_idx(f, ci, p, (int)j)] = 1;
+          }
+        } else {
+          if (!skip_value(c)) return false;
+        }
+        c.skip_ws();
+        if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+        if (!c.expect('}')) return false;
+        break;
+      }
+    }
+    ++count;
+    c.skip_ws();
+    if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
+    if (!c.expect(']')) return false;
+    if (b.gt_count) b.gt_count[f * b.C + ci] = count;
+    return true;
+  }
+  return false;
+}
 
 // Parse one skeletons list (already-unescaped inner JSON) into camera ci of
 // frame f.  Mirrors data/frames.py: slots fill in order, zero-joint
@@ -243,17 +329,57 @@ bool parse_skeletons(const std::string& text, const Buffers& b, int64_t f,
 
 extern "C" {
 
+// Exact top-level frame count: one cheap scan tracking string state and
+// bracket depth; counts '{' openings at depth 1 (each frame is an object
+// element of the top-level list).  Returns -1 on malformed leading token.
+int64_t mpe3d_count_frames(const char* text, int64_t text_len) {
+  int64_t count = 0;
+  int depth = 0;
+  bool in_str = false, esc = false;
+  bool seen_open = false;
+  for (int64_t i = 0; i < text_len; ++i) {
+    char ch = text[i];
+    if (in_str) {
+      if (esc) esc = false;
+      else if (ch == '\\') esc = true;
+      else if (ch == '"') in_str = false;
+      continue;
+    }
+    switch (ch) {
+      case '"': in_str = true; break;
+      case '[': ++depth; seen_open = true; break;
+      case ']': --depth; break;
+      case '{':
+        if (depth == 1) ++count;
+        ++depth;
+        break;
+      case '}': --depth; break;
+      default: break;
+    }
+  }
+  return seen_open ? count : -1;
+}
+
 // Returns 0 on success; fills n_frames_out with the number parsed.
 // Buffers must be zero-initialised [max_frames, C, S, J, ...] C-order.
-int mpe3d_parse_frames(const char* text, int64_t text_len,
-                       const char** cam_names, int n_cams, int max_skel,
-                       int n_joints, int64_t max_frames, float* kp,
-                       float* valid, float* prob, uint8_t* in_view,
-                       uint8_t* present, double* timestamps,
-                       int64_t* n_frames_out) {
+// GT buffers may all be null (GT elements are then skipped); max_persons
+// is the GT person capacity per (frame, camera).
+int mpe3d_parse_frames_v2(const char* text, int64_t text_len,
+                          const char** cam_names, int n_cams, int max_skel,
+                          int n_joints, int64_t max_frames, float* kp,
+                          float* valid, float* prob, uint8_t* in_view,
+                          uint8_t* present, double* timestamps,
+                          float* gt, uint8_t* gt_valid, uint8_t* gt_pvalid,
+                          int32_t* gt_count, int max_persons,
+                          int64_t* n_frames_out) {
   Cursor c{text, text + text_len};
   Buffers b{kp, valid, prob, in_view, present, timestamps,
             n_cams, max_skel, n_joints};
+  b.gt = gt;
+  b.gt_valid = gt_valid;
+  b.gt_pvalid = gt_pvalid;
+  b.gt_count = gt_count;
+  b.P = max_persons;
   *n_frames_out = 0;
   if (!c.expect('[')) return 1;
   if (c.peek_is(']')) { ++c.p; return 0; }
@@ -288,6 +414,8 @@ int mpe3d_parse_frames(const char* text, int64_t text_len,
               double ts;
               if (!parse_number(c, &ts)) return 1;
               timestamps[f * n_cams + ci] = ts;
+            } else if (elem == 3 && b.gt_count && c.peek_is('[')) {
+              if (!parse_gt_list(c, b, f, ci)) return 1;
             } else {
               if (!skip_value(c)) return 1;
             }

@@ -78,3 +78,35 @@ def test_pose_eval_invalid_gt_discounted():
 
     table = pose_error_table(gt, np.ones((1, 18), bool), gt.copy(), range(18))
     assert table.shape == (1, 1) and table[0, 0] == 0.0
+
+
+def test_best_permutation_hungarian_matches_exhaustive():
+    """Above the exhaustive cutoff the Hungarian path must reach the same
+    minimal total error (and identical assignment when unique), and a
+    12-person frame must evaluate fast."""
+    import itertools
+    import time
+
+    from mpe3d_tpu.eval.pose_metrics import best_permutation
+
+    rng = np.random.default_rng(0)
+    # compare totals on sizes straddling the cutoff
+    for G, R in [(3, 5), (5, 3), (6, 6), (7, 5), (5, 8), (9, 9)]:
+        t = rng.random((G, R))
+        perm = best_permutation(t)
+        total = sum(t[g, r] for g, r in enumerate(perm) if r < R)
+        # brute-force optimum
+        if G <= R:
+            cand = itertools.permutations(range(R), G)
+        else:
+            cand = itertools.permutations(range(G), G)
+        best = min(sum(t[g, r] for g, r in enumerate(p) if r < R)
+                   for p in cand)
+        assert abs(total - best) < 1e-12, (G, R)
+        assert len(set(perm)) == G          # distinct assignment
+    # crowded frame: milliseconds, not minutes
+    t12 = rng.random((12, 12))
+    t0 = time.perf_counter()
+    perm = best_permutation(t12)
+    assert time.perf_counter() - t0 < 0.1
+    assert sorted(perm) == list(range(12))

@@ -86,3 +86,67 @@ def test_native_speedup(wire_text):
         [parse_frame(f, PANOPTIC, 10) for f in json.loads(text)]
     t_python = time.perf_counter() - t0
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_native_count_frames(wire_text):
+    from mpe3d_tpu.native import count_frames_native
+    text, frames = wire_text
+    assert count_frames_native(text) == len(frames)
+    assert count_frames_native(b"[]") == 0
+    assert count_frames_native(b"[{}, {}]") == 2
+    # braces inside strings must not be counted
+    assert count_frames_native(b'[{"a": ["{\\"0\\": [1]}", 1.0]}]') == 1
+
+
+def test_native_gt_matches_python(wire_text):
+    """with_gt=True path == parse_frame_gt on every frame (best-camera
+    selection, cm→m scaling, '-1' markers)."""
+    from mpe3d_tpu.data.frames import parse_frame_gt
+    text, frames = wire_text
+    fas, gts = parse_frames_batch(text, PANOPTIC, with_gt=True,
+                                  use_native=True)
+    assert len(fas) == len(gts) == len(frames)
+    n_gt = 0
+    for f, frame in enumerate(frames):
+        ref = parse_frame_gt(frame, PANOPTIC)
+        assert (gts[f] is None) == (ref is None)
+        if ref is None:
+            continue
+        n_gt += 1
+        assert gts[f].camera == ref.camera
+        assert np.allclose(gts[f].gt3d, ref.gt3d, atol=1e-6)
+        assert np.array_equal(gts[f].gt_valid, ref.gt_valid)
+        assert np.array_equal(gts[f].person_valid, ref.person_valid)
+    assert n_gt > 0
+
+
+def test_native_large_file_exact_allocation(tmp_path, panoptic_rig):
+    """A ~100 MB recording parses without pathological memory (round-1 fix:
+    the old len//4 frame cap would have tried to allocate ~380 GB)."""
+    import resource
+
+    from mpe3d_tpu.data.frames import parse_frames_file
+
+    frames = generate_frames(PANOPTIC, panoptic_rig, 50, n_people=(3, 6),
+                             seed=11, with_gt=True)
+    text = json.dumps(frames)
+    reps = max(1, 100_000_000 // len(text))
+    p = tmp_path / "big.json"
+    with open(p, "w") as f:
+        f.write("[")
+        inner = text[1:-1]
+        for r in range(reps):
+            if r:
+                f.write(",")
+            f.write(inner)
+        f.write("]")
+    size = p.stat().st_size
+    assert size >= 90_000_000, size
+    n_expected = 50 * reps
+    fas, gts = parse_frames_file(str(p), PANOPTIC, with_gt=True)
+    assert len(fas) == n_expected
+    assert sum(g is not None for g in gts) > 0
+    # peak RSS stays within a small multiple of the buffer size
+    # (buffers ≈ n_frames * ~60 KB incl GT; the file itself is ~100 MB)
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert peak_kb < 8_000_000, f"peak RSS {peak_kb} KB"
