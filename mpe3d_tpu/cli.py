@@ -106,11 +106,21 @@ def build_pipeline(args, backend: str):
 
 
 def _load_files(paths):
+    """Raw wire dicts — only for consumers that need per-camera GT lists
+    (sm-metrics' proximity clustering).  The pose-metric paths load through
+    the native parser via ``_load_eval_files``."""
     from mpe3d_tpu.data.frames import load_frames
     frames = []
     for p in paths:
         frames.extend(load_frames(p))
     return frames
+
+
+def _load_eval_files(paths, rig_config, max_skeletons: int = 10):
+    """(FrameArrays, GroundTruth) lists via the C++ parser (one native pass
+    per file; python fallback transparent)."""
+    from mpe3d_tpu.data.frames import load_eval_frames
+    return load_eval_frames(paths, rig_config, max_skeletons)
 
 
 def _print_report(report: dict):
@@ -142,8 +152,23 @@ def cmd_train_matcher(args):
                                seed=tcfg.seed + 1)
     print(f"train scenes: {len(train)}, dev scenes: {len(dev)}")
     out = os.path.join(args.modelsdir, "skeleton_matching")
+    params = opt_state = None
+    if getattr(args, "resume", False):
+        import jax
+        import optax
+
+        from mpe3d_tpu.models.gat import init_matcher
+        from mpe3d_tpu.train.checkpoint import load_checkpoint
+        tmpl_p = init_matcher(jax.random.PRNGKey(0), cfg)
+        tmpl_o = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay) \
+            .init(tmpl_p)
+        params, opt_state, meta = load_checkpoint(out, tmpl_p, tmpl_o)
+        print(f"resuming from {out}.npz (epoch {meta.get('epoch')}, "
+              f"val {meta.get('val_loss')}, "
+              f"opt_state={'yes' if opt_state is not None else 'no'})")
     res = train_matcher(train, dev, rig_config, rig, topo, cfg, tcfg,
-                        checkpoint_path=out)
+                        checkpoint_path=out, params=params,
+                        opt_state=opt_state)
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
           f"epochs → {out}.npz")
     if args.testset:
@@ -182,10 +207,26 @@ def cmd_train_lifter(args):
         args.devset, rig_config, rig, cache=args.cache)
     print(f"dataset length: {len(net_t)} (dev {len(net_d)})")
     out = os.path.join(args.modelsdir, "pose_estimator")
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    params = opt_state = None
+    if getattr(args, "resume", False):
+        import jax
+        import optax
+
+        from mpe3d_tpu.models.mlp import init_lifter
+        from mpe3d_tpu.train.checkpoint import load_checkpoint
+        tmpl_p = init_lifter(jax.random.PRNGKey(0), lcfg)
+        tmpl_o = optax.chain(
+            optax.clip_by_global_norm(tcfg.grad_clip_norm),
+            optax.adam(tcfg.lr)).init({"model": tmpl_p})
+        params, opt_state, meta = load_checkpoint(out, tmpl_p, tmpl_o)
+        print(f"resuming from {out}.npz (epoch {meta.get('epoch')}, "
+              f"val {meta.get('val_loss')}, "
+              f"opt_state={'yes' if opt_state is not None else 'no'})")
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig,
-                       LifterConfig(in_dim=rig_config.lifter_input_dim,
-                                    out_dim=rig_config.n_joints * 3),
-                       tcfg, checkpoint_path=out)
+                       lcfg, tcfg, checkpoint_path=out, params=params,
+                       opt_state=opt_state)
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
           f"epochs → {out}.npz")
 
@@ -200,8 +241,8 @@ def _pose_metrics(args, backend: str):
         ts = load_transform_manager(args.dataset_tm)
         dataset_T = ts.get_transform("root", rig_config.camera_names[1])
     pipe.decode_on_device = getattr(args, "device_decode", False)
-    report = run_pose_metrics(_load_files(args.testfiles), rig_config, pipe,
-                              datastep=args.datastep,
+    report = run_pose_metrics(_load_eval_files(args.testfiles, rig_config),
+                              rig_config, pipe, datastep=args.datastep,
                               dataset_T_wc1=dataset_T, fused=args.fused,
                               stream=getattr(args, "stream", 0))
     _print_report(report)
@@ -242,9 +283,9 @@ def cmd_reprojection_error(args):
     rig_config, rig, pipe = build_pipeline(args, "mlp")
     tri = PoseEstimationPipeline(rig_config, rig, pipe.matcher_params,
                                  pipe.matcher_cfg, backend="triangulation")
-    report = run_reprojection_error(_load_files(args.testfiles), rig_config,
-                                    pipe, tri, datastep=args.datastep,
-                                    show_gt=args.showgt)
+    report = run_reprojection_error(
+        _load_eval_files(args.testfiles, rig_config), rig_config,
+        pipe, tri, datastep=args.datastep, show_gt=args.showgt)
     _print_report(report)
 
 
@@ -255,12 +296,18 @@ def cmd_infer(args):
     the library path of test/show_results_from_model.py:139-336 without the
     GL window.)  Output: JSON list of {frame, n_persons, persons, poses_m}.
     """
-    from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.data.frames import parse_frames_file
 
     rig_config, rig, pipe = build_pipeline(args, args.backend)
-    frames = _load_files(args.testfiles)
-    fas = [parse_frame(f, rig_config, args.max_skeletons) for f in frames]
-    if args.batch:
+    fas = []
+    for p in args.testfiles:
+        fas.extend(parse_frames_file(p, rig_config, args.max_skeletons))
+    if len(pipe.match_idx) <= 1:
+        # single matching camera: the fused decode needs ≥2 views — use the
+        # staged path's bypass (one proposal per present skeleton), like
+        # __call__ / run_pose_metrics do
+        outs = [pipe(fa) for fa in fas]
+    elif args.batch:
         outs = pipe.infer_batch(fas)
     else:
         outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
@@ -279,18 +326,16 @@ def cmd_infer(args):
 
 
 def cmd_show_results(args):
-    from mpe3d_tpu.data.frames import parse_frame, parse_frame_gt
     from mpe3d_tpu.viz.viewer import render_sequence
 
     rig_config, rig, pipe = build_pipeline(args, args.backend)
-    frames = _load_files(args.testfiles)[: args.max_frames]
+    fas, frame_gts = _load_eval_files(args.testfiles, rig_config)
+    fas, frame_gts = fas[: args.max_frames], frame_gts[: args.max_frames]
     poses, gts = [], []
-    for f in frames:
-        fa = parse_frame(f, rig_config)
+    for fa, gt in zip(fas, frame_gts):
         out = pipe(fa)
         poses.append(out.poses)
-        gt = parse_frame_gt(f, rig_config) if args.showgt else None
-        gts.append(gt.gt3d if gt else None)
+        gts.append(gt.gt3d if (args.showgt and gt) else None)
     path = render_sequence(poses, rig_config, args.out,
                            gts if args.showgt else None)
     print(f"wrote {path}")
@@ -375,7 +420,9 @@ def _add_common(p, models=True):
                        "docs/ARCHITECTURE.md)")
         p.add_argument("--geo-rescue", type=float, default=0.0,
                        help="geometric rescue low-score floor (0 = off; "
-                       "0.001 ≈ geometry-only)")
+                       "0.001 ≈ geometry-only).  Forces the exact uncapped "
+                       "device decode so capped top-k cannot diverge from "
+                       "the host decode on dense scenes")
         p.add_argument("--geo-rescue-dist", type=float, default=0.05,
                        help="rescue ray-distance cut in metres")
 
@@ -397,6 +444,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--slots", type=int, default=4,
                    help="skeleton slots per camera in training scenes")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume params + optimizer state from the "
+                   "modelsdir checkpoint (the reference can only save)")
     p.set_defaults(fn=cmd_train_matcher)
 
     p = sub.add_parser("train-lifter")
@@ -409,6 +459,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache", action="store_true",
                    help="cache packed datasets next to the last input file")
     p.add_argument("--seed", type=int, default=58008)
+    p.add_argument("--resume", action="store_true",
+                   help="resume params (+ optimizer state when present) "
+                   "from the modelsdir checkpoint")
     p.set_defaults(fn=cmd_train_lifter)
 
     for name, fn in (("metrics-from-model", cmd_metrics_from_model),

@@ -163,6 +163,24 @@ class PoseEstimationPipeline:
     def _geo_active(self) -> bool:
         return self.geo_rerank > 0.0 or self.geo_rescue > 0.0
 
+    @property
+    def _decode_top_k_eff(self) -> int:
+        """Effective device-decode candidate cap.  With geo_rescue active,
+        nearly every ray-consistent pair can become eligible regardless of
+        its raw score, so a fixed top-k would silently diverge from the
+        uncapped host decode on dense scenes — rescue therefore forces the
+        exact (uncapped) device decode."""
+        return 0 if self.geo_rescue > 0.0 else self.decode_top_k
+
+    @property
+    def _geo_key(self):
+        """Decode-affecting knobs baked into traced programs at first use.
+        Passed through the jit caches as part of the key, so mutating these
+        attributes on a live pipeline (the CLI/test pattern) retraces
+        instead of silently reusing stale constants."""
+        return (self.threshold, self._decode_top_k_eff, self.geo_rerank,
+                self.geo_scale, self.geo_rescue, self.geo_rescue_dist)
+
     def _geo_decode_scores(self, scores, kp, valid, observed, topo):
         """(eligibility_scores, order_scores) under the geometric
         rerank/rescue extensions.  Traceable (used inside the fused and
@@ -188,17 +206,22 @@ class PoseEstimationPipeline:
     def _match_fn(self, slots: int):
         return jax.jit(self._score_core(slots))
 
-    @functools.lru_cache(maxsize=16)
     def _match_decode_fn(self, slots: int, p_max: int):
+        return self._match_decode_impl(slots, p_max, self._geo_key)
+
+    @functools.lru_cache(maxsize=16)
+    def _match_decode_impl(self, slots: int, p_max: int, geo_key):
         """Staged path, stage 1 with the greedy decode fused in: features +
         GAT + on-device union-find decode in ONE dispatch, so the stage-1
         readback already carries person proposals (no host decode between
-        the two stages)."""
+        the two stages).  ``geo_key`` keys the cache on the decode knobs
+        (its values are re-read from self at trace time)."""
         from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
 
         topo = self.topology(slots)
         core = self._score_core(slots)
         min_views = self.rig_config.min_number_of_views
+        top_k = self._decode_top_k_eff
 
         @jax.jit
         def run(params, kp, valid, prob, observed, present):
@@ -207,7 +230,7 @@ class PoseEstimationPipeline:
                                                  observed, topo)
             persons, person_mask = decode_person_proposals_device(
                 eff, pm, topo, min_views, self.threshold, p_max,
-                top_k=self.decode_top_k, order_scores=order)
+                top_k=top_k, order_scores=order)
             return scores, pm, persons, person_mask
 
         return run
@@ -243,8 +266,11 @@ class PoseEstimationPipeline:
 
         return run
 
-    @functools.lru_cache(maxsize=16)
     def _fused_fn(self, slots: int, p_max: int):
+        return self._fused_impl(slots, p_max, self._geo_key)
+
+    @functools.lru_cache(maxsize=16)
+    def _fused_impl(self, slots: int, p_max: int, geo_key):
         """ONE compiled program: features + GAT + on-device greedy decode +
         per-person gather + 3D backend.  Single dispatch + single readback
         per frame — the latency north star (SURVEY.md §7 step 5)."""
@@ -275,7 +301,7 @@ class PoseEstimationPipeline:
             eff, order = self._geo_decode_scores(scores, km, vm, om, topo)
             persons, person_mask = decode_person_proposals_device(
                 eff, pmask, topo, min_views, self.threshold, p_max,
-                top_k=self.decode_top_k, order_scores=order)
+                top_k=self._decode_top_k_eff, order_scores=order)
 
             # gather per-person observations for the used cameras
             up = jnp.asarray(used_pos)                            # [Cu]
@@ -311,8 +337,11 @@ class PoseEstimationPipeline:
 
         return run
 
-    @functools.lru_cache(maxsize=8)
     def _fused_batch_fn(self, slots: int, p_max: int):
+        return self._fused_batch_impl(slots, p_max, self._geo_key)
+
+    @functools.lru_cache(maxsize=8)
+    def _fused_batch_impl(self, slots: int, p_max: int, geo_key):
         """vmap of the fused program over a frame batch — offline-eval
         throughput mode (the whole test set in a handful of dispatches)."""
         single = self._fused_fn(slots, p_max)
@@ -456,8 +485,11 @@ class PoseEstimationPipeline:
         n = int(person_mask.sum())
         return scores, pm, topo, S, persons[:n]
 
-    @functools.lru_cache(maxsize=16)
     def _host_geo_fn(self, slots: int):
+        return self._host_geo_impl(slots, self._geo_key)
+
+    @functools.lru_cache(maxsize=16)
+    def _host_geo_impl(self, slots: int, geo_key):
         topo = self.topology(slots)
 
         @jax.jit

@@ -102,14 +102,18 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                  tcfg: Optional[LifterTrainConfig] = None,
                  mesh=None, checkpoint_path: Optional[str] = None,
                  params: Optional[Dict] = None,
+                 opt_state=None,
                  log: Callable[[str], None] = print,
                  stop_flag: Optional[Callable[[], bool]] = None
                  ) -> LifterTrainResult:
     """Full training loop with dev-set early stopping.
 
     net/err arrays: packed dataset (train/lifter_data.py).  ``mesh`` defaults
-    to all devices on the data axis.
+    to all devices on the data axis.  ``params``/``opt_state`` resume a
+    previous leg (CLI ``train-lifter --resume``); opt_state resume is
+    replicated-layout only (tensor-parallel meshes re-init the optimizer).
     """
+    init_opt_state = opt_state
     cfg = cfg or LifterConfig(
         in_dim=rig_config.lifter_input_dim,
         out_dim=rig_config.n_joints * 3)
@@ -139,10 +143,14 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                              lambda _: replicated(mesh), v))
                      for k, v in trainable.items()}
         trainable = shard_tree(trainable, shardings)
+        if init_opt_state is not None:
+            log("[train_lifter] opt_state resume ignored under tensor "
+                "parallelism (optimizer re-initialised)")
         opt_state = jax.jit(tx.init)(trainable)
     else:
         trainable = replicate(mesh, trainable)
-        opt_state = replicate(mesh, tx.init(trainable))
+        opt_state = replicate(mesh, init_opt_state if init_opt_state
+                              is not None else tx.init(trainable))
     batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
     # dataset uploaded ONCE, device-resident for all epochs
@@ -248,5 +256,10 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                 save_checkpoint(checkpoint_path, result.params,
                                 meta=best_meta)
         elif result.params is None:      # never evaluated
-            result.params = jax.device_get(trainable)["model"]
+            try:
+                result.params = jax.device_get(trainable)["model"]
+            except Exception:
+                # trainable may be a donated/deleted buffer if the step
+                # itself raised — don't mask the original exception
+                pass
     return result

@@ -162,10 +162,15 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
                   tcfg: Optional[MatcherTrainConfig] = None,
                   mesh=None, checkpoint_path: Optional[str] = None,
                   params: Optional[Dict] = None,
+                  opt_state=None,
                   log: Callable[[str], None] = print) -> MatcherTrainResult:
     """Full matcher training loop with dev early stopping.
 
     ``rig`` is the FULL rig; the matching sub-rig is derived here.
+    ``params``/``opt_state``: resume from a previous leg (the reference
+    saves checkpoints but can never resume, train_skeleton_matching.py:230;
+    this deliberately exceeds it — SURVEY §5).  Checkpoints include the
+    optimizer state so ``load_checkpoint`` round-trips both.
     """
     cfg = cfg or MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     tcfg = tcfg or MatcherTrainConfig()
@@ -179,7 +184,8 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     # (reference train_skeleton_matching.py:151); at wd=1e-20 the two are
     # numerically indistinguishable.
     tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
-    opt_state = tx.init(params)
+    if opt_state is None:
+        opt_state = tx.init(params)
     step, eval_step, _, epoch_step = make_matcher_step(
         match_rig, rig_config, topo, cfg, tx, use_bce=tcfg.use_bce)
     dropout_on = cfg.feat_drop > 0.0 or cfg.attn_drop > 0.0
@@ -259,6 +265,7 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
                 result.best_val_loss = best
                 if checkpoint_path:
                     save_checkpoint(checkpoint_path, result.params,
+                                    opt_state=jax.device_get(opt_state),
                                     meta={"epoch": epoch,
                                           "val_loss": val_loss,
                                           "matcher_config": cfg,

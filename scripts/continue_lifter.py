@@ -65,11 +65,14 @@ def main():
                                         spread=spread,
                                         min_cam_dist=args.min_cam_dist)
           for s in (0, 1, 2)]
+    # dev seeds live in a far-offset range so a later resume leg with
+    # --seed-base +10 can never train on a previous leg's dev frames
+    # (same +997 convention as train_lifter_big.py)
     dev = [generate_single_person_frames(rig_config, rig, args.n_sp // 3,
-                                         seed=args.seed_base + s, noise=noise,
-                                         spread=spread,
+                                         seed=args.seed_base + 997 + s,
+                                         noise=noise, spread=spread,
                                          min_cam_dist=args.min_cam_dist)
-           for s in (10, 11)]
+           for s in (0, 1)]
     net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
                                         rig_config, rig)
     net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],

@@ -200,3 +200,36 @@ def test_matcher_training_with_dropout_and_bce(single_person_files,
                         cfg, tcfg, log=lambda s: None)
     assert len(res.history) >= 2
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+
+
+def test_matcher_checkpoint_resume_roundtrip(single_person_files,
+                                             panoptic_rig, tmp_path):
+    """Checkpoints carry optimizer state; a resumed leg picks both up
+    (CLI --resume path; the reference can only save)."""
+    import optax
+
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.train.checkpoint import load_checkpoint
+
+    topo = build_topology(5, 4)
+    train = build_matcher_scenes(single_person_files[:2], PANOPTIC, topo,
+                                 limit=40, seed=0)
+    dev = build_matcher_scenes(single_person_files[2:], PANOPTIC, topo,
+                               limit=15, seed=1)
+    cfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                        hidden=(8, 8), heads=(2, 2))
+    tcfg = MatcherTrainConfig(epochs=4, batch_size=16, eval_every=2,
+                              patience=10, lr=3e-4)
+    ck = str(tmp_path / "skeleton_matching")
+    res1 = train_matcher(train, dev, PANOPTIC, panoptic_rig, topo, cfg, tcfg,
+                         checkpoint_path=ck, log=lambda s: None)
+    tmpl_p = init_matcher(jax.random.PRNGKey(0), cfg)
+    tmpl_o = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay).init(tmpl_p)
+    params, opt_state, meta = load_checkpoint(ck, tmpl_p, tmpl_o)
+    assert opt_state is not None          # optimizer state round-trips
+    # meta JSON stringifies numpy scalars (json default=str)
+    assert abs(float(meta["val_loss"]) - float(res1.best_val_loss)) < 1e-6
+    res2 = train_matcher(train, dev, PANOPTIC, panoptic_rig, topo, cfg, tcfg,
+                         params=params, opt_state=opt_state,
+                         log=lambda s: None)
+    assert res2.history[0]["train_loss"] <= res1.history[0]["train_loss"]
