@@ -1,0 +1,343 @@
+"""Golden numerical parity against the REFERENCE CODE run in-process.
+
+Round-1 parity rested on hand-built numpy oracles; these tests execute the
+reference's own python (torch + cv2, no DGL needed) and assert our jax
+re-implementations reproduce it numerically:
+
+  * ``PoseEstimatorDataset`` dict path
+    (reference: utils/pose_estimator_dataset_from_json.py:237-289)
+    vs ``lifting.pack.pack_lifter_input``;
+  * ``compute_error`` (reference: pose_estimator/train_pose_estimator.py:
+    69-102, extracted by AST so the surrounding training script never runs)
+    vs ``lifting.loss.reprojection_error``.
+
+The reference modules import ``pytransform3d`` only to unpickle the
+calibration fixture; a minimal stub TransformManager is installed in
+sys.modules (same trick as geometry/calib_io.py's stub unpickler).
+"""
+
+import ast
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import PANOPTIC
+from mpe3d_tpu.data.frames import parse_frame
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_single_person_frames
+from mpe3d_tpu.geometry.calib_io import rig_from_files
+
+REF = "/root/reference"
+TM = os.path.join(REF, "tm_panoptic.pickle")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(TM),
+                                reason="reference fixtures unavailable")
+
+
+def _install_pytransform3d_stub():
+    if "pytransform3d" in sys.modules:
+        return
+    pkg = types.ModuleType("pytransform3d")
+
+    class TransformManager:
+        def __init__(self, *a, **k):
+            pass
+
+        def __setstate__(self, state):
+            self.__dict__.update(state if isinstance(state, dict)
+                                 else {"_state": state})
+
+        def get_transform(self, frm, to):
+            t = self.transforms
+            if (frm, to) in t:
+                return np.asarray(t[(frm, to)], np.float64)
+            if (to, frm) in t:
+                return np.linalg.inv(np.asarray(t[(to, frm)], np.float64))
+            raise KeyError((frm, to))
+
+    tm_mod = types.ModuleType("pytransform3d.transform_manager")
+    tm_mod.TransformManager = TransformManager
+    pkg.transform_manager = tm_mod
+    sys.modules["pytransform3d"] = pkg
+    sys.modules["pytransform3d.transform_manager"] = tm_mod
+    sys.modules["pytransform3d.rotations"] = types.ModuleType(
+        "pytransform3d.rotations")
+    sys.modules["pytransform3d.transformations"] = types.ModuleType(
+        "pytransform3d.transformations")
+
+
+@pytest.fixture(scope="module")
+def ref_dataset_module():
+    """Import the reference's dataset module with cwd + sys.path set so its
+    import-time calibration loading succeeds."""
+    _install_pytransform3d_stub()
+    old_cwd = os.getcwd()
+    added = []
+    for p in (REF, os.path.join(REF, "utils")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+            added.append(p)
+    # parameters.transformations_path is '../tm_panoptic.pickle' — relative
+    # to the reference's script directories (utils/, pose_estimator/)
+    os.chdir(os.path.join(REF, "utils"))
+    try:
+        import pose_estimator_dataset_from_json as ref_ds
+        yield ref_ds
+    finally:
+        os.chdir(old_cwd)
+        for p in added:
+            sys.path.remove(p)
+
+
+@pytest.fixture(scope="module")
+def frames_1p(panoptic_rig):
+    # clean single-person frames: exactly one skeleton per present camera so
+    # the reference's biggest-skeleton pick is unambiguous
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.08,
+                       spurious_rate=0.0, camera_dropout=0.1)
+    return generate_single_person_frames(PANOPTIC, panoptic_rig, 8, seed=5,
+                                         noise=noise)
+
+
+def test_pack_lifter_input_matches_reference_dict_path(ref_dataset_module,
+                                                       frames_1p,
+                                                       panoptic_rig):
+    """Our 1260-dim packer == the reference PoseEstimatorDataset dict path
+    on the same wire frames and the same calibration pickle."""
+    import jax.numpy as jnp
+
+    from mpe3d_tpu.lifting.pack import pack_lifter_input
+
+    rig = panoptic_rig
+    used_idx = np.asarray(PANOPTIC.used_camera_indices())
+    used_rig = rig.select(used_idx)
+    img = (float(PANOPTIC.image_width), float(PANOPTIC.image_height))
+    n_checked = 0
+    for frame in frames_1p:
+        ds = ref_dataset_module.PoseEstimatorDataset(
+            frame, PANOPTIC.camera_names, list(range(18)))
+        if len(ds) == 0:
+            continue
+        ref_vec = ds[0][0].numpy()
+
+        fa = parse_frame(frame, PANOPTIC, max_skeletons=4)
+        kp = fa.kp[used_idx, 0]
+        valid = fa.valid[used_idx, 0]
+        prob = fa.prob[used_idx, 0]
+        observed = fa.in_view[used_idx, 0]
+        ours, _ = pack_lifter_input(jnp.asarray(kp), jnp.asarray(valid),
+                                    jnp.asarray(prob), jnp.asarray(observed),
+                                    used_rig, img, require_valid=False,
+                                    skip_joint0_prior=True)
+        ours = np.asarray(ours)
+        assert ref_vec.shape == ours.shape == (1260,)
+        diff = np.abs(ref_vec - ours)
+        assert diff.max() < 2e-4, (
+            f"max diff {diff.max():.2e} at {diff.argmax()}")
+        n_checked += 1
+    assert n_checked >= 5
+
+
+def _extract_compute_error(namespace):
+    """Compile ONLY the reference's compute_error def (the module around it
+    is a training script that runs on import)."""
+    path = os.path.join(REF, "pose_estimator", "train_pose_estimator.py")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "compute_error")
+    mod = ast.Module(body=[fn], type_ignores=[])
+    exec(compile(mod, path, "exec"), namespace)
+    return namespace["compute_error"]
+
+
+def test_reprojection_error_matches_reference_compute_error(
+        ref_dataset_module, frames_1p, panoptic_rig):
+    """Our vectorized reprojection loss == the reference's 18×5 python
+    projection loop, on real packed loss inputs + random 3D outputs."""
+    import jax.numpy as jnp
+    import torch
+
+    import pose_estimator_utils as ref_utils
+    from parameters import parameters as ref_params
+
+    from mpe3d_tpu.lifting.loss import reprojection_error
+    from mpe3d_tpu.lifting.pack import pack_error_input
+
+    ns = {"torch": torch, "device": torch.device("cpu"),
+          "from_homogeneous": ref_utils.from_homogeneous,
+          "from_homogeneous2": ref_utils.from_homogeneous2,
+          "apply_distortion": ref_utils.apply_distortion}
+    compute_error = _extract_compute_error(ns)
+
+    # reference camera structures, exactly as the trainer builds them
+    # (train_pose_estimator.py:140-154)
+    tm = ref_dataset_module.tm
+    camera_d, camera_m, dists = [], [], []
+    for ci, cam in enumerate(ref_params.camera_names):
+        camera_d.append(torch.from_numpy(
+            tm.get_transform("root", cam)).type(torch.float32))
+        camera_m.append(ref_utils.camera_matrix(ci, use_cuda=False))
+        camera_m[-1] = camera_m[-1].type(torch.float32)
+        dists.append(ref_utils.get_distortion_coefficients(ci))
+
+    # loss inputs packed from real frames; plausible random 3D outputs
+    errs = []
+    for frame in frames_1p[:6]:
+        fa = parse_frame(frame, PANOPTIC, max_skeletons=4)
+        errs.append(np.asarray(pack_error_input(
+            jnp.asarray(fa.kp[:, 0]), jnp.asarray(fa.valid[:, 0]),
+            jnp.asarray(fa.prob[:, 0]), jnp.asarray(fa.in_view[:, 0]))))
+    orig_inputs = np.stack(errs).astype(np.float32)           # [B, 360]
+    B = len(orig_inputs)
+    rng = np.random.default_rng(0)
+    outputs = (rng.normal(size=(B, 54)) * 0.05).astype(np.float32)
+
+    ref_err = compute_error(
+        ref_params, list(range(18)), None,
+        torch.from_numpy(orig_inputs), torch.from_numpy(outputs), B,
+        camera_d, camera_m, dists).numpy()
+
+    rig = rig_from_files(PANOPTIC, TM)
+    ours = np.asarray(reprojection_error(
+        jnp.asarray(outputs), jnp.asarray(orig_inputs), rig, 18))
+
+    assert ref_err.shape == ours.shape == (B,)
+    rel = np.abs(ref_err - ours) / np.maximum(np.abs(ref_err), 1.0)
+    assert rel.max() < 1e-3, (ref_err, ours)
+
+
+def test_matcher_import_matches_torch_gat2_replica(tmp_path):
+    """A no-DGL torch replica of GraphAttention2/GAT2 (reference:
+    skeleton_matching/gat2.py:17-155 — same fc1→LeakyReLU→fc2 projection,
+    per-destination edge_softmax over the alt-3 edge list, residual
+    shortcut) is saved in the reference's state_dict + .prms layout;
+    ``load_reference_matcher`` + ``apply_matcher`` must reproduce its
+    forward scores numerically."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    from mpe3d_tpu.config import MatcherConfig
+    from mpe3d_tpu.convert.torch_import import load_reference_matcher
+    from mpe3d_tpu.matching.features import build_topology
+    from mpe3d_tpu.models.gat import TopologyArrays, apply_matcher
+
+    torch.manual_seed(0)
+    in_dim, hidden, heads, alpha = 16, (8, 6), (2, 3), 0.15
+
+    class Layer(nn.Module):
+        def __init__(self, din, dout, nh, residual):
+            super().__init__()
+            self.fc1 = nn.Linear(din, din, bias=True)
+            self.fc2 = nn.Linear(din, nh * dout, bias=True)
+            self.attn_l = nn.Parameter(torch.empty(nh, dout, 1))
+            self.attn_r = nn.Parameter(torch.empty(nh, dout, 1))
+            for p in (self.fc1.weight, self.fc2.weight,
+                      self.attn_l, self.attn_r):
+                nn.init.xavier_normal_(p.data, gain=1.414)
+            self.nh, self.dout = nh, dout
+            if residual and din != dout:
+                self.res_fc = nn.Linear(din, nh * dout, bias=True)
+                nn.init.xavier_normal_(self.res_fc.weight.data, gain=1.414)
+            self.residual = residual
+
+        def forward(self, x, src, dst):
+            N = x.shape[0]
+            z = self.fc2(F.leaky_relu(self.fc1(x), alpha)).reshape(
+                N, self.nh, self.dout)
+            a1 = torch.einsum("nhd,hd->nh", z, self.attn_l[..., 0])
+            a2 = torch.einsum("nhd,hd->nh", z, self.attn_r[..., 0])
+            logits = F.leaky_relu(a1[src] + a2[dst], alpha)      # [Et, nh]
+            out = torch.zeros_like(z)
+            for d in sorted(set(dst)):                 # per-dst edge_softmax
+                sel = [k for k, dd in enumerate(dst) if dd == d]
+                att = torch.softmax(logits[sel], dim=0)          # [k, nh]
+                out[d] = torch.einsum("kh,khd->hd", att,
+                                      z[[src[k] for k in sel]])
+            if self.residual:
+                if hasattr(self, "res_fc"):
+                    out = out + self.res_fc(x).reshape(N, self.nh, self.dout)
+                else:
+                    out = out + x.unsqueeze(1)
+            return out
+
+    class GAT2Replica(nn.Module):
+        def __init__(self, residual):
+            super().__init__()
+            dims, d_in = [], in_dim
+            for l in range(len(hidden)):
+                dims.append((d_in, hidden[l], heads[l]))
+                d_in = hidden[l] * heads[l]
+            dims.append((d_in, 1, 1))
+            self.dims = dims
+            self.layers = nn.ModuleList(
+                [Layer(din, dout, nh, residual and li > 0)
+                 for li, (din, dout, nh) in enumerate(dims)])
+
+        def forward(self, x, src, dst):
+            h = x
+            for li, (din, dout, nh) in enumerate(self.dims):
+                out = self.layers[li](h, src, dst)
+                if li < len(self.dims) - 1:
+                    h = F.leaky_relu(out.reshape(len(x), nh * dout), 0.01)
+                else:
+                    h = out.reshape(len(x))
+            return torch.sigmoid(h)
+
+    # alt-3 scene: 3 cameras × 2 slots, one absent head
+    C, S = 3, 2
+    topo = build_topology(C, S)
+    present = np.array([[1, 1], [1, 0], [1, 1]], bool)
+    head_mask = present.reshape(-1)
+    rng = np.random.default_rng(1)
+    feats_h = rng.normal(size=(topo.n_heads, in_dim)).astype(np.float32)
+    feats_h[~head_mask] = 0.0
+    feats_h[:, 0], feats_h[:, 1] = head_mask, 0.0
+    feats_e = np.zeros((topo.n_pairs, in_dim), np.float32)
+    feats_e[:, 1] = 1.0
+    pair_mask = (head_mask[topo.e1] & head_mask[topo.e2]).astype(np.float32)
+
+    # the torch graph holds only REAL nodes/pairs (like DGL builds it)
+    real_heads = np.nonzero(head_mask)[0]
+    remap = {int(h): i for i, h in enumerate(real_heads)}
+    real_pairs = [k for k in range(topo.n_pairs) if pair_mask[k] > 0]
+    H = len(real_heads)
+    x = np.concatenate([feats_h[real_heads], feats_e[:len(real_pairs)]])
+    src, dst = [], []
+    for h in range(H):
+        src.append(h)
+        dst.append(h)
+    for i, k in enumerate(real_pairs):
+        e = H + i
+        h1, h2 = remap[int(topo.e1[k])], remap[int(topo.e2[k])]
+        for s, d in ((h1, e), (e, h1), (h2, e), (e, h2), (e, e)):
+            src.append(s)
+            dst.append(d)
+
+    for residual in (False, True):
+        model = GAT2Replica(residual)
+        with torch.no_grad():
+            ref_scores = model(torch.from_numpy(x), src, dst).numpy()
+        torch.save(model.state_dict(), tmp_path / "m.tch")
+        prms = {"num_feats": in_dim, "num_hidden": list(hidden),
+                "heads": list(heads), "n_classes": 1, "alpha": alpha,
+                "residual": residual, "in_drop": 0.0, "attn_drop": 0.0,
+                "net": "gat", "graph_type": "3"}
+        with open(tmp_path / "m.prms", "wb") as f:
+            pickle.dump(prms, f)
+
+        params, cfg = load_reference_matcher(str(tmp_path / "m.tch"),
+                                             str(tmp_path / "m.prms"))
+        assert cfg.residual == residual
+        got = np.asarray(apply_matcher(
+            params, jnp.asarray(feats_h), jnp.asarray(feats_e),
+            TopologyArrays.from_topology(topo), jnp.asarray(pair_mask), cfg))
+        diff = np.abs(got[real_pairs] - ref_scores[H:])
+        assert diff.max() < 1e-5, (residual, diff.max())
