@@ -82,6 +82,58 @@ def main() -> int:
         pipe.infer_batch(frames[:B], slots=4)
     fps = B * reps / (time.perf_counter() - t0)
 
+    # ---- training throughput / MFU (scan-epoch lifter trainer) ----------
+    # Reference batch 2096 (train_pose_estimator.py:6).  The dataset is
+    # GENERATED ON DEVICE (no host upload); one lax.scan dispatch per epoch.
+    # Matmul FLOPs: fwd 2·Σ(d_in·d_out) per sample, bwd ≈ 2× fwd → 6·Σ.
+    # The MLP matmuls run with default precision → bf16 operands on the MXU
+    # (fp32 accumulate), so peak is the chip's bf16 rate.
+    import jax.numpy as jnp
+    import optax
+
+    from mpe3d_tpu.config import LifterTrainConfig
+    from mpe3d_tpu.train.lifter import make_train_step
+
+    bs = 256 if smoke else 2096
+    k_batches = 2 if smoke else 16
+    n_samples = bs * k_batches
+    tcfg = LifterTrainConfig(batch_size=bs)
+    tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm),
+                     optax.adam(tcfg.lr))
+    _, _, epoch_step = make_train_step(pipe.used_rig, rig_config.n_joints,
+                                       lcfg, tcfg, tx)
+    # fresh copies: epoch_step donates its inputs and must not invalidate
+    # the pipeline's parameter buffers
+    lparams = {"model": jax.tree_util.tree_map(jnp.array, pipe.lifter_params)}
+    opt_state = tx.init(lparams)
+    gen = jax.jit(lambda k: (
+        jax.random.normal(k, (n_samples, lcfg.in_dim)) * 0.3,
+        jnp.abs(jax.random.normal(k, (n_samples, rig_config.loss_input_dim)))))
+    net_all, err_all = gen(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(3)
+    # warm/compile one epoch
+    lparams, opt_state, losses = epoch_step(lparams, opt_state, net_all,
+                                            err_all, key,
+                                            k_batches=k_batches,
+                                            batch_size=bs)
+    jax.block_until_ready(losses)
+    reps_t = 1 if smoke else 3
+    t0 = time.perf_counter()
+    for r in range(reps_t):
+        key, k = jax.random.split(key)
+        lparams, opt_state, losses = epoch_step(lparams, opt_state, net_all,
+                                                err_all, k,
+                                                k_batches=k_batches,
+                                                batch_size=bs)
+    jax.block_until_ready(losses)
+    train_wall = time.perf_counter() - t0
+    sps = reps_t * k_batches * bs / train_wall
+    dims = (lcfg.in_dim, *lcfg.widths, lcfg.out_dim)
+    mm_flops_fwd = 2.0 * sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    train_tflops = 3.0 * mm_flops_fwd * sps / 1e12
+    PEAK_BF16_TFLOPS = 197.0               # TPU v5e MXU peak (bf16)
+    mfu = train_tflops / PEAK_BF16_TFLOPS * 100.0
+
     # Primary metric: steady-state streaming per-frame latency.  The
     # reference's 51.32 ms is the average over a continuous evaluation loop
     # (metrics_from_model.py:178-300), so the sustained number is the
@@ -95,6 +147,10 @@ def main() -> int:
         "vs_baseline": round(BASELINE_MS / stream_ms, 2),
         "single_dispatch_ms": round(ms, 3),
         "batched_throughput_fps": round(fps, 1),
+        "train_samples_per_s": round(sps, 1),
+        "train_tflops": round(train_tflops, 2),
+        "train_mfu_pct_bf16peak": round(mfu, 2),
+        "train_batch": bs,
     }))
     return 0
 
