@@ -54,6 +54,9 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
     from mpe3d_tpu.data.frames import parse_frame, parse_frame_gt
     from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
@@ -104,7 +107,7 @@ def main():
     n_gt_total = 0
     n_gt_2view = 0          # GT persons with detections in >= 2 cameras
     proposal_counts = {tag: 0 for tag in accs}
-    frames_used = 0
+    selected = []           # (fa, gt, persons_gt)
     for i, frame in enumerate(frames):
         if i % args.datastep:
             continue
@@ -112,17 +115,24 @@ def main():
         if gt is None:
             continue
         fa = parse_frame(frame, rig_config, max_skeletons=S)
-        frames_used += 1
         persons_gt = oracle_persons(frame, rig_config, S, fa, match_idx)
         n_gt_total += len(gt.gt3d)
         n_gt_2view += len(persons_gt)
-        for tag, pipe in pipes.items():
-            out = pipe(fa)
+        selected.append((fa, gt, persons_gt))
+    frames_used = len(selected)
+    fas = [fa for fa, _, _ in selected]
+    # batched fused inference: ONE dispatch per variant (relay-friendly)
+    for tag, pipe in pipes.items():
+        outs = pipe.infer_batch(fas, slots=S)
+        for (fa, gt, _), out in zip(selected, outs):
             proposal_counts[tag] += len(out.persons)
             accs[tag].update(gt.gt3d, gt.gt_valid, gt.person_valid, out.poses)
+        print(f"[{tag}] done", flush=True)
+    for fa, gt, persons_gt in selected:
         poses_o = oracle_pipe.lift(fa, persons_gt)
         proposal_counts["oracle"] += len(persons_gt)
         accs["oracle"].update(gt.gt3d, gt.gt_valid, gt.person_valid, poses_o)
+    print("[oracle] done", flush=True)
 
     report = {"frames": frames_used, "n_gt": n_gt_total,
               "n_gt_with_2view_detections": n_gt_2view,

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--min-cam-dist", type=float, default=0.0,
                     help="resample people closer than this to any camera "
                     "(keeps the outlier-dominated loss sane on wide spreads)")
+    ap.add_argument("--env", default="PANOPTIC",
+                    choices=["PANOPTIC", "ARPLAB"],
+                    help="rig preset (ARPLAB = the reference's second "
+                    "environment: 6 cameras incl. robot-mounted, "
+                    "parameters.py:79-123)")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
     if len(sp_parts) > 2:
@@ -42,7 +47,7 @@ def main():
 
     import jax
 
-    from mpe3d_tpu.config import PANOPTIC, LifterConfig, LifterTrainConfig
+    from mpe3d_tpu.config import LifterConfig, LifterTrainConfig, get_rig
     from mpe3d_tpu.data.synthetic import (SceneNoise,
                                           generate_single_person_frames,
                                           synthetic_ring_rig)
@@ -54,8 +59,9 @@ def main():
     from mpe3d_tpu.utils.logging import JsonlLogger
 
     os.makedirs(args.out, exist_ok=True)
-    rig_config = PANOPTIC
-    ref_tm = "/root/reference/tm_panoptic.pickle"
+    rig_config = get_rig(args.env)
+    ref_tm = ("/root/reference/tm_arp.pickle" if args.env == "ARPLAB"
+              else "/root/reference/tm_panoptic.pickle")
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
