@@ -102,8 +102,23 @@ def main():
     oracle_pipe = pipes["baseline"]
     match_idx = np.asarray(rig_config.matching_camera_indices())
 
+    def dedup_gt(gt):
+        """Drop duplicated GT rows (a ghost detection appends its source
+        person's GT entry AGAIN — synthetic.py:367-374 — and parse_frame_gt
+        picks the camera with the MOST entries, selection-biased toward
+        duplicates; a duplicate can never be matched by a second proposal,
+        so it deflates recall as a pure protocol artifact)."""
+        from mpe3d_tpu.data.frames import FrameGroundTruth
+        key = np.round(gt.gt3d.reshape(len(gt.gt3d), -1), 6)
+        _, idx = np.unique(key, axis=0, return_index=True)
+        idx = np.sort(idx)
+        return FrameGroundTruth(gt.gt3d[idx], gt.gt_valid[idx],
+                                gt.person_valid[idx], gt.camera)
+
     accs = {tag: PoseEvalAccumulator(rig_config.used_joints)
             for tag in list(variants) + ["oracle"]}
+    accs_dd = {tag: PoseEvalAccumulator(rig_config.used_joints)
+               for tag in list(variants) + ["oracle"]}
     n_gt_total = 0
     n_gt_2view = 0          # GT persons with detections in >= 2 cameras
     proposal_counts = {tag: 0 for tag in accs}
@@ -121,17 +136,32 @@ def main():
         selected.append((fa, gt, persons_gt))
     frames_used = len(selected)
     fas = [fa for fa, _, _ in selected]
-    # batched fused inference: ONE dispatch per variant (relay-friendly)
+    # batched fused inference in FIXED-size chunks (pad the tail with a
+    # repeat): one compiled [CHUNK]-frame program serves every protocol —
+    # remote compiles of the big vmapped program take ~20 min each, so the
+    # chunk shape must not depend on how many frames carried GT
+    CHUNK = 30
     for tag, pipe in pipes.items():
-        outs = pipe.infer_batch(fas, slots=S)
+        outs = []
+        for i in range(0, len(fas), CHUNK):
+            part = fas[i: i + CHUNK]
+            pad = CHUNK - len(part)
+            outs.extend(pipe.infer_batch(part + [part[0]] * pad,
+                                         slots=S)[:len(part)])
         for (fa, gt, _), out in zip(selected, outs):
             proposal_counts[tag] += len(out.persons)
             accs[tag].update(gt.gt3d, gt.gt_valid, gt.person_valid, out.poses)
+            g2 = dedup_gt(gt)
+            accs_dd[tag].update(g2.gt3d, g2.gt_valid, g2.person_valid,
+                                out.poses)
         print(f"[{tag}] done", flush=True)
     for fa, gt, persons_gt in selected:
         poses_o = oracle_pipe.lift(fa, persons_gt)
         proposal_counts["oracle"] += len(persons_gt)
         accs["oracle"].update(gt.gt3d, gt.gt_valid, gt.person_valid, poses_o)
+        g2 = dedup_gt(gt)
+        accs_dd["oracle"].update(g2.gt3d, g2.gt_valid, g2.person_valid,
+                                 poses_o)
     print("[oracle] done", flush=True)
 
     report = {"frames": frames_used, "n_gt": n_gt_total,
@@ -147,6 +177,11 @@ def main():
         report[tag] = s
         print(tag, {k: round(v, 2) for k, v in s.items()
                     if isinstance(v, float)})
+        sd = accs_dd[tag].summary()
+        sd.pop("ap_per_threshold", None)
+        report[f"{tag}_dedup_gt"] = sd
+        print(f"{tag}_dedup_gt", {k: round(v, 2) for k, v in sd.items()
+                                  if isinstance(v, float)})
     print(json.dumps({k: report[k] for k in
                       ("n_gt", "n_gt_with_2view_detections",
                        "detection_recall_bound_pct")}))
