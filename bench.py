@@ -111,12 +111,16 @@ def main() -> int:
         jnp.abs(jax.random.normal(k, (n_samples, rig_config.loss_input_dim)))))
     net_all, err_all = gen(jax.random.PRNGKey(2))
     key = jax.random.PRNGKey(3)
-    # warm/compile one epoch
+    # warm/compile one epoch.  Timing uses VALUE readbacks (float(...)):
+    # through the axon relay, block_until_ready returns at protocol ACK
+    # time, long before the device has executed — only a value readback
+    # truly synchronises (measured: a "blocked" queue later took 110 s to
+    # drain at the first float()).
     lparams, opt_state, losses = epoch_step(lparams, opt_state, net_all,
                                             err_all, key,
                                             k_batches=k_batches,
                                             batch_size=bs)
-    jax.block_until_ready(losses)
+    float(losses.sum())
     reps_t = 1 if smoke else 3
     t0 = time.perf_counter()
     for r in range(reps_t):
@@ -125,7 +129,7 @@ def main() -> int:
                                                 err_all, k,
                                                 k_batches=k_batches,
                                                 batch_size=bs)
-    jax.block_until_ready(losses)
+    float(losses.sum())
     train_wall = time.perf_counter() - t0
     sps = reps_t * k_batches * bs / train_wall
     dims = (lcfg.in_dim, *lcfg.widths, lcfg.out_dim)

@@ -61,6 +61,7 @@ def main():
             jax.block_until_ready(y)
             dt = (time.perf_counter() - t0) / args.reps
             out[f"op_N{N}_us"] = round(dt * 1e6, 2)
+            print(f"# N={N}: {dt * 1e6:.1f} us", file=sys.stderr, flush=True)
     else:
         from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
         from mpe3d_tpu.data.frames import parse_frame
