@@ -61,7 +61,8 @@ class PoseEstimationPipeline:
                  compute_dtype=None, decode_top_k: int = 64,
                  decode_on_device: bool = False,
                  geo_rerank: float = 0.0, geo_scale: float = 0.3,
-                 geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05):
+                 geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
+                 use_pallas_proj: Optional[bool] = None):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -86,6 +87,15 @@ class PoseEstimationPipeline:
         self.geo_scale = geo_scale
         self.geo_rescue = geo_rescue
         self.geo_rescue_dist = geo_rescue_dist
+        # fused Linear→LeakyReLU→Linear Pallas kernel for the GAT projection
+        # (ops/fused_proj.py).  Auto (None): on for TPU inference — measured
+        # 12% faster per layer at the pipeline's node counts (N≈256 rows,
+        # 17.9 vs 20.4 µs/iter, value-synced chained timing on v5e); XLA
+        # wins again at N≥1024, so training (vmapped, large effective N)
+        # keeps the XLA path.
+        if use_pallas_proj is None:
+            use_pallas_proj = jax.default_backend() == "tpu"
+        self.use_pallas_proj = bool(use_pallas_proj)
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -149,6 +159,9 @@ class PoseEstimationPipeline:
         topo_dev = TopologyArrays.from_topology(topo)
         efeats = edge_node_features(
             topo.n_pairs, self.rig_config.matcher_feature_dim_alt(alt))
+        import dataclasses
+        mcfg = dataclasses.replace(self.matcher_cfg,
+                                   use_pallas_proj=self.use_pallas_proj)
 
         def core(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,
@@ -156,7 +169,7 @@ class PoseEstimationPipeline:
                                       alt=alt)
             pm = pair_mask_from_present(present, topo)
             scores = apply_matcher(params, hfeats, efeats,
-                                   topo_dev, pm, self.matcher_cfg)
+                                   topo_dev, pm, mcfg)
             return scores * pm, pm
         return core
 

@@ -146,3 +146,21 @@ def test_geo_paths_agree(panoptic_rig):
         if len(ph) and scores.size and (scores <= 0.05).any():
             saw_rescued += 1
     assert saw_rescued > 0
+
+
+def test_use_pallas_proj_auto_resolution(panoptic_rig):
+    """use_pallas_proj=None resolves by backend: False on CPU (pallas needs
+    a TPU unless interpreted); True is measured-faster at inference shapes
+    on the real chip (RESULTS.md)."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8,), heads=(2,))
+    lcfg = LifterConfig(widths=(32,))
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    pipe = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                  slot_buckets=(4,), person_buckets=(8,))
+    assert pipe.use_pallas_proj == (jax.default_backend() == "tpu")
+    pipe2 = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                   slot_buckets=(4,), person_buckets=(8,),
+                                   use_pallas_proj=False)
+    assert pipe2.use_pallas_proj is False
