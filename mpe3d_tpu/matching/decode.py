@@ -27,10 +27,47 @@ import numpy as np
 from mpe3d_tpu.matching.features import PairTopology
 
 
+def _cpython_set2_order(x: int, y: int):
+    """Iteration order of the CPython set ``{x, y}`` built by add(x) then
+    add(y), for non-negative ints (hash(int) == int here).
+
+    The reference reads pair endpoints as ``list(node_for_matching)`` of a
+    2-element set (skeleton_matching_utils.py:52,62-63), and under the
+    merge quirk WHICH endpoint is 'a' decides which cluster's camera list
+    survives — so bit-parity needs CPython's 8-slot open-addressed set
+    semantics: slot = hash & 7; on collision the perturbed jump
+    i = i*5 + 1 + (perturb >>= 5).  (setobject.c's LINEAR_PROBES block is
+    skipped whenever i + 9 > mask — always true for an 8-slot table.)
+    """
+    mask = 7
+    table = {}
+    for v in (x, y):
+        i = v & mask
+        perturb = v
+        while i in table:
+            perturb >>= 5
+            i = (i * 5 + 1 + perturb) & mask
+        table[i] = v
+    out = [table[i] for i in sorted(table)]
+    return out[0], out[1]
+
+
+def reference_pair_order(e1: np.ndarray, e2: np.ndarray):
+    """Per-pair (a, b) endpoint roles in the reference's set-iteration
+    order (see _cpython_set2_order) — host numpy, computed once per
+    topology."""
+    a = np.empty_like(e1)
+    b = np.empty_like(e2)
+    for k in range(len(e1)):
+        a[k], b[k] = _cpython_set2_order(int(e1[k]), int(e2[k]))
+    return a, b
+
+
 def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
                             topo: PairTopology, min_views: int = 2,
                             threshold: float = 0.5,
-                            order_scores: Optional[np.ndarray] = None
+                            order_scores: Optional[np.ndarray] = None,
+                            reference_merge_quirk: bool = True
                             ) -> np.ndarray:
     """Greedy camera-consistent clustering of heads.
 
@@ -41,6 +78,16 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
     Returns persons as an int array [P, C] of skeleton-slot indices per
     matching camera, -1 where the person has no view in that camera
     (equivalent to the reference's ``{camera: head or None}`` dicts).
+
+    ``reference_merge_quirk`` (default, bit-parity): on a cluster-cluster
+    merge the reference DELETES the absorbed cluster's camera list without
+    folding it into the survivor (skeleton_matching_utils.py:100-104), so
+    later pairs can attach a second head from one of the forgotten cameras;
+    the final per-camera slot is then last-writer-wins in ascending head-id
+    order (networkx component sets of small ints iterate ascending, and the
+    reference overwrites ``person[camera]`` per member, :119-129 — both
+    reproduced here).  False = corrected behaviour (camera sets union on
+    merge; duplicate-camera members impossible).
     """
     S = topo.n_slots
     C = topo.n_cameras
@@ -48,6 +95,10 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
     idx = np.nonzero(keep)[0]
     rank = np.asarray(scores if order_scores is None else order_scores)
     order = idx[np.argsort(-rank[idx], kind="stable")]
+    if reference_merge_quirk:
+        pe1, pe2 = reference_pair_order(topo.e1, topo.e2)
+    else:
+        pe1, pe2 = topo.e1, topo.e2
 
     H = topo.n_heads
     cluster = -np.ones(H, np.int64)          # head -> cluster id
@@ -56,8 +107,8 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
     # heads_linked_in_cameras: starts as the head's own camera
 
     for e in order:
-        a, b = int(topo.e1[e]), int(topo.e2[e])
-        ca, cb = int(topo.cam1[e]), int(topo.cam2[e])
+        a, b = int(pe1[e]), int(pe2[e])
+        ca, cb = a // S, b // S
         if ca in linked_cams[b] or cb in linked_cams[a]:
             continue
         if cluster[a] >= 0 and cb in cams_of_cluster[cluster[a]]:
@@ -82,7 +133,10 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
             # skeleton_matching_utils.py:90-104)
             if cams_of_cluster[ka] & cams_of_cluster[kb]:
                 continue                      # conflicting merge
-            cams_of_cluster[ka] |= cams_of_cluster[kb]
+            if not reference_merge_quirk:
+                cams_of_cluster[ka] |= cams_of_cluster[kb]
+            # quirk: the reference deletes kb's camera list WITHOUT folding
+            # it into ka (skeleton_matching_utils.py:104)
             cluster[cluster == kb] = ka
             cams_of_cluster[kb] = set()
         linked_cams[a].add(cb)

@@ -38,7 +38,9 @@ def decode_person_proposals_device(
         scores: jnp.ndarray, pair_mask: jnp.ndarray, topo: PairTopology,
         min_views: int = 2, threshold: float = 0.5,
         max_persons: int = 0, top_k: int = 0,
-        order_scores: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        order_scores: jnp.ndarray = None,
+        reference_merge_quirk: bool = True
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy camera-consistent clustering, fully on device.
 
     scores/pair_mask: [E].  Returns (persons [P_max, C] int32 slot per camera
@@ -51,6 +53,10 @@ def decode_person_proposals_device(
     ``order_scores`` (optional, [E]) replaces ``scores`` for the greedy
     ordering only (geometric rerank); eligibility still uses ``scores``.
 
+    ``reference_merge_quirk``: reproduce the reference's cluster-merge
+    camera-list loss (see matching/decode.py docstring) — default matches
+    the host decoder's default for path equivalence.
+
     Jit-safe: all shapes static, one fori_loop over the candidates.
     """
     E = topo.n_pairs
@@ -60,10 +66,18 @@ def decode_person_proposals_device(
     P_max = max_persons or max(H // max(min_views, 1), 1)
     K = min(top_k, E) if top_k else E
 
-    e1 = jnp.asarray(topo.e1, jnp.int32)
-    e2 = jnp.asarray(topo.e2, jnp.int32)
-    cam1 = jnp.asarray(topo.cam1, jnp.int32)
-    cam2 = jnp.asarray(topo.cam2, jnp.int32)
+    if reference_merge_quirk:
+        # endpoint roles in the reference's set-iteration order — decides
+        # merge survivorship under the quirk (decode.py docstring); static
+        # host numpy, inlines as HLO literals
+        from mpe3d_tpu.matching.decode import reference_pair_order
+        pe1, pe2 = reference_pair_order(topo.e1, topo.e2)
+    else:
+        pe1, pe2 = topo.e1, topo.e2
+    e1 = jnp.asarray(pe1, jnp.int32)
+    e2 = jnp.asarray(pe2, jnp.int32)
+    cam1 = jnp.asarray(pe1 // S, jnp.int32)
+    cam2 = jnp.asarray(pe2 // S, jnp.int32)
 
     eligible = (pair_mask > 0.5) & (scores > threshold)
     rank = scores if order_scores is None else order_scores
@@ -107,12 +121,17 @@ def decode_person_proposals_device(
         new_cluster = jnp.where(do, new_cluster.at[a].set(root)
                                 .at[b].set(root), cluster)
 
-        # camera set of the surviving root: |= other cluster's set (merge)
-        # and |= {ca, cb}
+        # camera set of the surviving root: |= {ca, cb}; a cluster-cluster
+        # merge folds b's set in ONLY in corrected mode — the reference
+        # forgets it (the merge quirk; matching/decode.py docstring)
+        merge = a_has & b_has
         add = jnp.zeros((C,), bool).at[ca].set(True).at[cb].set(True)
-        add = add | jnp.where(a_has & b_has, ccams_b, False)
+        if reference_merge_quirk:
+            add = jnp.where(merge, jnp.zeros((C,), bool), add)
+        else:
+            add = add | jnp.where(merge, ccams_b, False)
         add = add | jnp.where(a_has, ccams_a, False) \
-                  | jnp.where(b_has, ccams_b, False)
+                  | jnp.where(b_has & ~merge, ccams_b, False)
         new_ccams = jnp.where(do, ccams.at[root].set(ccams[root] | add),
                               ccams)
         # clear the absorbed root so later pairs don't see stale sets
@@ -145,7 +164,11 @@ def decode_person_proposals_device(
     head_slot = (jnp.arange(H) % S).astype(jnp.int32)
     valid_head = person_of_head >= 0
     p_idx = jnp.where(valid_head, person_of_head, P_max)   # P_max row = dump
+    # .max: under the merge quirk a cluster can hold TWO heads of one
+    # camera; the reference's last-writer-wins over ascending head ids
+    # (decode.py docstring) is exactly the max slot here — and scatter-set
+    # with duplicate indices would be nondeterministic anyway
     persons = jnp.full((P_max + 1, C), -1, jnp.int32).at[
-        p_idx, head_cam].set(jnp.where(valid_head, head_slot, -1))[:P_max]
+        p_idx, head_cam].max(jnp.where(valid_head, head_slot, -1))[:P_max]
     person_mask = jnp.arange(P_max) < n_persons
     return persons, person_mask

@@ -341,3 +341,149 @@ def test_matcher_import_matches_torch_gat2_replica(tmp_path):
             TopologyArrays.from_topology(topo), jnp.asarray(pair_mask), cfg))
         diff = np.abs(got[real_pairs] - ref_scores[H:])
         assert diff.max() < 1e-5, (residual, diff.max())
+
+
+def _install_dgl_stub():
+    """graph_generator imports dgl at module level but HumanGraphFromView
+    (the feature builder) never touches it — stub just enough to import."""
+    if "dgl" in sys.modules:
+        return
+    dgl = types.ModuleType("dgl")
+    dgl_data = types.ModuleType("dgl.data")
+    dgl_utils = types.ModuleType("dgl.data.utils")
+
+    class DGLDataset:
+        def __init__(self, *a, **k):
+            pass
+
+    dgl_data.DGLDataset = DGLDataset
+    dgl_utils.save_info = dgl_utils.load_info = lambda *a, **k: None
+    dgl.save_graphs = dgl.load_graphs = lambda *a, **k: None
+    dgl.data = dgl_data
+    sys.modules["dgl"] = dgl
+    sys.modules["dgl.data"] = dgl_data
+    sys.modules["dgl.data.utils"] = dgl_utils
+
+
+@pytest.fixture(scope="module")
+def ref_graph_module(ref_dataset_module):
+    """Import the reference's graph_generator (skeleton_matching/)."""
+    _install_dgl_stub()
+    old_cwd = os.getcwd()
+    p = os.path.join(REF, "skeleton_matching")
+    added = p not in sys.path
+    if added:
+        sys.path.insert(0, p)
+    os.chdir(os.path.join(REF, "utils"))
+    try:
+        import graph_generator as gg
+        yield gg
+    finally:
+        os.chdir(old_cwd)
+        if added:
+            sys.path.remove(p)
+
+
+def test_head_features_match_reference_alt3(ref_graph_module, frames_1p,
+                                            panoptic_rig):
+    """Our 902-dim alt-3 head features == the reference's
+    HumanGraphFromView(alt='3') feature rows (graph_generator.py:444-510),
+    same wire skeletons, same calibration pickle — including the flipped-y
+    normalisation and the un-normalised K⁻¹ rotation-only rays."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from mpe3d_tpu.matching.features import head_features
+
+    gg = ref_graph_module
+    match_idx = np.asarray(PANOPTIC.matching_camera_indices())
+    match_rig = panoptic_rig.select(match_idx)
+    img = (float(PANOPTIC.image_width), float(PANOPTIC.image_height))
+    n_rows = 0
+    for frame in frames_1p:
+        fa = parse_frame(frame, PANOPTIC, max_skeletons=4)
+        feats, mask = head_features(
+            jnp.asarray(fa.kp[match_idx, :4]),
+            jnp.asarray(fa.valid[match_idx, :4]),
+            jnp.asarray(fa.prob[match_idx, :4]),
+            jnp.asarray(fa.in_view[match_idx, :4]),
+            jnp.asarray(fa.present[match_idx, :4]), match_rig, img, alt="3")
+        feats = np.asarray(feats)
+        for mi, cam in enumerate(PANOPTIC.used_cameras_skeleton_matching):
+            if cam not in frame:
+                continue
+            skeletons = _json.loads(frame[cam][0])
+            for slot, skeleton in enumerate(skeletons):
+                if slot >= 4 or not skeleton:
+                    continue
+                g = gg.HumanGraphFromView(skeleton, cam, "3")
+                ref_row = g.features[0].numpy()
+                ours = feats[mi * 4 + slot]
+                assert ref_row.shape == ours.shape == (902,)
+                d = np.abs(ref_row - ours)
+                assert d.max() < 2e-4, (cam, slot, d.max(), d.argmax())
+                n_rows += 1
+    assert n_rows >= 15
+
+
+def test_decode_matches_reference_networkx(ref_graph_module):
+    """Our greedy camera-consistent decode == the reference's
+    networkx-based get_person_proposal_from_network_output
+    (utils/skeleton_matching_utils.py:12-132) on randomized score fields
+    over the alt-3 merged-graph edge layout (one edge-node per unordered
+    head pair, 5 link edges each — graph_generator.py:854-864)."""
+    import torch
+
+    import skeleton_matching_utils as smu
+
+    from mpe3d_tpu.matching.decode import decode_person_proposals
+    from mpe3d_tpu.matching.features import build_topology
+
+    C, S = 5, 3
+    topo = build_topology(C, S)
+    cams = list(PANOPTIC.used_cameras_skeleton_matching)
+    rng = np.random.default_rng(0)
+    for trial in range(24):
+        thr = 0.5 if trial % 2 == 0 else 0.3   # low thr → merge-heavy fields
+        present = rng.random((C, S)) < 0.75
+        present[:, 0] = True
+        head_mask = present.reshape(-1)
+        pair_mask = (head_mask[topo.e1] & head_mask[topo.e2]).astype(float)
+        scores = rng.random(topo.n_pairs)
+
+        # reference-style merged graph: real heads + one edge-node per real
+        # pair, edges (h1->en, en->h1, h2->en, en->h2, en->en)
+        H = topo.n_heads
+        real_pairs = [k for k in range(topo.n_pairs) if pair_mask[k] > 0]
+        src, dst = [], []
+        outputs = np.zeros(H + len(real_pairs))
+        indices = []
+        nodes_camera = {}
+        for h in range(H):
+            nodes_camera[h] = cams[h // S]
+        for i, k in enumerate(real_pairs):
+            en = H + i
+            indices.append(en)
+            outputs[en] = scores[k]
+            h1, h2 = int(topo.e1[k]), int(topo.e2[k])
+            for s, d in ((h1, en), (en, h1), (h2, en), (en, h2), (en, en)):
+                src.append(s)
+                dst.append(d)
+
+        class FakeGraph:
+            def edges(self):
+                return (torch.tensor(src), torch.tensor(dst))
+
+        ref_out = smu.get_person_proposal_from_network_output(
+            outputs.tolist(), FakeGraph(), set(indices), nodes_camera,
+            CLASSIFICATION_THRESHOLD=thr)
+        ref_sets = {frozenset((cam, int(h)) for cam, h in person.items()
+                              if h is not None) for person in ref_out}
+
+        ours = decode_person_proposals(scores, pair_mask, topo,
+                                       min_views=2, threshold=thr)
+        our_sets = {frozenset((cams[c], c * S + int(s))
+                              for c, s in enumerate(p) if s >= 0)
+                    for p in ours}
+        assert ref_sets == our_sets, (trial, ref_sets ^ our_sets)

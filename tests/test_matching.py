@@ -252,3 +252,19 @@ def test_geo_rescue_eligibility(panoptic_rig):
         jnp.asarray(scores), jnp.asarray(kp), jnp.asarray(ones),
         jnp.asarray(ones.astype(bool)), topo)
     assert order0 is None and np.all(np.asarray(eff0) == scores)
+
+
+def test_cpython_set2_order_matches_real_sets():
+    """The endpoint-role emulation == real CPython set iteration for every
+    small-int pair (the reference reads pair endpoints as list({h1, h2});
+    matching/decode.py::_cpython_set2_order)."""
+    from mpe3d_tpu.matching.decode import _cpython_set2_order
+
+    for x in range(64):
+        for y in range(64):
+            if x == y:
+                continue
+            s = set()
+            s.add(x)
+            s.add(y)
+            assert tuple(_cpython_set2_order(x, y)) == tuple(s), (x, y)
