@@ -82,6 +82,45 @@ def main() -> int:
         pipe.infer_batch(frames[:B], slots=4)
     fps = B * reps / (time.perf_counter() - t0)
 
+    # ---- honest on-device per-frame time (chained differential) ---------
+    # Through the axon relay only VALUE readbacks synchronise (CLAUDE.md),
+    # so the fused program is chained K times inside one jit (frame i+1's
+    # pixels nudged by 1e-9·Σposes_i — numerically invisible, defeats
+    # elision) and timed as (t_K2 − t_K1)/(K2 − K1) with float() syncs.
+    import jax.numpy as jnp
+
+    core = pipe._fused_fn(4, 8)
+    fa0 = frames[0]
+    chain_args = [jnp.asarray(fa0.kp[:, :4]), jnp.asarray(fa0.valid[:, :4]),
+                  jnp.asarray(fa0.prob[:, :4]),
+                  jnp.asarray(fa0.in_view[:, :4]),
+                  jnp.asarray(fa0.present[:, :4])]
+
+    def make_chain(K):
+        @jax.jit
+        def chain(kp, valid, prob, obs, present):
+            def body(i, kp):
+                poses, _, _, _ = core(pipe.matcher_params,
+                                      pipe.lifter_params,
+                                      kp, valid, prob, obs, present)
+                return kp + 1e-9 * jnp.sum(poses)
+            return jnp.sum(jax.lax.fori_loop(0, K, body, kp))
+        return chain
+
+    K1, K2 = (2, 6) if smoke else (20, 120)
+    c1, c2 = make_chain(K1), make_chain(K2)
+    float(c1(*chain_args))
+    float(c2(*chain_args))
+    t1s, t2s = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(c1(*chain_args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(c2(*chain_args))
+        t2s.append(time.perf_counter() - t0)
+    ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
+
     # ---- training throughput / MFU (scan-epoch lifter trainer) ----------
     # Reference batch 2096 (train_pose_estimator.py:6).  The dataset is
     # GENERATED ON DEVICE (no host upload); one lax.scan dispatch per epoch.
@@ -151,6 +190,7 @@ def main() -> int:
         "vs_baseline": round(BASELINE_MS / stream_ms, 2),
         "single_dispatch_ms": round(ms, 3),
         "batched_throughput_fps": round(fps, 1),
+        "ondevice_frame_us": round(ondevice_us, 1),
         "train_samples_per_s": round(sps, 1),
         "train_tflops": round(train_tflops, 2),
         "train_mfu_pct_bf16peak": round(mfu, 2),
