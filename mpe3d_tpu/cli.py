@@ -74,10 +74,13 @@ def load_models(models_dir: str, rig_config):
               file=sys.stderr)
         mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
 
+    lifter_prior = "mean"
     if os.path.exists(j(models_dir, "pose_estimator.npz")):
-        lparams, _, _ = load_checkpoint(
+        lparams, _, lmeta = load_checkpoint(
             j(models_dir, "pose_estimator"),
             init_lifter(jax.random.PRNGKey(1), lcfg))
+        # packing variant the checkpoint was trained with (lifting/pack.py)
+        lifter_prior = lmeta.get("prior", "mean")
     elif os.path.exists(j(models_dir, "pose_estimator.pytorch")):
         from mpe3d_tpu.convert.torch_import import load_reference_lifter
         lparams, lcfg = load_reference_lifter(
@@ -86,14 +89,15 @@ def load_models(models_dir: str, rig_config):
         print("[mpe3d] no lifter checkpoint found — using random init",
               file=sys.stderr)
         lparams = init_lifter(jax.random.PRNGKey(1), lcfg)
-    return mparams, mcfg, lparams, lcfg
+    return mparams, mcfg, lparams, lcfg, lifter_prior
 
 
 def build_pipeline(args, backend: str):
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
 
     rig_config, rig = load_rig(args)
-    mparams, mcfg, lparams, lcfg = load_models(args.modelsdir, rig_config)
+    mparams, mcfg, lparams, lcfg, lifter_prior = load_models(
+        args.modelsdir, rig_config)
     # forward only the geo flags this subcommand defines — the pipeline
     # signature stays the single source of the defaults
     geo_kw = {k: getattr(args, k)
@@ -101,7 +105,7 @@ def build_pipeline(args, backend: str):
               if hasattr(args, k)}
     pipe = PoseEstimationPipeline(
         rig_config, rig, mparams, mcfg, lparams, lcfg, backend=backend,
-        **geo_kw)
+        lifter_prior=lifter_prior, **geo_kw)
     return rig_config, rig, pipe
 
 
@@ -202,9 +206,9 @@ def cmd_train_lifter(args):
                              optimise_matrices=args.optimise_matrices,
                              seed=args.seed)
     net_t, err_t = build_lifter_dataset_from_files(
-        args.trainset, rig_config, rig, cache=args.cache)
+        args.trainset, rig_config, rig, cache=args.cache, prior=args.prior)
     net_d, err_d = build_lifter_dataset_from_files(
-        args.devset, rig_config, rig, cache=args.cache)
+        args.devset, rig_config, rig, cache=args.cache, prior=args.prior)
     print(f"dataset length: {len(net_t)} (dev {len(net_d)})")
     out = os.path.join(args.modelsdir, "pose_estimator")
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
@@ -226,7 +230,8 @@ def cmd_train_lifter(args):
               f"opt_state={'yes' if opt_state is not None else 'no'})")
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig,
                        lcfg, tcfg, checkpoint_path=out, params=params,
-                       opt_state=opt_state)
+                       opt_state=opt_state,
+                       extra_meta={"prior": args.prior})
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
           f"epochs → {out}.npz")
 
@@ -462,6 +467,13 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume params (+ optimizer state when present) "
                    "from the modelsdir checkpoint")
+    p.add_argument("--prior", default="mean", choices=["mean", "median"],
+                   help="triangulated-prior variant in the lifter input "
+                   "(lifting/pack.py): 'mean' = reference-exact pair mean; "
+                   "'median' = median-outlier-rejected — use on rigs with "
+                   "near-degenerate camera pairs (e.g. ARP Lab's 11.5 cm "
+                   "robot stereo pair).  Recorded in the checkpoint; "
+                   "inference reads it back automatically.")
     p.set_defaults(fn=cmd_train_lifter)
 
     for name, fn in (("metrics-from-model", cmd_metrics_from_model),

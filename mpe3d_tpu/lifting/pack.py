@@ -37,7 +37,8 @@ import jax.numpy as jnp
 
 from mpe3d_tpu.geometry.camera import (CameraRig, cam_centers_world,
                                        undistorted_rays_world)
-from mpe3d_tpu.geometry.triangulate import triangulate_mean
+from mpe3d_tpu.geometry.triangulate import (triangulate_mean,
+                                            triangulate_median_filtered)
 
 
 def pack_error_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
@@ -59,6 +60,7 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
                       image_size: Tuple[float, float],
                       require_valid: bool = False,
                       skip_joint0_prior: bool = True,
+                      prior: str = "mean",
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the MLP input for ONE person from its per-used-camera skeleton.
 
@@ -68,6 +70,17 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
 
     Returns (net_input [C*J*14] flat, include [C, J]) where ``include`` is the
     per-slot packing mask (useful to reconstruct reference 'flags').
+
+    ``prior`` selects the triangulation behind fields 10-13: ``"mean"``
+    (default) is the reference-exact mean over all camera pairs
+    (get_3D_from_triangulation, reference :63-101); ``"median"`` is the
+    median-outlier-rejected variant the classical 3D *backend* uses
+    (reference pose_estimator_utils.py:52-75).  Opt into "median" on rigs
+    with near-degenerate camera pairs — the ARP Lab's two robot cameras sit
+    11.5 cm apart, and that pair's wild triangulations poison the plain
+    mean (measured on synthetic ARP frames: 23.7 mm mean-prior vs 14.0 mm
+    median-prior MPJPE; scripts/diag_arp_lifter.py).  Train and infer with
+    the SAME setting — it changes the input distribution.
     """
     C, J, _ = kp.shape
     W, H = image_size
@@ -96,7 +109,12 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
     if skip_joint0_prior:
         joint_gate = (jnp.arange(J) > 0).astype(kp.dtype)
         tri_obs = tri_obs * joint_gate[None, :]
-    tri_xyz, tri_ok = triangulate_mean(kp, tri_obs, rig)         # [J,3], [J]
+    if prior == "mean":
+        tri_xyz, tri_ok = triangulate_mean(kp, tri_obs, rig)     # [J,3], [J]
+    elif prior == "median":
+        tri_xyz, tri_ok = triangulate_median_filtered(kp, tri_obs, rig)
+    else:
+        raise ValueError(f"prior must be 'mean' or 'median', got {prior!r}")
     okf = tri_ok.astype(kp.dtype)[:, None]                       # [J, 1]
     f10 = jnp.broadcast_to(okf[None, :, :], (C, J, 1))
     f1113 = jnp.broadcast_to((tri_xyz * okf / 10.0)[None], (C, J, 3))

@@ -62,7 +62,8 @@ class PoseEstimationPipeline:
                  decode_on_device: bool = False,
                  geo_rerank: float = 0.0, geo_scale: float = 0.3,
                  geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
-                 use_pallas_proj: Optional[bool] = None):
+                 use_pallas_proj: Optional[bool] = None,
+                 lifter_prior: str = "mean"):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -96,6 +97,14 @@ class PoseEstimationPipeline:
         if use_pallas_proj is None:
             use_pallas_proj = jax.default_backend() == "tpu"
         self.use_pallas_proj = bool(use_pallas_proj)
+        # triangulated-prior variant behind lifter-input fields 10-13
+        # (lifting/pack.py): "mean" = reference-exact; "median" for rigs
+        # with near-degenerate pairs (ARP Lab).  Init-only — MUST match the
+        # checkpoint's training-time setting (checkpoint meta key "prior").
+        if lifter_prior not in ("mean", "median"):
+            raise ValueError(f"lifter_prior must be 'mean' or 'median', "
+                             f"got {lifter_prior!r}")
+        self.lifter_prior = lifter_prior
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -266,7 +275,8 @@ class PoseEstimationPipeline:
         def run(params, kp, valid, prob, observed, pmask):
             def one(kp_p, valid_p, prob_p, obs_p):
                 net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
-                                           self.used_rig, self.image_size)
+                                           self.used_rig, self.image_size,
+                                           prior=self.lifter_prior)
                 return net
             nets = jax.vmap(one)(kp, valid, prob, observed)     # [P, 1260]
             out = apply_lifter(params, nets, self.lifter_cfg,
@@ -339,7 +349,8 @@ class PoseEstimationPipeline:
             else:
                 def one(kp_p, valid_p, prob_p, obs_p):
                     net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
-                                               self.used_rig, self.image_size)
+                                               self.used_rig, self.image_size,
+                                               prior=self.lifter_prior)
                     return net
                 nets = jax.vmap(one)(pkp, pval, pprob, pobs)
                 out = apply_lifter(lparams, nets, self.lifter_cfg,

@@ -104,7 +104,8 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                  params: Optional[Dict] = None,
                  opt_state=None,
                  log: Callable[[str], None] = print,
-                 stop_flag: Optional[Callable[[], bool]] = None
+                 stop_flag: Optional[Callable[[], bool]] = None,
+                 extra_meta: Optional[Dict] = None
                  ) -> LifterTrainResult:
     """Full training loop with dev-set early stopping.
 
@@ -112,6 +113,9 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
     to all devices on the data axis.  ``params``/``opt_state`` resume a
     previous leg (CLI ``train-lifter --resume``); opt_state resume is
     replicated-layout only (tensor-parallel meshes re-init the optimizer).
+    ``extra_meta``: caller keys merged into the checkpoint meta (e.g. the
+    dataset's triangulated-prior variant, ``{"prior": "median"}``, which
+    inference must match — lifting/pack.py).
     """
     init_opt_state = opt_state
     cfg = cfg or LifterConfig(
@@ -234,7 +238,8 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                                                          else x, trainable)
                     best_meta = {"epoch": epoch, "val_loss": val_loss,
                                  "train_loss": train_loss,
-                                 "lifter_config": cfg, "train_config": tcfg}
+                                 "lifter_config": cfg, "train_config": tcfg,
+                                 **(extra_meta or {})}
                     if val_loss <= last_saved * (1.0 - tcfg.save_rel_improve):
                         last_saved = val_loss
                         result.params = jax.device_get(best_device)["model"]

@@ -73,8 +73,13 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
                          rig: CameraRig, augment: bool = True,
                          max_combinations: int = 5, seed: int = 0,
                          cache_path: Optional[str] = None,
-                         batch: int = 512) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (net_inputs [N, Cu*J*14], error_inputs [N, C*J*4]) float32."""
+                         batch: int = 512, prior: str = "mean",
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (net_inputs [N, Cu*J*14], error_inputs [N, C*J*4]) float32.
+
+    ``prior`` selects the triangulated-prior variant (see
+    ``pack_lifter_input``); callers using ``cache_path`` must key the path
+    on it — the cache stores packed arrays."""
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path)
         return data["net"], data["err"]
@@ -88,7 +93,8 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
 
     pack_batch = jax.jit(jax.vmap(
         lambda kp, v, p, o: pack_lifter_input(kp, v, p, o, used_rig, img,
-                                              require_valid=True)))
+                                              require_valid=True,
+                                              prior=prior)))
     err_batch = jax.jit(jax.vmap(pack_error_input))
 
     kps, vals, probs, obss = [], [], [], []
@@ -164,6 +170,9 @@ def build_lifter_dataset_from_files(paths: Sequence[str],
         # C++ fast path; FrameArrays feed build_lifter_dataset directly
         frames.extend(parse_frames_file(p, rig_config))
     cache = kw.pop("cache", False)
-    cache_path = f"{paths[-1]}.mpe3d.npz" if cache else None
+    # key the cache on the prior variant — it changes the packed arrays
+    prior = kw.get("prior", "mean")
+    suffix = "" if prior == "mean" else f".{prior}"
+    cache_path = f"{paths[-1]}.mpe3d{suffix}.npz" if cache else None
     return build_lifter_dataset(frames, rig_config, rig,
                                 cache_path=cache_path, **kw)

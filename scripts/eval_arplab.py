@@ -72,9 +72,10 @@ def main():
         init_lifter(jax.random.PRNGKey(1), lcfg))
     S = int(mmeta.get("n_slots", 4))
 
+    prior = lmeta.get("prior", "mean")   # must match training (pack.py)
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),
-                                  person_buckets=(8,))
+                                  person_buckets=(8,), lifter_prior=prior)
     tri = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                  backend="triangulation",
                                  slot_buckets=(S,), person_buckets=(8,))
@@ -82,7 +83,8 @@ def main():
     report = {"env": "ARPLAB", "frames": args.frames, "seed": args.seed,
               "spread": args.spread, "min_cam_dist": args.min_cam_dist,
               "matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
-              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")}}
+              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
+              "lifter_prior": prior}
 
     # --- the reference's ARPLAB protocol: per-camera reprojection px ------
     r = run_reprojection_error(frames, rig_config, pipe, tri,

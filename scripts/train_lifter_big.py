@@ -39,6 +39,12 @@ def main():
                     help="rig preset (ARPLAB = the reference's second "
                     "environment: 6 cameras incl. robot-mounted, "
                     "parameters.py:79-123)")
+    ap.add_argument("--prior", default="mean", choices=["mean", "median"],
+                    help="triangulated-prior variant for the lifter input "
+                    "(lifting/pack.py) — use 'median' on ARPLAB: its two "
+                    "robot cameras form an 11.5 cm-baseline pair that "
+                    "poisons the reference's plain pair mean.  Recorded in "
+                    "the checkpoint meta; inference must match.")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
     if len(sp_parts) > 2:
@@ -73,6 +79,10 @@ def main():
     if args.resume and os.path.exists(ckpt + ".npz"):
         params, _, meta = load_checkpoint(
             ckpt, init_lifter(jax.random.PRNGKey(1), lcfg))
+        ck_prior = meta.get("prior", "mean")
+        if ck_prior != args.prior:
+            sys.exit(f"checkpoint {ckpt} was trained with prior={ck_prior}; "
+                     f"pass --prior {ck_prior} or start a fresh --out")
         log.event("resume", from_epoch=meta.get("epoch"),
                   from_val=meta.get("val_loss"))
 
@@ -95,9 +105,10 @@ def main():
 
     t0 = time.time()
     net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
-                                        rig_config, rig)
+                                        rig_config, rig, prior=args.prior)
     net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
-                                        rig_config, rig, augment=False)
+                                        rig_config, rig, augment=False,
+                                        prior=args.prior)
     log.event("dataset", train=len(net_t), dev=len(net_d),
               build_s=round(time.time() - t0, 1))
 
@@ -114,7 +125,8 @@ def main():
                              lr=args.lr)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
                        tcfg, params=params, checkpoint_path=ckpt, log=log,
-                       stop_flag=lambda: stop["flag"])
+                       stop_flag=lambda: stop["flag"],
+                       extra_meta={"prior": args.prior})
     log.event("done", best_val=res.best_val_loss, epochs=res.epochs_run)
     print("best_val", res.best_val_loss, "epochs", res.epochs_run)
 

@@ -62,6 +62,38 @@ def test_pack_layout_and_prior(panoptic_rig, rng):
     assert np.allclose(x[0, :, 10:], x[1, :, 10:])
 
 
+def test_pack_median_prior_variant(panoptic_rig, rng):
+    """prior='median' swaps only fields 10-13 for the median-filtered
+    triangulation (the classical backend's semantics); everything else is
+    bit-identical to the default reference-exact 'mean' packing."""
+    import pytest
+
+    from mpe3d_tpu.geometry.triangulate import triangulate_median_filtered
+
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    C, J = kp.shape[:2]
+    W, H = PANOPTIC.image_width, PANOPTIC.image_height
+    args = (jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+            jnp.asarray(observed), panoptic_rig, (W, H))
+    net_mean, _ = pack_lifter_input(*args)
+    net_med, _ = pack_lifter_input(*args, prior="median")
+    xm = np.asarray(net_mean).reshape(C, J, 14)
+    xd = np.asarray(net_med).reshape(C, J, 14)
+    assert np.array_equal(xm[..., :10], xd[..., :10])
+
+    tri_obs = observed.astype(np.float32) * (np.arange(J) > 0)[None, :]
+    xyz, ok = triangulate_median_filtered(jnp.asarray(kp),
+                                          jnp.asarray(tri_obs), panoptic_rig)
+    xyz, ok = np.asarray(xyz), np.asarray(ok)
+    assert np.allclose(xd[0, :, 10], ok.astype(np.float32))
+    assert np.allclose(xd[0, :, 11:14],
+                       xyz * ok[:, None].astype(np.float32) / 10.0, atol=1e-6)
+    assert np.allclose(xd[0, :, 10:], xd[1, :, 10:])
+
+    with pytest.raises(ValueError):
+        pack_lifter_input(*args, prior="nope")
+
+
 def test_pack_require_valid_filters_joints(panoptic_rig, rng):
     person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
     valid[:, 5] = 0.0   # invalid joint still observed
