@@ -204,7 +204,7 @@ def cmd_train_lifter(args):
     rig_config, rig = load_rig(args)
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              optimise_matrices=args.optimise_matrices,
-                             seed=args.seed)
+                             seed=args.seed, loss=args.loss)
     net_t, err_t = build_lifter_dataset_from_files(
         args.trainset, rig_config, rig, cache=args.cache, prior=args.prior)
     net_d, err_d = build_lifter_dataset_from_files(
@@ -467,6 +467,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume params (+ optimizer state when present) "
                    "from the modelsdir checkpoint")
+    p.add_argument("--loss", default="reference",
+                   choices=["reference", "per_term", "huber"],
+                   help="reprojection-loss variant (lifting/loss.py): "
+                   "'reference' = bit-parity summed-L1-squared; "
+                   "'per_term'/'huber' = better-conditioned variants that "
+                   "converge to the reprojection least-squares optimum")
     p.add_argument("--prior", default="mean", choices=["mean", "median"],
                    help="triangulated-prior variant in the lifter input "
                    "(lifting/pack.py): 'mean' = reference-exact pair mean; "

@@ -286,6 +286,14 @@ class LifterTrainConfig:
     # run each epoch as ONE jit-compiled lax.scan over its batches — one
     # dispatch per epoch (the tail partial batch is dropped)
     scan_epoch: bool = True
+    # reprojection-loss variant (lifting/loss.py): "reference" = the
+    # reference's MSE-of-summed-L1 (bit-parity); "per_term" = masked mean
+    # of squared per-term residuals (converges to the reprojection
+    # least-squares optimum — the reference loss stalls in a noise ball at
+    # ~2× the DLT prior's MPJPE); "huber" = per_term with outlier
+    # robustness (huber_delta px knee).
+    loss: str = "reference"
+    huber_delta: float = 10.0
     # persist a checkpoint only when val improves by this relative margin
     # since the LAST SAVE (the best params are still tracked at every eval,
     # as an on-device copy).  Early in a training leg val improves at every

@@ -79,7 +79,7 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
     with near-degenerate camera pairs — the ARP Lab's two robot cameras sit
     11.5 cm apart, and that pair's wild triangulations poison the plain
     mean (measured on synthetic ARP frames: 23.7 mm mean-prior vs 14.0 mm
-    median-prior MPJPE; scripts/diag_arp_lifter.py).  Train and infer with
+    median-prior MPJPE; scripts/diag_lifter_prior.py).  Train and infer with
     the SAME setting — it changes the input distribution.
     """
     C, J, _ = kp.shape

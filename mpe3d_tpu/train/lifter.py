@@ -53,7 +53,9 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
         params = trainable["model"]
         r = trainable.get("rig", static_rig)
         pred = apply_lifter(params, net, cfg)
-        return reprojection_loss(pred, err, r, n_joints)
+        return reprojection_loss(pred, err, r, n_joints,
+                                 kind=tcfg.loss,
+                                 huber_delta=tcfg.huber_delta)
 
     def _step(trainable, opt_state, net, err):
         loss, grads = jax.value_and_grad(loss_fn)(trainable, rig, net, err)
@@ -209,7 +211,16 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                 host = jax.device_get(losses)
                 train_loss = (sum(l * b for l, b in zip(host, sizes))
                               / max(sum(sizes), 1))
-            mae_per_coord = (train_loss ** 0.5) / rig_config.n_cameras / J / 2
+            # loss-derived px-per-coordinate scale (logging only): the
+            # reference loss is (Σ|e|)², per_term is mean(Δu²+Δv²), huber ≈
+            # per_term/2 below the knee
+            if tcfg.loss == "per_term":
+                mae_per_coord = (train_loss / 2.0) ** 0.5
+            elif tcfg.loss == "huber":
+                mae_per_coord = train_loss ** 0.5
+            else:
+                mae_per_coord = ((train_loss ** 0.5)
+                                 / rig_config.n_cameras / J / 2)
 
             if epoch % tcfg.eval_every == 0:
                 vlosses, vsizes = [], []

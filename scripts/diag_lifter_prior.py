@@ -17,7 +17,7 @@ If MLP ≈ prior on all-cam inputs but dense eval is much worse, the gap is
 scene packing / matching, not the lifter.  If MLP ≫ prior here too, the
 lifter underfits and more training (or lr decay) is the fix.
 
-Usage: python scripts/diag_arp_lifter.py --lifter runs/arp_lifter [--n 300]
+Usage: python scripts/diag_lifter_prior.py --lifter runs/arp_lifter --env ARPLAB [--n 300]
 """
 
 import argparse
@@ -33,6 +33,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lifter", required=True)
+    ap.add_argument("--env", default="ARPLAB",
+                    choices=["PANOPTIC", "ARPLAB"])
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--seed", type=int, default=4242)
     ap.add_argument("--spread", default="0.8,2.0")
@@ -52,7 +54,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from mpe3d_tpu.config import ARPLAB, LifterConfig
+    from mpe3d_tpu.config import LifterConfig, get_rig
     from mpe3d_tpu.data.frames import parse_frame_gt
     from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
                                           synthetic_ring_rig)
@@ -61,8 +63,9 @@ def main():
     from mpe3d_tpu.train.checkpoint import load_checkpoint
     from mpe3d_tpu.train.lifter_data import build_lifter_dataset
 
-    rig_config = ARPLAB
-    ref_tm = "/root/reference/tm_arp.pickle"
+    rig_config = get_rig(args.env)
+    ref_tm = ("/root/reference/tm_arp.pickle" if args.env == "ARPLAB"
+              else "/root/reference/tm_panoptic.pickle")
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
@@ -127,7 +130,7 @@ def main():
             masked[i, drop, :, 0:10] = 0.0
         run(f"{keep_n} of {Cu} cameras", masked.reshape(len(masked), -1))
 
-    out = args.out or os.path.join(args.lifter, "diag_arp_lifter.json")
+    out = args.out or os.path.join(args.lifter, "diag_lifter_prior.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print("wrote", out)

@@ -39,6 +39,12 @@ def main():
                     help="rig preset (ARPLAB = the reference's second "
                     "environment: 6 cameras incl. robot-mounted, "
                     "parameters.py:79-123)")
+    ap.add_argument("--loss", default="reference",
+                    choices=["reference", "per_term", "huber"],
+                    help="reprojection-loss variant (lifting/loss.py): the "
+                    "reference's summed-L1-squared stalls at ~2x the DLT "
+                    "prior's MPJPE; per_term/huber converge to the "
+                    "reprojection least-squares optimum")
     ap.add_argument("--prior", default="mean", choices=["mean", "median"],
                     help="triangulated-prior variant for the lifter input "
                     "(lifting/pack.py) — use 'median' on ARPLAB: its two "
@@ -122,7 +128,7 @@ def main():
 
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
-                             lr=args.lr)
+                             lr=args.lr, loss=args.loss)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
                        tcfg, params=params, checkpoint_path=ckpt, log=log,
                        stop_flag=lambda: stop["flag"],

@@ -140,6 +140,46 @@ def test_reprojection_error_zero_at_gt(panoptic_rig, rng):
     assert np.isclose(float(loss), float(err[0]) ** 2, rtol=1e-4)
 
 
+def test_reprojection_loss_variants(panoptic_rig, rng):
+    """per_term = masked mean of Δu²+Δv²; huber matches per_term/2 for
+    small residuals and grows linearly for large ones; both are ~zero at
+    the ground truth and positive away from it."""
+    import pytest
+
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    err_in = pack_error_input(jnp.asarray(kp), jnp.asarray(valid),
+                              jnp.asarray(prob), jnp.asarray(observed))[None]
+    pred = jnp.asarray(person.reshape(1, -1) / 10.0)
+    wrong = pred + 0.05                                # 0.5 m off
+
+    for kind in ("per_term", "huber"):
+        at_gt = float(reprojection_loss(pred, err_in, panoptic_rig, 18,
+                                        kind=kind))
+        off = float(reprojection_loss(wrong, err_in, panoptic_rig, 18,
+                                      kind=kind))
+        assert at_gt < 0.01, (kind, at_gt)             # px² fp32 rounding
+        assert off > 100.0 * max(at_gt, 1e-6), kind
+
+    # closed-form check on a hand-made residual field: shift predictions so
+    # every term has the same |Δ|, then per_term == 2·d², and huber (below
+    # the knee) == d² (0.5·d² per coordinate, two coordinates)
+    from mpe3d_tpu.lifting.loss import _reprojection_residuals
+    d, vmask = _reprojection_residuals(wrong, err_in, panoptic_rig, 18)
+    d, vmask = np.asarray(d), np.asarray(vmask)
+    expect = float((np.sum(d * d, axis=-1) * vmask).sum() / vmask.sum())
+    got = float(reprojection_loss(wrong, err_in, panoptic_rig, 18,
+                                  kind="per_term"))
+    assert np.isclose(got, expect, rtol=1e-5)
+
+    # huge-delta huber == per_term / 2 exactly
+    h = float(reprojection_loss(wrong, err_in, panoptic_rig, 18,
+                                kind="huber", huber_delta=1e9))
+    assert np.isclose(h, got / 2.0, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        reprojection_loss(pred, err_in, panoptic_rig, 18, kind="nope")
+
+
 def test_reprojection_error_masks_invalid(panoptic_rig, rng):
     person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
     kp_broken = kp.copy()
