@@ -58,6 +58,7 @@ def test_convert_torch_cli(tmp_path, capsys):
     # load_models picks up the converted checkpoint
     from mpe3d_tpu.cli import load_models
     from mpe3d_tpu.config import PANOPTIC
-    mparams, mcfg, lparams, lcfg = load_models(md, PANOPTIC)
+    mparams, mcfg, lparams, lcfg, lifter_prior = load_models(md, PANOPTIC)
     assert lcfg.in_dim == 1260
     assert lparams["layers"][0]["w"].shape == (1260, 3072)
+    assert lifter_prior == "mean"  # torch imports carry no prior meta
