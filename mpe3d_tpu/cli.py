@@ -76,7 +76,13 @@ def load_models(models_dir: str, rig_config):
 
     lifter_prior = "mean"
     if os.path.exists(j(models_dir, "pose_estimator.npz")):
-        lparams, _, lmeta = load_checkpoint(
+        from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                                read_meta)
+        lmeta = read_meta(j(models_dir, "pose_estimator"))
+        # architecture variants the checkpoint was trained with (widths,
+        # residual_prior) override the rig default
+        lcfg = lifter_config_from_meta(lmeta, lcfg)
+        lparams, _, _ = load_checkpoint(
             j(models_dir, "pose_estimator"),
             init_lifter(jax.random.PRNGKey(1), lcfg))
         # packing variant the checkpoint was trained with (lifting/pack.py)
@@ -212,14 +218,17 @@ def cmd_train_lifter(args):
     print(f"dataset length: {len(net_t)} (dev {len(net_d)})")
     out = os.path.join(args.modelsdir, "pose_estimator")
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
-                        out_dim=rig_config.n_joints * 3)
+                        out_dim=rig_config.n_joints * 3,
+                        residual_prior=getattr(args, "residual_prior", False))
     params = opt_state = None
     if getattr(args, "resume", False):
         import jax
         import optax
 
         from mpe3d_tpu.models.mlp import init_lifter
-        from mpe3d_tpu.train.checkpoint import load_checkpoint
+        from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                                load_checkpoint, read_meta)
+        lcfg = lifter_config_from_meta(read_meta(out), lcfg)
         tmpl_p = init_lifter(jax.random.PRNGKey(0), lcfg)
         tmpl_o = optax.chain(
             optax.clip_by_global_norm(tcfg.grad_clip_norm),
@@ -480,6 +489,11 @@ def make_parser() -> argparse.ArgumentParser:
                    "near-degenerate camera pairs (e.g. ARP Lab's 11.5 cm "
                    "robot stereo pair).  Recorded in the checkpoint; "
                    "inference reads it back automatically.")
+    p.add_argument("--residual-prior", action="store_true",
+                   help="predict a correction to the triangulated prior "
+                   "instead of absolute coordinates (zero-initialised head "
+                   "starts training AT the prior; config.LifterConfig)."
+                   "  Recorded in the checkpoint; loaders reconstruct it.")
     p.set_defaults(fn=cmd_train_lifter)
 
     for name, fn in (("metrics-from-model", cmd_metrics_from_model),

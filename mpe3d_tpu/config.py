@@ -250,6 +250,14 @@ class LifterConfig:
     out_dim: int = 54
     widths: Tuple[int, ...] = (3072, 3072, 2048, 2048, 1024, 1024, 1024, 1024)
     negative_slope: float = 0.1
+    # Extension (no reference counterpart, default off = exact reference
+    # semantics): predict a *correction to the triangulated prior* already
+    # present in the input (fields 11:14, lifting/pack.py) instead of
+    # absolute coordinates.  The final layer is zero-initialised so training
+    # starts exactly at the prior; where the prior is invalid its fields are
+    # zero and the head degrades to an absolute prediction.  Recorded in the
+    # checkpoint meta; loaders reconstruct it (train/checkpoint.py).
+    residual_prior: bool = False
 
 
 @dataclass(frozen=True)

@@ -42,11 +42,36 @@ def init_lifter(key: jax.Array, cfg: LifterConfig) -> Params:
     keys = jax.random.split(key, len(dims) - 1)
     for i, (d_in, d_out) in enumerate(zip(dims[:-1], dims[1:])):
         kw, kb = jax.random.split(keys[i])
+        if cfg.residual_prior and i == len(dims) - 2:
+            # zero-init the head: the initial prediction IS the prior
+            params["layers"].append({
+                "w": jnp.zeros((d_in, d_out), jnp.float32),
+                "b": jnp.zeros((d_out,), jnp.float32),
+            })
+            continue
         params["layers"].append({
             "w": _kaiming_uniform(kw, d_in, (d_in, d_out)),
             "b": _kaiming_uniform(kb, d_in, (d_out,)),
         })
     return params
+
+
+def extract_prior(x: jnp.ndarray, cfg: LifterConfig) -> jnp.ndarray:
+    """Triangulated-prior fields of a packed lifter input, as an [..., out_dim]
+    coordinate vector (decameters — the lifter's own output unit).
+
+    The packer (lifting/pack.py) writes the same triangulated point into
+    fields 11:14 of every (camera, joint) block of 14 numbers
+    (numbers_per_joint, reference: parameters.py:31), zeroed where the
+    triangulation is invalid; camera-dropout masking keeps these fields, so
+    block 0 always carries the prior.
+    """
+    J = cfg.out_dim // 3
+    per = 14  # numbers_per_joint
+    C = cfg.in_dim // (J * per)
+    assert C * J * per == cfg.in_dim, (cfg.in_dim, cfg.out_dim)
+    blocks = x.reshape(*x.shape[:-1], C, J, per)
+    return blocks[..., 0, :, 11:14].reshape(*x.shape[:-1], cfg.out_dim)
 
 
 def apply_lifter(params: Params, x: jnp.ndarray, cfg: LifterConfig,
@@ -69,6 +94,8 @@ def apply_lifter(params: Params, x: jnp.ndarray, cfg: LifterConfig,
         h = jnp.dot(h_c, w_c, preferred_element_type=jnp.float32) + b
         if i < n - 1:
             h = jax.nn.leaky_relu(h, negative_slope=cfg.negative_slope)
+    if cfg.residual_prior:
+        h = h + extract_prior(x, cfg)
     return h
 
 

@@ -49,6 +49,34 @@ def save_checkpoint(path: str, params, opt_state=None,
         json.dump(meta, f, indent=2, default=str)
 
 
+def read_meta(path: str) -> Dict[str, Any]:
+    """Read a checkpoint's JSON sidecar without touching the arrays (so a
+    caller can reconstruct configs BEFORE building the load template)."""
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            return json.load(f)
+    return {}
+
+
+def lifter_config_from_meta(meta: Dict[str, Any], default):
+    """Reconstruct the LifterConfig a checkpoint was trained with.
+
+    Architecture-affecting fields saved in the meta (widths,
+    residual_prior, …) override the caller's default — otherwise a
+    checkpoint trained with e.g. ``residual_prior=True`` would load
+    shape-compatibly but silently compute the wrong function.  Fields
+    absent from old checkpoints keep the default (backwards compatible).
+    """
+    from mpe3d_tpu.config import LifterConfig
+
+    d = dict(meta.get("lifter_config") or {})
+    if not d:
+        return default
+    merged = {**dataclasses.asdict(default), **d}
+    merged["widths"] = tuple(merged["widths"])
+    return LifterConfig(**merged)
+
+
 def load_checkpoint(path: str, params_template, opt_state_template=None):
     """Load into the structure of the given templates (shape-checked).
 

@@ -40,7 +40,8 @@ def main():
                                           synthetic_ring_rig)
     from mpe3d_tpu.geometry.calib_io import rig_from_files
     from mpe3d_tpu.models.mlp import init_lifter
-    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            load_checkpoint, read_meta)
     from mpe3d_tpu.train.lifter import train_lifter
     from mpe3d_tpu.train.lifter_data import build_lifter_dataset
     from mpe3d_tpu.utils.logging import JsonlLogger
@@ -51,6 +52,8 @@ def main():
            else synthetic_ring_rig(rig_config))
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
+    lcfg = lifter_config_from_meta(
+        read_meta(os.path.join(args.models, "pose_estimator")), lcfg)
     params, _, meta = load_checkpoint(
         os.path.join(args.models, "pose_estimator"),
         init_lifter(jax.random.PRNGKey(1), lcfg))

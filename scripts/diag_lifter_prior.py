@@ -60,7 +60,8 @@ def main():
                                           synthetic_ring_rig)
     from mpe3d_tpu.geometry.calib_io import rig_from_files
     from mpe3d_tpu.models.mlp import apply_lifter, init_lifter
-    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            load_checkpoint, read_meta)
     from mpe3d_tpu.train.lifter_data import build_lifter_dataset
 
     rig_config = get_rig(args.env)
@@ -76,7 +77,9 @@ def main():
 
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
-    lparams, _, lmeta = load_checkpoint(
+    lmeta = read_meta(os.path.join(args.lifter, "pose_estimator"))
+    lcfg = lifter_config_from_meta(lmeta, lcfg)
+    lparams, _, _ = load_checkpoint(
         os.path.join(args.lifter, "pose_estimator"),
         init_lifter(jax.random.PRNGKey(1), lcfg))
 

@@ -66,7 +66,8 @@ def main():
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
-    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            load_checkpoint, read_meta)
 
     rig_config = PANOPTIC
     ref_tm = "/root/reference/tm_panoptic.pickle"
@@ -84,6 +85,8 @@ def main():
     mparams, _, mmeta = load_checkpoint(
         os.path.join(args.models, "skeleton_matching"),
         init_matcher(jax.random.PRNGKey(0), mcfg))
+    lcfg = lifter_config_from_meta(
+        read_meta(os.path.join(args.models, "pose_estimator")), lcfg)
     lparams, _, _ = load_checkpoint(
         os.path.join(args.models, "pose_estimator"),
         init_lifter(jax.random.PRNGKey(1), lcfg))

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--seed", type=int, default=77)
     ap.add_argument("--spread", default="0.8,2.0")
     ap.add_argument("--min-cam-dist", type=float, default=1.2)
+    ap.add_argument("--pixel-sigma", type=float, default=1.5,
+                    help="detector pixel noise (robustness sweeps: 3, 5)")
+    ap.add_argument("--cam-dropout", type=float, default=0.05,
+                    help="per (person, camera) chance of a missing view")
+    ap.add_argument("--joint-dropout", type=float, default=0.05)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     sp = [float(x) for x in args.spread.split(",")]
@@ -49,14 +54,16 @@ def main():
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
-    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            load_checkpoint, read_meta)
 
     rig_config = ARPLAB
     ref_tm = "/root/reference/tm_arp.pickle"
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
-    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
-                       spurious_rate=0.1, camera_dropout=0.05)
+    noise = SceneNoise(pixel_sigma=args.pixel_sigma,
+                       joint_dropout=args.joint_dropout,
+                       spurious_rate=0.1, camera_dropout=args.cam_dropout)
     frames = generate_frames(rig_config, rig, args.frames, n_people=(1, 3),
                              seed=args.seed, noise=noise, spread=spread,
                              min_cam_dist=args.min_cam_dist)
@@ -67,7 +74,9 @@ def main():
     mparams, _, mmeta = load_checkpoint(
         os.path.join(args.matcher, "skeleton_matching"),
         init_matcher(jax.random.PRNGKey(0), mcfg))
-    lparams, _, lmeta = load_checkpoint(
+    lmeta = read_meta(os.path.join(args.lifter, "pose_estimator"))
+    lcfg = lifter_config_from_meta(lmeta, lcfg)
+    lparams, _, _ = load_checkpoint(
         os.path.join(args.lifter, "pose_estimator"),
         init_lifter(jax.random.PRNGKey(1), lcfg))
     S = int(mmeta.get("n_slots", 4))
@@ -82,6 +91,9 @@ def main():
 
     report = {"env": "ARPLAB", "frames": args.frames, "seed": args.seed,
               "spread": args.spread, "min_cam_dist": args.min_cam_dist,
+              "noise": {"pixel_sigma": args.pixel_sigma,
+                        "joint_dropout": args.joint_dropout,
+                        "camera_dropout": args.cam_dropout},
               "matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
               "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
               "lifter_prior": prior}

@@ -45,6 +45,10 @@ def main():
                     "reference's summed-L1-squared stalls at ~2x the DLT "
                     "prior's MPJPE; per_term/huber converge to the "
                     "reprojection least-squares optimum")
+    ap.add_argument("--residual-prior", action="store_true",
+                    help="lifter predicts a correction to its triangulated "
+                    "prior (zero-init head; config.LifterConfig) — recorded "
+                    "in the checkpoint meta, reconstructed on resume/eval")
     ap.add_argument("--prior", default="mean", choices=["mean", "median"],
                     help="triangulated-prior variant for the lifter input "
                     "(lifting/pack.py) — use 'median' on ARPLAB: its two "
@@ -65,7 +69,8 @@ def main():
                                           synthetic_ring_rig)
     from mpe3d_tpu.geometry.calib_io import rig_from_files
     from mpe3d_tpu.models.mlp import init_lifter
-    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            load_checkpoint, read_meta)
     from mpe3d_tpu.train.lifter import train_lifter
     from mpe3d_tpu.train.lifter_data import build_lifter_dataset
     from mpe3d_tpu.utils.logging import JsonlLogger
@@ -77,12 +82,14 @@ def main():
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
-                        out_dim=rig_config.n_joints * 3)
+                        out_dim=rig_config.n_joints * 3,
+                        residual_prior=args.residual_prior)
     log = JsonlLogger(os.path.join(args.out, "run.jsonl"))
 
     params = None
     ckpt = os.path.join(args.out, "pose_estimator")
     if args.resume and os.path.exists(ckpt + ".npz"):
+        lcfg = lifter_config_from_meta(read_meta(ckpt), lcfg)
         params, _, meta = load_checkpoint(
             ckpt, init_lifter(jax.random.PRNGKey(1), lcfg))
         ck_prior = meta.get("prior", "mean")

@@ -30,6 +30,57 @@ def test_lifter_shapes_and_param_count():
     assert expected == 29_106_230  # ≈29.1M params (SURVEY.md §2a)
 
 
+def test_lifter_residual_prior_head():
+    """residual_prior=True adds the packed triangulated prior (fields 11:14
+    of camera block 0) to the network output; zero-init starts AT the prior."""
+    from mpe3d_tpu.models.mlp import extract_prior
+
+    cfg = LifterConfig(in_dim=5 * 18 * 14, out_dim=54)
+    rcfg = LifterConfig(in_dim=cfg.in_dim, out_dim=54, residual_prior=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, cfg.in_dim))
+
+    # prior extraction reads block 0's fields 11:14 per joint
+    prior = extract_prior(x, cfg)
+    blocks = np.asarray(x).reshape(3, 5, 18, 14)
+    assert np.allclose(prior, blocks[:, 0, :, 11:14].reshape(3, 54))
+
+    # same params: residual output == absolute output + prior
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    y_abs = apply_lifter(params, x, cfg)
+    y_res = apply_lifter(params, x, rcfg)
+    assert np.allclose(y_res, y_abs + prior, atol=1e-6)
+
+    # zero-initialised head: initial prediction IS the prior exactly
+    rparams = init_lifter(jax.random.PRNGKey(0), rcfg)
+    assert np.allclose(apply_lifter(rparams, x, rcfg), prior)
+    # ...and still has gradients into the body after the head (head weight
+    # receives gradient immediately; body follows once the head is nonzero)
+    g = jax.grad(lambda p: jnp.sum(apply_lifter(p, x, rcfg) ** 2))(rparams)
+    assert float(jnp.abs(g["layers"][-1]["w"]).max()) > 0
+
+
+def test_lifter_config_meta_roundtrip(tmp_path):
+    """A residual_prior checkpoint reloads with the right architecture even
+    when the caller's default config says absolute (silent-wrong-function
+    guard; train/checkpoint.py::lifter_config_from_meta)."""
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            read_meta, save_checkpoint)
+
+    cfg = LifterConfig(in_dim=140, out_dim=30, widths=(16,),
+                       residual_prior=True)
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "pose_estimator")
+    save_checkpoint(path, params, meta={"lifter_config": cfg, "prior": "mean"})
+
+    default = LifterConfig(in_dim=140, out_dim=30, widths=(16,))
+    lcfg = lifter_config_from_meta(read_meta(path), default)
+    assert lcfg.residual_prior is True
+    assert lcfg.widths == (16,)
+    hash(lcfg)  # must stay hashable (jit static arg)
+    # old checkpoints without the field keep the default
+    assert lifter_config_from_meta({}, default) == default
+
+
 def test_lifter_bf16_close_to_fp32():
     cfg = LifterConfig()
     params = init_lifter(jax.random.PRNGKey(0), cfg)
