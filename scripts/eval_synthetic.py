@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--spread", type=float, default=1.2,
                     help="person placement-disc radius (m); 1.2 = dense "
                     "hard-mode scenes, ~2.5 ≈ typical Panoptic density")
+    ap.add_argument("--pixel-sigma", type=float, default=1.5,
+                    help="detector pixel noise (robustness sweeps: 3, 5)")
+    ap.add_argument("--cam-dropout", type=float, default=0.05,
+                    help="per (person, camera) chance of a missing view")
     args = ap.parse_args()
 
     import jax
@@ -49,8 +53,8 @@ def main():
     ref_tm = "/root/reference/tm_panoptic.pickle"
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
-    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
-                       spurious_rate=0.1, camera_dropout=0.05)
+    noise = SceneNoise(pixel_sigma=args.pixel_sigma, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=args.cam_dropout)
     test_multi = generate_frames(rig_config, rig, args.frames,
                                  n_people=(2, 4), seed=args.seed, noise=noise,
                                  spread=args.spread)
@@ -71,7 +75,9 @@ def main():
     report = {"matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
               "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
               "spread": args.spread, "frames": args.frames,
-              "seed": args.seed}
+              "seed": args.seed,
+              "noise": {"pixel_sigma": args.pixel_sigma,
+                        "camera_dropout": args.cam_dropout}}
 
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),
