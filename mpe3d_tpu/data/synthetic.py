@@ -65,6 +65,13 @@ class SceneNoise:
     spurious_rate: float = 0.15     # per (person, camera) chance of a ghost
     camera_dropout: float = 0.05    # per (person, camera) chance of no view
     pose_jitter: float = 0.02       # per-joint 3D jitter (m)
+    # heavy-tailed detector failures: with this per-(joint, camera)
+    # probability the detection lands U(10, outlier_px) pixels away in a
+    # random direction while KEEPING valid=1 and full confidence —
+    # the confident-but-wrong regime (limb swaps, occlusion snaps) real 2D
+    # detectors exhibit and pure-Gaussian noise does not model.
+    outlier_rate: float = 0.0
+    outlier_px: float = 40.0
 
 
 def up_axis(rig_config: RigConfig) -> Tuple[int, float]:
@@ -276,6 +283,13 @@ def project_person(joints_w: np.ndarray, rig: CameraRig, cam_idx: int,
     T_wc = np.asarray(rig.T_wc[cam_idx])
     pix, z = _project_np(joints_w, T_wc, K, dist)
     pix = pix + rng.normal(0, noise.pixel_sigma, pix.shape)
+    if noise.outlier_rate > 0.0:
+        hit = rng.random(len(pix)) < noise.outlier_rate
+        n_hit = int(hit.sum())
+        if n_hit:
+            ang = rng.uniform(0.0, 2.0 * np.pi, n_hit)
+            mag = rng.uniform(10.0, noise.outlier_px, n_hit)
+            pix[hit] += np.stack([mag * np.cos(ang), mag * np.sin(ang)], -1)
     w, h = rig_config.image_width, rig_config.image_height
     visible = (z > 0.3) & (pix[:, 0] >= 0) & (pix[:, 0] < w) \
         & (pix[:, 1] >= 0) & (pix[:, 1] < h)

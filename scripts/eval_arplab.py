@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--cam-dropout", type=float, default=0.05,
                     help="per (person, camera) chance of a missing view")
     ap.add_argument("--joint-dropout", type=float, default=0.05)
+    ap.add_argument("--outlier-rate", type=float, default=0.0,
+                    help="per (joint, camera) chance of a confident large "
+                    "mislocalisation (heavy-tailed detector noise)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     sp = [float(x) for x in args.spread.split(",")]
@@ -63,7 +66,8 @@ def main():
            else synthetic_ring_rig(rig_config))
     noise = SceneNoise(pixel_sigma=args.pixel_sigma,
                        joint_dropout=args.joint_dropout,
-                       spurious_rate=0.1, camera_dropout=args.cam_dropout)
+                       spurious_rate=0.1, camera_dropout=args.cam_dropout,
+                       outlier_rate=args.outlier_rate)
     frames = generate_frames(rig_config, rig, args.frames, n_people=(1, 3),
                              seed=args.seed, noise=noise, spread=spread,
                              min_cam_dist=args.min_cam_dist)
@@ -93,7 +97,8 @@ def main():
               "spread": args.spread, "min_cam_dist": args.min_cam_dist,
               "noise": {"pixel_sigma": args.pixel_sigma,
                         "joint_dropout": args.joint_dropout,
-                        "camera_dropout": args.cam_dropout},
+                        "camera_dropout": args.cam_dropout,
+                        "outlier_rate": args.outlier_rate},
               "matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
               "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
               "lifter_prior": prior}

@@ -34,6 +34,9 @@ def main():
                     help="detector pixel noise (robustness sweeps: 3, 5)")
     ap.add_argument("--cam-dropout", type=float, default=0.05,
                     help="per (person, camera) chance of a missing view")
+    ap.add_argument("--outlier-rate", type=float, default=0.0,
+                    help="per (joint, camera) chance of a confident large "
+                    "mislocalisation (heavy-tailed detector noise)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main():
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
     noise = SceneNoise(pixel_sigma=args.pixel_sigma, joint_dropout=0.05,
-                       spurious_rate=0.1, camera_dropout=args.cam_dropout)
+                       spurious_rate=0.1, camera_dropout=args.cam_dropout,
+                       outlier_rate=args.outlier_rate)
     test_multi = generate_frames(rig_config, rig, args.frames,
                                  n_people=(2, 4), seed=args.seed, noise=noise,
                                  spread=args.spread)
@@ -77,7 +81,8 @@ def main():
               "spread": args.spread, "frames": args.frames,
               "seed": args.seed,
               "noise": {"pixel_sigma": args.pixel_sigma,
-                        "camera_dropout": args.cam_dropout}}
+                        "camera_dropout": args.cam_dropout,
+                        "outlier_rate": args.outlier_rate}}
 
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),

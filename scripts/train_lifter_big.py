@@ -45,6 +45,9 @@ def main():
                     "reference's summed-L1-squared stalls at ~2x the DLT "
                     "prior's MPJPE; per_term/huber converge to the "
                     "reprojection least-squares optimum")
+    ap.add_argument("--outlier-rate", type=float, default=0.0,
+                    help="heavy-tailed detector noise in the training data "
+                    "(SceneNoise.outlier_rate); match the eval regime")
     ap.add_argument("--residual-prior", action="store_true",
                     help="lifter predicts a correction to its triangulated "
                     "prior (zero-init head; config.LifterConfig) — recorded "
@@ -100,7 +103,8 @@ def main():
                   from_val=meta.get("val_loss"))
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
-                       spurious_rate=0.1, camera_dropout=0.05)
+                       spurious_rate=0.1, camera_dropout=0.05,
+                       outlier_rate=args.outlier_rate)
     t0 = time.time()
     sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
                                         seed=args.seed_base + s, noise=noise,

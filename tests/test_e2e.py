@@ -169,3 +169,44 @@ def test_generator_spread_and_camera_guard(panoptic_rig):
     narrow = generate_frames(PANOPTIC, panoptic_rig, 30, n_people=(2, 3),
                              seed=5, spread=1.0)
     assert mean_pair_dist(free) > mean_pair_dist(narrow) * 1.1
+
+
+def test_generator_outlier_noise(panoptic_rig):
+    """SceneNoise.outlier_rate injects confident large mislocalisations:
+    within one projection call the Gaussian draws align, so the displaced
+    fraction and magnitudes are directly measurable; valid/prob stay 1."""
+    import numpy as np
+
+    from mpe3d_tpu.data.synthetic import project_person
+
+    person = np.zeros((18, 3))
+    person[:, 0] = np.linspace(-0.3, 0.3, 18)
+    person[:, 2] = np.linspace(0.0, 1.7, 18)
+
+    clean_noise = SceneNoise(pixel_sigma=0.0, joint_dropout=0.0)
+    dirty_noise = SceneNoise(pixel_sigma=0.0, joint_dropout=0.0,
+                             outlier_rate=0.25, outlier_px=40.0)
+
+    deltas, flags = [], []
+    for trial in range(60):
+        pc, vc = project_person(person, panoptic_rig, trial % 5, PANOPTIC,
+                                np.random.default_rng(trial), clean_noise)
+        pd, vd = project_person(person, panoptic_rig, trial % 5, PANOPTIC,
+                                np.random.default_rng(trial), dirty_noise)
+        both = vc & vd   # a displaced pixel may leave the image bounds
+        deltas.append(np.linalg.norm(pc - pd, axis=-1)[both])
+    deltas = np.concatenate(deltas)
+    hit = deltas > 1e-9
+    assert 0.15 < hit.mean() < 0.35, hit.mean()     # ≈ outlier_rate
+    assert deltas[hit].min() >= 10.0 - 1e-6         # at least 10 px away
+    assert deltas[hit].max() <= 40.0 + 1e-6         # bounded by outlier_px
+
+    # wire format keeps the displaced joints fully valid and confident
+    import json as _json
+    frames = generate_frames(PANOPTIC, panoptic_rig, 5, n_people=(1, 1),
+                             seed=7, noise=dirty_noise)
+    for f in frames:
+        for entry in f.values():
+            for sk in _json.loads(entry[0]):
+                for v in sk.values():
+                    assert v[3] == 1 and v[4] == 1.0
