@@ -138,3 +138,23 @@ def apply_camera_dropout(net_input: jnp.ndarray, cam_keep: jnp.ndarray,
     keep = cam_keep[..., :, None, None]                           # [..., C, 1, 1]
     x = x * (keep * field_is_obs + (1.0 - field_is_obs))
     return x.reshape(shape)
+
+
+def apply_prior_dropout(net_input: jnp.ndarray, joint_keep: jnp.ndarray,
+                        n_joints: int) -> jnp.ndarray:
+    """Zero the triangulated-prior fields 10-13 of dropped joints (all
+    cameras — the prior is a per-joint copy), keeping observation fields
+    0-9.
+
+    Augmentation extension (no reference counterpart): exposes the lifter —
+    in particular the residual-prior head — to prior-less joints during
+    training, the situation wide scenes with partial visibility create at
+    inference.  ``joint_keep``: [..., J] 0/1.
+    """
+    shape = net_input.shape
+    J = n_joints
+    x = net_input.reshape(*shape[:-1], -1, J, 14)
+    field_is_prior = (jnp.arange(14) >= 10).astype(net_input.dtype)  # [14]
+    keep = joint_keep[..., None, :, None]                   # [..., 1, J, 1]
+    x = x * (1.0 - field_is_prior * (1.0 - keep))
+    return x.reshape(shape)

@@ -26,7 +26,8 @@ import numpy as np
 from mpe3d_tpu.config import RigConfig
 from mpe3d_tpu.data.frames import FrameArrays, load_frames, parse_frame
 from mpe3d_tpu.geometry.camera import CameraRig
-from mpe3d_tpu.lifting.pack import (apply_camera_dropout, pack_error_input,
+from mpe3d_tpu.lifting.pack import (apply_camera_dropout,
+                                    apply_prior_dropout, pack_error_input,
                                     pack_lifter_input)
 
 
@@ -74,12 +75,16 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
                          max_combinations: int = 5, seed: int = 0,
                          cache_path: Optional[str] = None,
                          batch: int = 512, prior: str = "mean",
+                         prior_dropout: float = 0.0,
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (net_inputs [N, Cu*J*14], error_inputs [N, C*J*4]) float32.
 
     ``prior`` selects the triangulated-prior variant (see
     ``pack_lifter_input``); callers using ``cache_path`` must key the path
-    on it — the cache stores packed arrays."""
+    on it — the cache stores packed arrays.  ``prior_dropout`` > 0 zeroes
+    each joint's prior fields with that probability on the augmented
+    copies (the first, unaugmented copy of every sample is kept intact) —
+    trains the no-prior fallback of the residual-prior head."""
     if cache_path and os.path.exists(cache_path):
         data = np.load(cache_path)
         return data["net"], data["err"]
@@ -135,23 +140,33 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
 
     # --- camera-dropout augmentation as device masking -----------------
     rng = np.random.default_rng(seed)
-    sample_idx, masks = [], []
+    sample_idx, masks, first_copy = [], [], []
     for i in range(len(net_all)):
         subsets = (random_camera_subsets(flags[i], max_combinations, rng)
                    if augment else [flags[i].astype(np.float32)])
-        for m in subsets:
+        for k, m in enumerate(subsets):
             sample_idx.append(i)
             masks.append(m)
+            first_copy.append(k == 0)
     sample_idx = np.asarray(sample_idx)
     masks = np.stack(masks)
 
+    # per-joint prior dropout on the augmented copies only
+    jkeep = np.ones((len(sample_idx), J), np.float32)
+    if prior_dropout > 0.0 and augment:
+        aug = ~np.asarray(first_copy)
+        jkeep[aug] = (rng.random((int(aug.sum()), J))
+                      >= prior_dropout).astype(np.float32)
+
     dropout = jax.jit(jax.vmap(
-        lambda x, m: apply_camera_dropout(x, m, J)))
+        lambda x, m, jk: apply_prior_dropout(
+            apply_camera_dropout(x, m, J), jk, J)))
     outs = []
     for i in range(0, len(sample_idx), 4096):
         sl = slice(i, i + 4096)
         outs.append(np.asarray(dropout(jnp.asarray(net_all[sample_idx[sl]]),
-                                       jnp.asarray(masks[sl]))))
+                                       jnp.asarray(masks[sl]),
+                                       jnp.asarray(jkeep[sl]))))
     net_final = np.concatenate(outs)
     err_final = err_all[sample_idx]
 

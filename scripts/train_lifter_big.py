@@ -45,6 +45,10 @@ def main():
                     "reference's summed-L1-squared stalls at ~2x the DLT "
                     "prior's MPJPE; per_term/huber converge to the "
                     "reprojection least-squares optimum")
+    ap.add_argument("--prior-dropout", type=float, default=0.0,
+                    help="per-joint chance of zeroing the triangulated-prior "
+                    "fields on augmented copies (trains the residual head's "
+                    "no-prior fallback; lifting/pack.apply_prior_dropout)")
     ap.add_argument("--outlier-rate", type=float, default=0.0,
                     help="heavy-tailed detector noise in the training data "
                     "(SceneNoise.outlier_rate); match the eval regime")
@@ -122,7 +126,8 @@ def main():
 
     t0 = time.time()
     net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
-                                        rig_config, rig, prior=args.prior)
+                                        rig_config, rig, prior=args.prior,
+                                        prior_dropout=args.prior_dropout)
     net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
                                         rig_config, rig, augment=False,
                                         prior=args.prior)

@@ -122,6 +122,52 @@ def test_camera_dropout_zeroes_obs_keeps_prior(panoptic_rig, rng):
     assert np.allclose(out[0], orig[0])
 
 
+def test_prior_dropout_zeroes_prior_keeps_obs(panoptic_rig, rng):
+    """apply_prior_dropout zeroes fields 10-13 of dropped joints across ALL
+    cameras and leaves observation fields untouched (the complement of
+    camera dropout)."""
+    from mpe3d_tpu.lifting.pack import apply_prior_dropout
+
+    _, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    net, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig,
+        (PANOPTIC.image_width, PANOPTIC.image_height))
+    jkeep = np.ones(18, np.float32)
+    jkeep[[2, 7, 11]] = 0.0
+    out = np.asarray(apply_prior_dropout(net, jnp.asarray(jkeep),
+                                         18)).reshape(5, 18, 14)
+    orig = np.asarray(net).reshape(5, 18, 14)
+    dropped = [2, 7, 11]
+    keptj = [j for j in range(18) if j not in dropped]
+    assert np.all(out[:, dropped, 10:] == 0.0)
+    assert np.allclose(out[:, dropped, :10], orig[:, dropped, :10])
+    assert np.allclose(out[:, keptj], orig[:, keptj])
+
+
+def test_build_dataset_prior_dropout(panoptic_rig):
+    """prior_dropout > 0 produces augmented copies with some joints'
+    prior fields zeroed while every sample's first copy stays intact."""
+    from mpe3d_tpu.data.synthetic import generate_single_person_frames
+    from mpe3d_tpu.train.lifter_data import build_lifter_dataset
+
+    frames = generate_single_person_frames(PANOPTIC, panoptic_rig, 12,
+                                           seed=3)
+    net0, _ = build_lifter_dataset(frames, PANOPTIC, panoptic_rig,
+                                   seed=11, prior_dropout=0.0)
+    net1, _ = build_lifter_dataset(frames, PANOPTIC, panoptic_rig,
+                                   seed=11, prior_dropout=0.5)
+    assert net0.shape == net1.shape
+    b0 = net0.reshape(len(net0), 5, 18, 14)
+    b1 = net1.reshape(len(net1), 5, 18, 14)
+    # observation fields never change
+    assert np.allclose(b0[..., :10], b1[..., :10])
+    # some prior fields got zeroed where they were nonzero before
+    changed = (b0[..., 10:] != b1[..., 10:]).any(axis=(1, 2, 3))
+    assert changed.any()
+    assert np.all(b1[..., 10:][b0[..., 10:] != b1[..., 10:]] == 0.0)
+
+
 def test_reprojection_error_zero_at_gt(panoptic_rig, rng):
     person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
     err_in = pack_error_input(jnp.asarray(kp), jnp.asarray(valid),
