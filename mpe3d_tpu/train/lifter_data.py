@@ -74,7 +74,7 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
                          rig: CameraRig, augment: bool = True,
                          max_combinations: int = 5, seed: int = 0,
                          cache_path: Optional[str] = None,
-                         batch: int = 512, prior: str = "mean",
+                         batch: int = 2048, prior: str = "mean",
                          prior_dropout: float = 0.0,
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (net_inputs [N, Cu*J*14], error_inputs [N, C*J*4]) float32.
