@@ -16,13 +16,65 @@ import time
 BASELINE_MS = 51.32          # t_pp + t_3Dg, reference README.md:40-41
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """True if the default jax backend completes a VALUE readback.
+
+    Runs in a SUBPROCESS: a dead axon relay blocks readbacks inside
+    extension code where no signal/exception can interrupt them, so an
+    in-process probe would wedge the bench itself.  Two attempts because
+    tunnel sessions occasionally hang at startup (CLAUDE.md).
+    """
+    import subprocess
+    code = "import jax.numpy as jnp; print(float(jnp.ones((2,2)).sum()))"
+    for _ in range(2):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
+def _start_watchdog(seconds: float):
+    """Emit the driver's JSON line and hard-exit if the bench wedges.
+
+    A relay that dies MID-run leaves the main thread blocked in a
+    readback; a daemon timer still fires and keeps the bench's contract
+    (exactly one JSON line) with the driver.
+    """
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "e2e_frame_latency_stream", "value": -1.0,
+            "unit": "ms", "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {seconds:.0f}s "
+                     "(device backend stalled mid-run)"}), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> int:
     smoke = "--smoke" in sys.argv
+    backend = "cpu_smoke" if smoke else "device"
+    if not smoke and not _probe_device():
+        # Device backend unreachable (e.g. relay outage): keep the driver
+        # contract with a CPU-sized fallback run rather than hanging.
+        smoke = True
+        backend = "cpu_fallback"
     if smoke:
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+    watchdog = _start_watchdog(900.0 if smoke else 2400.0)
     import numpy as np
 
     from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
@@ -183,11 +235,13 @@ def main() -> int:
     # apples-to-apples comparison; the single-dispatch figure is dominated
     # by one remote-relay round trip (~25-50 ms, session-dependent) that
     # does not exist on a direct-attached TPU (measured 0.137 ms on-device).
+    watchdog.cancel()
     print(json.dumps({
         "metric": "e2e_frame_latency_stream",
         "value": round(stream_ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / stream_ms, 2),
+        "backend": backend,
         "single_dispatch_ms": round(ms, 3),
         "batched_throughput_fps": round(fps, 1),
         "ondevice_frame_us": round(ondevice_us, 1),
