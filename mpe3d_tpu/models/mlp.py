@@ -99,5 +99,20 @@ def apply_lifter(params: Params, x: jnp.ndarray, cfg: LifterConfig,
     return h
 
 
+def cast_lifter_weights(params: Params, dtype) -> Params:
+    """Copy of ``params`` with the weight matrices stored in ``dtype``
+    (biases stay float32 — they add into the fp32 accumulator).
+
+    Serving rationale: on TPU the DEFAULT matmul precision already rounds
+    fp32 operands to bfloat16 on their way into the MXU, so storing the
+    weights as bf16 is numerically identical to the default inference
+    path while halving the weight bytes read from HBM per frame — the
+    29.1 M-param lifter (116 MB fp32) dominates the fused program's
+    memory traffic.
+    """
+    return {"layers": [{"w": layer["w"].astype(dtype), "b": layer["b"]}
+                       for layer in params["layers"]]}
+
+
 def lifter_num_params(params: Params) -> int:
     return sum(int(v.size) for layer in params["layers"] for v in layer.values())

@@ -63,7 +63,8 @@ class PoseEstimationPipeline:
                  geo_rerank: float = 0.0, geo_scale: float = 0.3,
                  geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
                  use_pallas_proj: Optional[bool] = None,
-                 lifter_prior: str = "mean"):
+                 lifter_prior: str = "mean",
+                 serve_dtype=None):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -105,6 +106,22 @@ class PoseEstimationPipeline:
             raise ValueError(f"lifter_prior must be 'mean' or 'median', "
                              f"got {lifter_prior!r}")
         self.lifter_prior = lifter_prior
+        # bf16 weight serving (models/mlp.py::cast_lifter_weights): on TPU
+        # the default matmul precision already rounds operands to bf16 at
+        # the MXU, so a stored-bf16 copy is numerically identical there and
+        # halves the dominant HBM traffic (116 MB of lifter weights/frame).
+        # Auto (None): on for TPU inference, off elsewhere (CPU matmuls are
+        # full-precision, so casting WOULD change results off-TPU).
+        if serve_dtype is None:
+            serve_dtype = (jnp.bfloat16
+                           if jax.default_backend() == "tpu" else False)
+        self.serve_dtype = None if serve_dtype is False else serve_dtype
+        if self.serve_dtype is not None and self.lifter_params is not None:
+            from mpe3d_tpu.models.mlp import cast_lifter_weights
+            self.lifter_params = cast_lifter_weights(self.lifter_params,
+                                                     self.serve_dtype)
+            if self.compute_dtype is None:
+                self.compute_dtype = self.serve_dtype
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()

@@ -164,3 +164,47 @@ def test_use_pallas_proj_auto_resolution(panoptic_rig):
                                    slot_buckets=(4,), person_buckets=(8,),
                                    use_pallas_proj=False)
     assert pipe2.use_pallas_proj is False
+
+
+def test_serve_dtype_bf16_pipeline(panoptic_rig):
+    """serve_dtype: auto-resolves off on CPU; explicit bf16 stores the
+    lifter weights in bfloat16 and produces poses close to fp32 (identical
+    on TPU, where default matmul precision rounds to bf16 anyway)."""
+    import jax.numpy as jnp
+
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    kw = dict(slot_buckets=(4,), person_buckets=(8,), threshold=0.05,
+              decode_top_k=0)
+    auto = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                  **kw)
+    assert (auto.serve_dtype is not None) == (jax.default_backend() == "tpu")
+
+    fp32 = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                  serve_dtype=False, **kw)
+    bf16 = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                  serve_dtype=jnp.bfloat16, **kw)
+    assert fp32.serve_dtype is None
+    assert all(l["w"].dtype == jnp.bfloat16 for l in
+               bf16.lifter_params["layers"])
+    assert all(l["b"].dtype == jnp.float32 for l in
+               bf16.lifter_params["layers"])
+
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 4, n_people=(1, 3),
+                             seed=13, noise=noise, with_gt=False)
+    checked = 0
+    for f in frames:
+        fa = parse_frame(f, PANOPTIC, max_skeletons=4)
+        a, b = fp32.infer_fused(fa), bf16.infer_fused(fa)
+        assert _person_sets(a.persons) == _person_sets(b.persons)
+        if len(a.poses):
+            # untrained-lifter outputs are O(1 m); bf16 operand rounding
+            # perturbs them by well under a centimetre per coordinate
+            assert np.allclose(a.poses, b.poses, atol=0.02)
+            checked += 1
+    assert checked > 0

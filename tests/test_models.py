@@ -269,3 +269,18 @@ def test_matcher_default_config_runs():
     assert scores.shape == (topo.n_pairs,)
     assert np.all((np.asarray(scores) >= 0) & (np.asarray(scores) <= 1))
     assert matcher_num_params(params) > 0
+
+
+def test_cast_lifter_weights_bit_identity():
+    """Stored-bf16 weights are BIT-identical to casting fp32 weights at the
+    matmul (the TPU default-precision path) — the serving claim behind
+    PoseEstimationPipeline(serve_dtype=...)."""
+    from mpe3d_tpu.models.mlp import cast_lifter_weights
+
+    cfg = LifterConfig(in_dim=140, out_dim=30, widths=(32, 16))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    stored = cast_lifter_weights(params, jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.in_dim))
+    y_cast = apply_lifter(params, x, cfg, compute_dtype=jnp.bfloat16)
+    y_stored = apply_lifter(stored, x, cfg, compute_dtype=jnp.bfloat16)
+    assert np.array_equal(np.asarray(y_cast), np.asarray(y_stored))
