@@ -423,6 +423,10 @@ def cmd_convert_torch(args):
 
 
 def _add_common(p, models=True):
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU jax backend — for hosts whose TPU "
+                   "runtime is absent or wedged (applied in main() before "
+                   "any backend initialises)")
     p.add_argument("--rig", default="PANOPTIC", help="rig preset name")
     p.add_argument("--tm", default=None,
                    help="calibration file (pytransform3d pickle or JSON)")
@@ -595,6 +599,12 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if getattr(args, "cpu", False):
+        # must precede any backend query; subcommands import jax lazily.
+        # (a site-installed TPU plugin overrides the JAX_PLATFORMS env var,
+        # so the config update is the reliable lever.)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(getattr(args, "modelsdir", ".") or ".", exist_ok=True)
     return args.fn(args)
 

@@ -114,3 +114,15 @@ def test_show_results_and_merge(datasets, modelsdir, workdir, capsys):
     with open(merged) as f:
         assert len(json.load(f)) == 50
     capsys.readouterr()
+
+
+def test_cpu_flag_parses():
+    """--cpu is a common flag on every jax-using subcommand (forces the CPU
+    backend in main() before any backend initialises)."""
+    from mpe3d_tpu.cli import make_parser
+    args = make_parser().parse_args(
+        ["infer", "--cpu", "--testfiles", "x.json"])
+    assert args.cpu is True
+    args = make_parser().parse_args(
+        ["metrics-from-model", "--testfiles", "x.json"])
+    assert args.cpu is False
