@@ -74,7 +74,10 @@ def main() -> int:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-    watchdog = _start_watchdog(900.0 if smoke else 2400.0)
+    # generous on-device budget: cold remote compiles of the 5+ large
+    # programs can take minutes each (CLAUDE.md) — the watchdog is a
+    # last-resort contract keeper, not a performance assertion
+    watchdog = _start_watchdog(900.0 if smoke else 3300.0)
     import numpy as np
 
     from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
@@ -126,7 +129,7 @@ def main() -> int:
     stream_ms = (time.perf_counter() - t0) / max(len(outs), 1) * 1e3
 
     # batched offline-eval throughput (one dispatch per batch)
-    B = 32
+    B = min(32, len(frames))
     pipe.infer_batch(frames[:B], slots=4)      # warm
     t0 = time.perf_counter()
     reps = 3
@@ -193,9 +196,10 @@ def main() -> int:
                      optax.adam(tcfg.lr))
     _, _, epoch_step = make_train_step(pipe.used_rig, rig_config.n_joints,
                                        lcfg, tcfg, tx)
-    # fresh copies: epoch_step donates its inputs and must not invalidate
-    # the pipeline's parameter buffers
-    lparams = {"model": jax.tree_util.tree_map(jnp.array, pipe.lifter_params)}
+    # fresh fp32 params: the pipeline may have bf16-cast its own copy for
+    # serving (serve_dtype), but training throughput/MFU must measure the
+    # fp32 configuration train_lifter actually runs
+    lparams = {"model": init_lifter(jax.random.PRNGKey(9), lcfg)}
     opt_state = tx.init(lparams)
     gen = jax.jit(lambda k: (
         jax.random.normal(k, (n_samples, lcfg.in_dim)) * 0.3,

@@ -111,10 +111,15 @@ class PoseEstimationPipeline:
         # the MXU, so a stored-bf16 copy is numerically identical there and
         # halves the dominant HBM traffic (116 MB of lifter weights/frame).
         # Auto (None): on for TPU inference, off elsewhere (CPU matmuls are
-        # full-precision, so casting WOULD change results off-TPU).
+        # full-precision, so casting WOULD change results off-TPU).  The
+        # identity argument only holds under DEFAULT matmul precision — a
+        # user who globally forced a higher precision gets fp32 weights.
         if serve_dtype is None:
+            prec = jax.config.jax_default_matmul_precision
             serve_dtype = (jnp.bfloat16
-                           if jax.default_backend() == "tpu" else False)
+                           if jax.default_backend() == "tpu"
+                           and prec in (None, "default", "bfloat16")
+                           else False)
         self.serve_dtype = None if serve_dtype is False else serve_dtype
         if self.serve_dtype is not None and self.lifter_params is not None:
             from mpe3d_tpu.models.mlp import cast_lifter_weights
