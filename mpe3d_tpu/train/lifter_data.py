@@ -171,7 +171,11 @@ def build_lifter_dataset(frames: List[Dict], rig_config: RigConfig,
     err_final = err_all[sample_idx]
 
     if cache_path:
-        np.savez(cache_path, net=net_final, err=err_final)
+        # atomic publish: a concurrent reader (e.g. a TPU training run
+        # racing a CPU cache pre-build) must never see a truncated file
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, net=net_final, err=err_final)
+        os.replace(tmp, cache_path)
     return net_final, err_final
 
 

@@ -62,6 +62,16 @@ def main():
                     "robot cameras form an 11.5 cm-baseline pair that "
                     "poisons the reference's plain pair mean.  Recorded in "
                     "the checkpoint meta; inference must match.")
+    ap.add_argument("--cache-dir", default=None,
+                    help="directory for packed-dataset npz caches, keyed by "
+                    "every generation/packing knob — lets a CPU process "
+                    "pre-build the dataset while the TPU is busy/down")
+    ap.add_argument("--build-cache-only", action="store_true",
+                    help="build the dataset cache (requires --cache-dir) "
+                    "and exit without training")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (e.g. for "
+                    "--build-cache-only while the TPU is busy)")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
     if len(sp_parts) > 2:
@@ -69,6 +79,9 @@ def main():
     spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from mpe3d_tpu.config import LifterConfig, LifterTrainConfig, get_rig
     from mpe3d_tpu.data.synthetic import (SceneNoise,
@@ -109,30 +122,51 @@ def main():
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05,
                        outlier_rate=args.outlier_rate)
+    cache_t = cache_d = None
+    if args.cache_dir:
+        os.makedirs(args.cache_dir, exist_ok=True)
+        # every knob that changes frame generation or packing is in the key
+        key = (f"{args.env}_sb{args.seed_base}_{args.files}x{args.n_sp}"
+               f"_sp{args.spread}_mc{args.min_cam_dist}_pr{args.prior}"
+               f"_pd{args.prior_dropout}_or{args.outlier_rate}")
+        cache_t = os.path.join(args.cache_dir, key + "_train.npz")
+        cache_d = os.path.join(args.cache_dir, key + "_dev.npz")
+    cached = (cache_t and os.path.exists(cache_t)
+              and os.path.exists(cache_d))
+
     t0 = time.time()
-    sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
-                                        seed=args.seed_base + s, noise=noise,
-                                        spread=spread,
-                                        min_cam_dist=args.min_cam_dist)
-          for s in range(args.files)]
-    dev = [generate_single_person_frames(rig_config, rig,
-                                         max(200, args.n_sp // 10),
-                                         seed=args.seed_base + 997 + s,
-                                         noise=noise, spread=spread,
-                                         min_cam_dist=args.min_cam_dist)
-           for s in range(2)]
-    log.event("gen", n_train_frames=args.files * args.n_sp,
-              gen_s=round(time.time() - t0, 1))
+    if cached:                  # frame generation feeds only the packer
+        sp, dev = [], [[]]
+        log.event("gen", cached=True)
+    else:
+        sp = [generate_single_person_frames(rig_config, rig, args.n_sp,
+                                            seed=args.seed_base + s,
+                                            noise=noise, spread=spread,
+                                            min_cam_dist=args.min_cam_dist)
+              for s in range(args.files)]
+        dev = [generate_single_person_frames(rig_config, rig,
+                                             max(200, args.n_sp // 10),
+                                             seed=args.seed_base + 997 + s,
+                                             noise=noise, spread=spread,
+                                             min_cam_dist=args.min_cam_dist)
+               for s in range(2)]
+        log.event("gen", n_train_frames=args.files * args.n_sp,
+                  gen_s=round(time.time() - t0, 1))
 
     t0 = time.time()
     net_t, err_t = build_lifter_dataset([f for fl in sp for f in fl],
                                         rig_config, rig, prior=args.prior,
-                                        prior_dropout=args.prior_dropout)
+                                        prior_dropout=args.prior_dropout,
+                                        cache_path=cache_t)
     net_d, err_d = build_lifter_dataset([f for fl in dev for f in fl],
                                         rig_config, rig, augment=False,
-                                        prior=args.prior)
+                                        prior=args.prior,
+                                        cache_path=cache_d)
     log.event("dataset", train=len(net_t), dev=len(net_d),
               build_s=round(time.time() - t0, 1))
+    if args.build_cache_only:
+        print("cache built:", cache_t, cache_d)
+        return
 
     # graceful stop on SIGTERM (e.g. `timeout`-bounded legs): exit at the
     # next epoch boundary so train_lifter's finally-persist runs (a raw
