@@ -53,7 +53,9 @@ def load_models(models_dir: str, rig_config):
     from mpe3d_tpu.config import LifterConfig, MatcherConfig
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
-    from mpe3d_tpu.train.checkpoint import load_checkpoint
+    from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+                                            matcher_config_from_meta,
+                                            read_meta)
 
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
@@ -61,6 +63,10 @@ def load_models(models_dir: str, rig_config):
     j = os.path.join
 
     if os.path.exists(j(models_dir, "skeleton_matching.npz")):
+        # architecture variants (hidden/heads/residual/dropout) the
+        # checkpoint was trained with override the rig default
+        mcfg = matcher_config_from_meta(
+            read_meta(j(models_dir, "skeleton_matching")), mcfg)
         mparams, _, _ = load_checkpoint(
             j(models_dir, "skeleton_matching"),
             init_matcher(jax.random.PRNGKey(0), mcfg))

@@ -77,6 +77,27 @@ def lifter_config_from_meta(meta: Dict[str, Any], default):
     return LifterConfig(**merged)
 
 
+def matcher_config_from_meta(meta: Dict[str, Any], default):
+    """Reconstruct the MatcherConfig a checkpoint was trained with (the
+    matcher analog of ``lifter_config_from_meta``): architecture-affecting
+    fields saved in the meta (hidden, heads, residual, …) override the
+    caller's default — a checkpoint trained with ``residual=True`` must
+    not be applied with the default config (it would load but compute the
+    wrong function; reference: gat2.py:42-48,69-75).  Serving-only fields
+    (use_pallas_proj) keep the caller's default.  Absent fields keep the
+    default (old checkpoints)."""
+    from mpe3d_tpu.config import MatcherConfig
+
+    d = dict(meta.get("matcher_config") or {})
+    if not d:
+        return default
+    d.pop("use_pallas_proj", None)          # serving knob, not architecture
+    merged = {**dataclasses.asdict(default), **d}
+    for k in ("hidden", "heads"):
+        merged[k] = tuple(merged[k])
+    return MatcherConfig(**merged)
+
+
 def load_checkpoint(path: str, params_template, opt_state_template=None):
     """Load into the structure of the given templates (shape-checked).
 

@@ -64,6 +64,9 @@ def main():
                                  spread=args.spread)
 
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    from mpe3d_tpu.train.checkpoint import matcher_config_from_meta
+    mcfg = matcher_config_from_meta(
+        read_meta(os.path.join(args.models, "skeleton_matching")), mcfg)
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
     mparams, _, mmeta = load_checkpoint(

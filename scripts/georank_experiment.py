@@ -57,6 +57,10 @@ def main():
                              seed=args.seed, noise=noise, spread=args.spread)
 
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    from mpe3d_tpu.train.checkpoint import (matcher_config_from_meta,
+                                            read_meta)
+    mcfg = matcher_config_from_meta(
+        read_meta(os.path.join(args.models, "skeleton_matching")), mcfg)
     mparams, _, mmeta = load_checkpoint(
         os.path.join(args.models, "skeleton_matching"),
         init_matcher(jax.random.PRNGKey(0), mcfg))

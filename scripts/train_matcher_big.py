@@ -30,6 +30,15 @@ def main():
     ap.add_argument("--spread", default="1.2",
                     help="placement-disc radius in m, or 'lo,hi' to sample "
                     "per frame (volume-covering training)")
+    ap.add_argument("--feat-drop", type=float, default=0.0,
+                    help="GAT feature dropout (train-time; gat2.py:27-34)")
+    ap.add_argument("--attn-drop", type=float, default=0.0,
+                    help="GAT attention dropout (train-time)")
+    ap.add_argument("--residual", action="store_true",
+                    help="GAT residual shortcut (gat2.py:42-48,69-75)")
+    ap.add_argument("--bce", action="store_true",
+                    help="BCE edge loss instead of the reference's MSE "
+                    "(train_skeleton_matching.py:33 USE_BCE)")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
     if len(sp_parts) > 2:
@@ -76,8 +85,11 @@ def main():
     log.event("scenes", train=len(train), dev=len(devs))
     tcfg = MatcherTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                               eval_every=2, patience=args.patience,
-                              lr=args.lr, limit=args.limit)
-    cfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+                              lr=args.lr, limit=args.limit,
+                              use_bce=args.bce)
+    cfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim,
+                        feat_drop=args.feat_drop, attn_drop=args.attn_drop,
+                        residual=args.residual)
     res = train_matcher(train, devs, rig_config, rig, topo, cfg, tcfg,
                         checkpoint_path=os.path.join(args.out,
                                                      "skeleton_matching"),

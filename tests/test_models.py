@@ -284,3 +284,32 @@ def test_cast_lifter_weights_bit_identity():
     y_cast = apply_lifter(params, x, cfg, compute_dtype=jnp.bfloat16)
     y_stored = apply_lifter(stored, x, cfg, compute_dtype=jnp.bfloat16)
     assert np.array_equal(np.asarray(y_cast), np.asarray(y_stored))
+
+
+def test_matcher_config_roundtrips_through_checkpoint(tmp_path):
+    """A matcher checkpoint trained with non-default architecture flags
+    (residual, dropout, custom hidden/heads) reconstructs its config at
+    load time (train/checkpoint.py::matcher_config_from_meta) — otherwise
+    a residual=True checkpoint would load shape-compatibly into the
+    default config and silently compute the wrong function."""
+    from mpe3d_tpu.config import MatcherConfig
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.train.checkpoint import (matcher_config_from_meta,
+                                            read_meta, save_checkpoint)
+
+    cfg = MatcherConfig(in_dim=902, hidden=(8, 8), heads=(2, 2),
+                        residual=True, feat_drop=0.1, attn_drop=0.2,
+                        use_pallas_proj=True)
+    params = init_matcher(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "skeleton_matching")
+    save_checkpoint(path, params, meta={"matcher_config": cfg, "n_slots": 6})
+
+    default = MatcherConfig(in_dim=902)
+    mcfg = matcher_config_from_meta(read_meta(path), default)
+    assert mcfg.residual is True
+    assert mcfg.hidden == (8, 8) and mcfg.heads == (2, 2)
+    assert mcfg.feat_drop == 0.1 and mcfg.attn_drop == 0.2
+    # serving-only knob keeps the CALLER's default, not the checkpoint's
+    assert mcfg.use_pallas_proj == default.use_pallas_proj
+    hash(mcfg)  # must stay hashable (jit static arg)
+    assert matcher_config_from_meta({}, default) == default
