@@ -39,6 +39,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from mpe3d_tpu.config import MatcherConfig, get_rig
     from mpe3d_tpu.data.synthetic import (SceneNoise,

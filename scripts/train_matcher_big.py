@@ -45,9 +45,12 @@ def main():
         ap.error("--spread takes one value or lo,hi")
     spread = sp_parts[0] if len(sp_parts) == 1 else tuple(sp_parts)
 
+    import jax
+
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from mpe3d_tpu.config import get_rig, MatcherConfig, MatcherTrainConfig
     from mpe3d_tpu.data.synthetic import (SceneNoise,

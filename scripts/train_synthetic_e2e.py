@@ -36,6 +36,9 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from mpe3d_tpu.config import (PANOPTIC, LifterConfig, LifterTrainConfig,
                                   MatcherConfig, MatcherTrainConfig)
     from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
