@@ -195,7 +195,7 @@ def cmd_train_matcher(args):
         import jax.numpy as jnp
         import optax
         match_rig = rig.select(np.asarray(rig_config.matching_camera_indices()))
-        _, eval_step, _, _ = make_matcher_step(
+        _, eval_step, _, _, _ = make_matcher_step(
             match_rig, rig_config, topo, cfg,
             optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay))
         losses = []

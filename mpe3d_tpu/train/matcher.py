@@ -153,7 +153,30 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
     def eval_step(params, batch):
         return loss_fn(params, batch)
 
-    return step, eval_step, scene_scores, epoch_step
+    @functools.partial(jax.jit, static_argnames=("k_batches", "batch_size",
+                                                 "batch_sharding"))
+    def eval_epoch(params, dev_res, k_batches, batch_size,
+                   batch_sharding=None):
+        """ALL dev batches in one dispatch (lax.scan of loss_fn) — the dev
+        loop's per-batch dispatches cost ~25 ms each through a remote-TPU
+        relay (see pipeline.py).  dev_res must be padded to
+        k_batches*batch_size rows with zero-weight repeats; returns the
+        mean of per-batch losses (same normalisation as the host loop:
+        each batch-mean divides by its own real weight sum)."""
+        batches = []
+        n = k_batches * batch_size
+        for f in dev_res:
+            b = f[:n].reshape(k_batches, batch_size, *f.shape[1:])
+            if batch_sharding is not None:
+                b = jax.lax.with_sharding_constraint(b, batch_sharding)
+            batches.append(b)
+
+        def body(carry, batch):
+            return carry, loss_fn(params, batch)
+        _, losses = jax.lax.scan(body, None, tuple(batches))
+        return jnp.mean(losses)
+
+    return step, eval_step, scene_scores, epoch_step, eval_epoch
 
 
 def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
@@ -186,7 +209,7 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
     if opt_state is None:
         opt_state = tx.init(params)
-    step, eval_step, _, epoch_step = make_matcher_step(
+    step, eval_step, _, epoch_step, eval_epoch = make_matcher_step(
         match_rig, rig_config, topo, cfg, tx, use_bce=tcfg.use_bce)
     dropout_on = cfg.feat_drop > 0.0 or cfg.attn_drop > 0.0
     params = replicate(mesh, params)
@@ -201,6 +224,17 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
             train_scenes.kp, train_scenes.valid, train_scenes.prob,
             train_scenes.observed, train_scenes.present,
             train_scenes.labels, train_scenes.pair_weight))
+    # dev tensors likewise device-resident, padded to k_dev full batches
+    # with zero-weight repeats, so the whole dev eval is ONE dispatch
+    dev_res, k_dev = None, 0
+    if tcfg.scan_epoch and len(dev_scenes) > 0:
+        k_dev = -(-len(dev_scenes) // bs)
+        idx = np.resize(np.arange(len(dev_scenes)), k_dev * bs)
+        s = dev_scenes.select(idx)
+        w = s.pair_weight.copy()
+        w[len(dev_scenes):] = 0.0
+        dev_res = tuple(replicate(mesh, jnp.asarray(f)) for f in (
+            s.kp, s.valid, s.prob, s.observed, s.present, s.labels, w))
     epoch_key = jax.random.PRNGKey(tcfg.seed + 1)
 
     def batches(scenes: MatcherScenes, rng: np.random.Generator):
@@ -248,11 +282,16 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
             train_loss = sum(host) / max(len(host), 1)
 
         if epoch % tcfg.eval_every == 0:
-            vlosses = [eval_step(params, batch)
-                       for batch in batches(dev_scenes,
-                                            np.random.default_rng(0))]
-            vhost = jax.device_get(vlosses)
-            val_loss = sum(vhost) / max(len(vhost), 1)
+            if dev_res is not None:
+                val_loss = float(eval_epoch(params, dev_res, k_batches=k_dev,
+                                            batch_size=bs,
+                                            batch_sharding=batch_sharding))
+            else:
+                vlosses = [eval_step(params, batch)
+                           for batch in batches(dev_scenes,
+                                                np.random.default_rng(0))]
+                vhost = jax.device_get(vlosses)
+                val_loss = sum(vhost) / max(len(vhost), 1)
             result.history.append({"epoch": epoch, "train_loss": train_loss,
                                    "val_loss": val_loss,
                                    "elapsed_s": time.time() - t0})

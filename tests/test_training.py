@@ -157,9 +157,9 @@ def test_matcher_bce_loss_matches_numpy(single_person_files, panoptic_rig):
     match_rig = panoptic_rig.select(
         np.asarray(PANOPTIC.matching_camera_indices()))
     tx = optax.adam(1e-4)
-    _, eval_mse, scene_scores, _ = make_matcher_step(
+    _, eval_mse, scene_scores, _, _ = make_matcher_step(
         match_rig, PANOPTIC, topo, cfg, tx, use_bce=False)
-    _, eval_bce, _, _ = make_matcher_step(
+    _, eval_bce, _, _, _ = make_matcher_step(
         match_rig, PANOPTIC, topo, cfg, tx, use_bce=True)
     params = init_matcher(jax.random.PRNGKey(0), cfg)
     batch = tuple(jnp.asarray(a) for a in (
@@ -233,3 +233,47 @@ def test_matcher_checkpoint_resume_roundtrip(single_person_files,
                          params=params, opt_state=opt_state,
                          log=lambda s: None)
     assert res2.history[0]["train_loss"] <= res1.history[0]["train_loss"]
+
+
+def test_matcher_eval_epoch_matches_per_batch(single_person_files,
+                                              panoptic_rig):
+    """The scanned one-dispatch dev eval (eval_epoch) reproduces the
+    per-batch eval loop's mean-of-batch-means exactly, including the
+    zero-weight padding of the last partial batch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.train.matcher import make_matcher_step
+
+    topo = build_topology(5, 4)
+    scenes = build_matcher_scenes(single_person_files[:2], PANOPTIC, topo,
+                                  limit=11, seed=3)   # 11 = 2 batches + 3
+    cfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                        hidden=(8, 8), heads=(2, 2))
+    match_rig = panoptic_rig.select(
+        np.asarray(PANOPTIC.matching_camera_indices()))
+    _, eval_step, _, _, eval_epoch = make_matcher_step(
+        match_rig, PANOPTIC, topo, cfg, optax.adam(1e-4))
+    params = init_matcher(jax.random.PRNGKey(0), cfg)
+
+    bs, n = 4, len(scenes)
+    k = -(-n // bs)
+    idx = np.resize(np.arange(n), k * bs)
+    s = scenes.select(idx)
+    w = s.pair_weight.copy()
+    w[n:] = 0.0
+    fields = (s.kp, s.valid, s.prob, s.observed, s.present, s.labels, w)
+
+    # per-batch loop over the SAME sequential grouping
+    per_batch = []
+    for i in range(k):
+        sl = slice(i * bs, (i + 1) * bs)
+        per_batch.append(float(eval_step(
+            params, tuple(jnp.asarray(f[sl]) for f in fields))))
+    expect = sum(per_batch) / k
+
+    got = float(eval_epoch(params, tuple(jnp.asarray(f) for f in fields),
+                           k_batches=k, batch_size=bs))
+    assert abs(got - expect) < 1e-6, (got, expect)
