@@ -152,11 +152,12 @@ def main() -> int:
                   jnp.asarray(fa0.present[:, :4])]
 
     def make_chain(K):
+        # params are ARGUMENTS, not closure captures — captured device
+        # arrays ride the relay's hidden-parameter slow path (CLAUDE.md)
         @jax.jit
-        def chain(kp, valid, prob, obs, present):
+        def chain(mparams, lparams, kp, valid, prob, obs, present):
             def body(i, kp):
-                poses, _, _, _ = core(pipe.matcher_params,
-                                      pipe.lifter_params,
+                poses, _, _, _ = core(mparams, lparams,
                                       kp, valid, prob, obs, present)
                 return kp + 1e-9 * jnp.sum(poses)
             return jnp.sum(jax.lax.fori_loop(0, K, body, kp))
@@ -164,15 +165,16 @@ def main() -> int:
 
     K1, K2 = (2, 6) if smoke else (20, 120)
     c1, c2 = make_chain(K1), make_chain(K2)
-    float(c1(*chain_args))
-    float(c2(*chain_args))
+    model_args = (pipe.matcher_params, pipe.lifter_params)
+    float(c1(*model_args, *chain_args))
+    float(c2(*model_args, *chain_args))
     t1s, t2s = [], []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(c1(*chain_args))
+        float(c1(*model_args, *chain_args))
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        float(c2(*chain_args))
+        float(c2(*model_args, *chain_args))
         t2s.append(time.perf_counter() - t0)
     ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
 

@@ -174,7 +174,12 @@ def cmd_train_matcher(args):
         import optax
 
         from mpe3d_tpu.models.gat import init_matcher
-        from mpe3d_tpu.train.checkpoint import load_checkpoint
+        from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+                                                matcher_config_from_meta,
+                                                read_meta)
+        # the checkpoint's architecture (residual/dropout/hidden) overrides
+        # the default — the load template must match its leaves
+        cfg = matcher_config_from_meta(read_meta(out), cfg)
         tmpl_p = init_matcher(jax.random.PRNGKey(0), cfg)
         tmpl_o = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay) \
             .init(tmpl_p)
@@ -217,6 +222,16 @@ def cmd_train_lifter(args):
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              optimise_matrices=args.optimise_matrices,
                              seed=args.seed, loss=args.loss)
+    ckpt_path = os.path.join(args.modelsdir, "pose_estimator")
+    if getattr(args, "resume", False) and os.path.exists(ckpt_path + ".npz"):
+        # the packer variant is baked into the checkpoint: resuming with a
+        # different --prior would train on a different input distribution
+        # AND overwrite the recorded prior at the next save
+        from mpe3d_tpu.train.checkpoint import read_meta
+        ck_prior = read_meta(ckpt_path).get("prior", "mean")
+        if ck_prior != args.prior:
+            sys.exit(f"{ckpt_path}.npz was trained with prior={ck_prior}; "
+                     f"pass --prior {ck_prior} or use a fresh --modelsdir")
     net_t, err_t = build_lifter_dataset_from_files(
         args.trainset, rig_config, rig, cache=args.cache, prior=args.prior)
     net_d, err_d = build_lifter_dataset_from_files(

@@ -189,9 +189,12 @@ def build_lifter_dataset_from_files(paths: Sequence[str],
         # C++ fast path; FrameArrays feed build_lifter_dataset directly
         frames.extend(parse_frames_file(p, rig_config))
     cache = kw.pop("cache", False)
-    # key the cache on the prior variant — it changes the packed arrays
+    # key the cache on EVERY packing knob that changes the arrays
     prior = kw.get("prior", "mean")
+    pdrop = kw.get("prior_dropout", 0.0)
     suffix = "" if prior == "mean" else f".{prior}"
+    if pdrop:
+        suffix += f".pd{pdrop}"
     cache_path = f"{paths[-1]}.mpe3d{suffix}.npz" if cache else None
     return build_lifter_dataset(frames, rig_config, rig,
                                 cache_path=cache_path, **kw)

@@ -43,6 +43,26 @@ class MatcherTrainResult:
     epochs_run: int = 0
 
 
+def bce_per_element(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.BCELoss semantics on sigmoid scores: per-element binary
+    cross-entropy with the log clamped at -100 (reference:
+    train_skeleton_matching.py:32-38 USE_BCE).
+
+    ``jnp.maximum`` BEFORE the log keeps gradients finite when a score
+    saturates to exactly 0.0/1.0 in fp32 (sigmoid does this at |logit| ≳
+    16.6): clipping log(0) = -inf instead would differentiate to
+    0 · inf = NaN and poison the whole parameter tree through Adam.
+    ``log(1e-37) ≈ -85.2`` so the -100 clamp is parity-only headroom.
+    (The floor must be a NORMAL fp32: XLA flushes subnormals to zero, and
+    a flushed floor makes maximum(0, 0) a tie whose 0.5 gradient lets the
+    log's inf back through.)
+    """
+    tiny = 1e-37
+    log_s = jnp.clip(jnp.log(jnp.maximum(scores, tiny)), -100.0)
+    log_c = jnp.clip(jnp.log(jnp.maximum(1.0 - scores, tiny)), -100.0)
+    return -(labels * log_s + (1.0 - labels) * log_c)
+
+
 def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
                       topo: PairTopology, cfg: MatcherConfig,
                       tx: optax.GradientTransformation,
@@ -103,10 +123,7 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
         # mean over all edge-nodes in the batch, duplicates counted twice
         # (reference: train_skeleton_matching.py:179 + dgl.batch collate)
         if use_bce:
-            # nn.BCELoss semantics: per-element binary cross-entropy on the
-            # sigmoid scores, log clamped at -100 (torch's BCELoss clamp)
-            per = -(labels * jnp.clip(jnp.log(scores), -100.0)
-                    + (1.0 - labels) * jnp.clip(jnp.log1p(-scores), -100.0))
+            per = bce_per_element(scores, labels)
         else:
             per = (scores - labels) ** 2
         per = per * weight

@@ -277,3 +277,29 @@ def test_matcher_eval_epoch_matches_per_batch(single_person_files,
     got = float(eval_epoch(params, tuple(jnp.asarray(f) for f in fields),
                            k_batches=k, batch_size=bs))
     assert abs(got - expect) < 1e-6, (got, expect)
+
+
+def test_bce_finite_gradients_at_saturation():
+    """BCE stays NaN-free when scores saturate to exactly 0/1 in fp32
+    (advisor-class bug: clip-of-inf → 0·inf = NaN grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpe3d_tpu.train.matcher import bce_per_element
+
+    scores = jnp.asarray([0.0, 1.0, 0.5, 1e-20, 1.0 - 1e-7])
+    labels = jnp.asarray([0.0, 1.0, 1.0, 1.0, 0.0])
+
+    def loss(s):
+        return jnp.sum(bce_per_element(s, labels))
+
+    val, grad = jax.value_and_grad(loss)(scores)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad))), grad
+    # value parity with torch's clamp on the interior points
+    import torch
+    tv = torch.nn.BCELoss(reduction="none")(
+        torch.tensor([0.5, 1.0 - 1e-7]), torch.tensor([1.0, 0.0]))
+    ours = np.asarray(bce_per_element(jnp.asarray([0.5, 1.0 - 1e-7]),
+                                      jnp.asarray([1.0, 0.0])))
+    assert np.allclose(ours, tv.numpy(), rtol=1e-4, atol=1e-6)
