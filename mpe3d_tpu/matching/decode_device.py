@@ -121,15 +121,21 @@ def decode_person_proposals_device(
         new_cluster = jnp.where(do, new_cluster.at[a].set(root)
                                 .at[b].set(root), cluster)
 
-        # camera set of the surviving root: |= {ca, cb}; a cluster-cluster
-        # merge folds b's set in ONLY in corrected mode — the reference
-        # forgets it (the merge quirk; matching/decode.py docstring)
+        # camera set of the surviving root (matching/decode.py semantics):
+        # new pair → {ca, cb}; extension → ONLY the other endpoint's camera
+        # (the member's own camera may have been forgotten by an earlier
+        # quirk merge and must STAY forgotten — reference
+        # skeleton_matching_utils.py:85-99); cluster-cluster merge adds
+        # NOTHING under the quirk (:100-104), b's whole set when corrected
         merge = a_has & b_has
-        add = jnp.zeros((C,), bool).at[ca].set(True).at[cb].set(True)
+        add_a = jnp.zeros((C,), bool).at[ca].set(True)
+        add_b = jnp.zeros((C,), bool).at[cb].set(True)
         if reference_merge_quirk:
-            add = jnp.where(merge, jnp.zeros((C,), bool), add)
+            add = jnp.where(~a_has & ~b_has, add_a | add_b,
+                  jnp.where(merge, jnp.zeros((C,), bool),
+                  jnp.where(a_has, add_b, add_a)))
         else:
-            add = add | jnp.where(merge, ccams_b, False)
+            add = add_a | add_b | jnp.where(merge, ccams_b, False)
         add = add | jnp.where(a_has, ccams_a, False) \
                   | jnp.where(b_has & ~merge, ccams_b, False)
         new_ccams = jnp.where(do, ccams.at[root].set(ccams[root] | add),

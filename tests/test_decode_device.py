@@ -63,3 +63,45 @@ def test_device_decode_min_views():
         jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2)
     assert int(np.asarray(m2).sum()) == 1
     assert np.asarray(p2)[0].tolist() == [0, 0, -1]
+
+
+def test_device_decode_quirk_forgotten_camera_stays_forgotten():
+    """After a quirk merge forgets a cluster's cameras, an EXTENSION via a
+    forgotten-camera member must not re-add that camera to the cluster set
+    (reference skeleton_matching_utils.py:85-99 appends only the OTHER
+    endpoint's camera) — a later head from the forgotten camera is then
+    accepted by the reference/host decode, and the device path must agree.
+    Engineered chain: {cam0,cam1} merges {cam2,cam3} (cams 2,3 forgotten),
+    extends via the cam2 member to cam4, then attaches a second cam2 head.
+    """
+    S, C = 2, 5
+    topo = build_topology(C, S)
+
+    def head(cam, slot):
+        return cam * S + slot
+
+    def pair_idx(h1, h2):
+        k = np.nonzero(((topo.e1 == h1) & (topo.e2 == h2))
+                       | ((topo.e1 == h2) & (topo.e2 == h1)))[0]
+        assert len(k) == 1
+        return int(k[0])
+
+    scores = np.zeros(topo.n_pairs, np.float32)
+    chain = [(head(0, 0), head(1, 0), 0.99),   # cluster1 {cam0, cam1}
+             (head(2, 0), head(3, 0), 0.95),   # cluster2 {cam2, cam3}
+             (head(0, 0), head(2, 0), 0.90),   # merge: cams 2,3 forgotten
+             (head(2, 0), head(4, 0), 0.85),   # extend via cam2 member
+             (head(1, 0), head(2, 1), 0.80)]   # second cam2 head attaches
+    for h1, h2, s in chain:
+        scores[pair_idx(h1, h2)] = s
+    pm = np.ones(topo.n_pairs, np.float32)
+
+    host = decode_person_proposals(scores, pm, topo, min_views=2)
+    dev_p, dev_m = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2)
+    dev = np.asarray(dev_p)[np.asarray(dev_m)]
+    assert _person_sets(host) == _person_sets(dev), (
+        f"host={host}, dev={dev}")
+    # the final edge really was accepted: camera 2 ends at the SECOND head
+    # (slot 1, last-writer-wins over ascending head ids)
+    assert len(host) == 1 and host[0][2] == 1, host
