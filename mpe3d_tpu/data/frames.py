@@ -166,15 +166,22 @@ def parse_frames_batch(text: bytes, rig: RigConfig, max_skeletons: int = 10,
                                present[f], ts[f]) for f in range(len(kp))]
             if not with_gt:
                 return fas
-            gt, gt_valid, gt_pvalid, gt_count = out[6:]
+            gt, gt_valid, gt_pvalid, gt_count, gt_order = out[6:]
             gts: List[Optional[FrameGroundTruth]] = []
             for f in range(len(kp)):
                 counts = gt_count[f]
-                # best camera = first one with the strictly-largest GT list
-                # (parse_frame_gt iterates in file order and keeps on '>')
+                # best camera = first IN FILE ORDER with the strictly-
+                # largest GT list, exactly like parse_frame_gt's
+                # frame.items() iteration (reference
+                # metrics_from_model.py:128-140).  Only rig cameras are
+                # candidates — a non-rig camera carrying GT is outside the
+                # framework's contract (the python fallback would use it).
+                in_order = sorted(
+                    (int(gt_order[f, ci]), ci) for ci in range(len(cameras))
+                    if counts[ci] >= 0 and gt_order[f, ci] >= 0)
                 best_ci, best_n = -1, -1
-                for ci in range(len(cameras)):
-                    if counts[ci] >= 0 and counts[ci] > best_n:
+                for _, ci in in_order:
+                    if counts[ci] > best_n:
                         best_ci, best_n = ci, int(counts[ci])
                 if best_ci < 0 or best_n == 0:
                     gts.append(None)
@@ -190,6 +197,10 @@ def parse_frames_batch(text: bytes, rig: RigConfig, max_skeletons: int = 10,
     fas = [parse_frame(f, rig, max_skeletons, cameras) for f in frames]
     if not with_gt:
         return fas
+    # NOTE: the fallback parses GT eagerly for every frame even though
+    # eval consumers subsample by datastep — acceptable because the native
+    # path (the default) extracts GT in the same single C pass anyway and
+    # the fallback only runs where g++ is unavailable.
     return fas, [parse_frame_gt(f, rig) for f in frames]
 
 

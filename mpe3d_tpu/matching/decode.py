@@ -82,12 +82,18 @@ def decode_person_proposals(scores: np.ndarray, pair_mask: np.ndarray,
     ``reference_merge_quirk`` (default, bit-parity): on a cluster-cluster
     merge the reference DELETES the absorbed cluster's camera list without
     folding it into the survivor (skeleton_matching_utils.py:100-104), so
-    later pairs can attach a second head from one of the forgotten cameras;
-    the final per-camera slot is then last-writer-wins in ascending head-id
-    order (networkx component sets of small ints iterate ascending, and the
-    reference overwrites ``person[camera]`` per member, :119-129 — both
-    reproduced here).  False = corrected behaviour (camera sets union on
-    merge; duplicate-camera members impossible).
+    later pairs can attach a second head from one of the forgotten cameras.
+    For such duplicate-camera components the reference's final slot is
+    last-writer-wins over CPython-set iteration order of the component
+    (:119-129); we deterministically take the LARGEST head id per camera.
+    The two agree whenever the member ids don't wrap the set's hash table
+    (ids < 8 for components of ≤5 members — covered by the golden parity
+    test); for wrapping ids the reference's choice depends on networkx's
+    BFS insertion order and can differ — a tie-break among heads of one
+    camera inside behaviour that is itself a reproduced reference bug, so
+    we keep the deterministic rule rather than emulate set internals.
+    False = corrected behaviour (camera sets union on merge;
+    duplicate-camera members impossible).
     """
     S = topo.n_slots
     C = topo.n_cameras

@@ -59,15 +59,15 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         lib.mpe3d_count_frames.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.mpe3d_parse_frames_v2.restype = ctypes.c_int
-        lib.mpe3d_parse_frames_v2.argtypes = [
+        lib.mpe3d_parse_frames_v3.restype = ctypes.c_int
+        lib.mpe3d_parse_frames_v3.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int64,
             f32, f32, f32, u8, u8,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
@@ -98,9 +98,10 @@ def parse_frames_native(text: bytes, camera_names: Sequence[str],
 
     Returns (kp [F,C,S,J,2], valid, prob, in_view, present, timestamps)
     — plus (gt [F,C,P,J,3] in raw wire cm, gt_valid [F,C,P,J],
-    gt_pvalid [F,C,P], gt_count [F,C]; count -1 = camera entry had no GT
-    list) when ``with_gt`` — or None if the native library is unavailable
-    or parsing failed.
+    gt_pvalid [F,C,P], gt_count [F,C] with -1 = camera entry had no GT
+    list, gt_order [F,C] = the camera key's file-order position in the
+    frame with -1 = camera absent) when ``with_gt`` — or None if the
+    native library is unavailable or parsing failed.
     """
     lib = load_library()
     if lib is None:
@@ -129,13 +130,15 @@ def parse_frames_native(text: bytes, camera_names: Sequence[str],
         gt_valid = np.zeros((F_cap, C, P, J), np.uint8)
         gt_pvalid = np.zeros((F_cap, C, P), np.uint8)
         gt_count = np.full((F_cap, C), -1, np.int32)
+        gt_order = np.full((F_cap, C), -1, np.int32)
         gt_args = (gt.ctypes.data, gt_valid.ctypes.data,
-                   gt_pvalid.ctypes.data, gt_count.ctypes.data, P)
+                   gt_pvalid.ctypes.data, gt_count.ctypes.data,
+                   gt_order.ctypes.data, P)
     else:
-        gt_args = (None, None, None, None, 0)
+        gt_args = (None, None, None, None, None, 0)
     names = (ctypes.c_char_p * C)(*[c.encode() for c in camera_names])
     n_out = ctypes.c_int64(0)
-    rc = lib.mpe3d_parse_frames_v2(text, len(text), names, C, S, J, F_cap,
+    rc = lib.mpe3d_parse_frames_v3(text, len(text), names, C, S, J, F_cap,
                                    kp, valid, prob, in_view, present, ts,
                                    *gt_args, ctypes.byref(n_out))
     if rc != 0:
@@ -147,5 +150,6 @@ def parse_frames_native(text: bytes, camera_names: Sequence[str],
            present[:F].astype(bool), ts[:F])
     if with_gt:
         out = out + (gt[:F], gt_valid[:F].astype(bool),
-                     gt_pvalid[:F].astype(bool), gt_count[:F])
+                     gt_pvalid[:F].astype(bool), gt_count[:F],
+                     gt_order[:F])
     return out

@@ -161,6 +161,10 @@ struct Buffers {
   uint8_t* gt_valid = nullptr;   // [F, C, P, J]
   uint8_t* gt_pvalid = nullptr;  // [F, C, P] '-1' marker present
   int32_t* gt_count = nullptr;   // [F, C] list length (-1 = no GT element)
+  int32_t* gt_order = nullptr;   // [F, C] file-order key position (-1 =
+                                 // camera absent) — lets the wrapper
+                                 // reproduce the reference's first-in-file-
+                                 // order best-camera tie-break
   int P = 0;
 
   inline int64_t kp_idx(int64_t f, int ci, int s, int j) const {
@@ -364,14 +368,14 @@ int64_t mpe3d_count_frames(const char* text, int64_t text_len) {
 // Buffers must be zero-initialised [max_frames, C, S, J, ...] C-order.
 // GT buffers may all be null (GT elements are then skipped); max_persons
 // is the GT person capacity per (frame, camera).
-int mpe3d_parse_frames_v2(const char* text, int64_t text_len,
+int mpe3d_parse_frames_v3(const char* text, int64_t text_len,
                           const char** cam_names, int n_cams, int max_skel,
                           int n_joints, int64_t max_frames, float* kp,
                           float* valid, float* prob, uint8_t* in_view,
                           uint8_t* present, double* timestamps,
                           float* gt, uint8_t* gt_valid, uint8_t* gt_pvalid,
-                          int32_t* gt_count, int max_persons,
-                          int64_t* n_frames_out) {
+                          int32_t* gt_count, int32_t* gt_order,
+                          int max_persons, int64_t* n_frames_out) {
   Cursor c{text, text + text_len};
   Buffers b{kp, valid, prob, in_view, present, timestamps,
             n_cams, max_skel, n_joints};
@@ -379,6 +383,7 @@ int mpe3d_parse_frames_v2(const char* text, int64_t text_len,
   b.gt_valid = gt_valid;
   b.gt_pvalid = gt_pvalid;
   b.gt_count = gt_count;
+  b.gt_order = gt_order;
   b.P = max_persons;
   *n_frames_out = 0;
   if (!c.expect('[')) return 1;
@@ -391,6 +396,7 @@ int mpe3d_parse_frames_v2(const char* text, int64_t text_len,
     if (c.peek_is('}')) {
       ++c.p;
     } else {
+      int32_t key_pos = 0;   // file-order position within this frame
       while (c.ok) {
         if (!parse_string(c, key)) return 1;
         if (!c.expect(':')) return 1;
@@ -398,6 +404,8 @@ int mpe3d_parse_frames_v2(const char* text, int64_t text_len,
         for (int i = 0; i < n_cams; ++i) {
           if (key == cam_names[i]) { ci = i; break; }
         }
+        if (ci >= 0 && b.gt_order) b.gt_order[f * b.C + ci] = key_pos;
+        ++key_pos;
         if (ci < 0) {
           if (!skip_value(c)) return 1;
         } else {

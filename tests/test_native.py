@@ -150,3 +150,29 @@ def test_native_large_file_exact_allocation(tmp_path, panoptic_rig):
     # (buffers ≈ n_frames * ~60 KB incl GT; the file itself is ~100 MB)
     peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     assert peak_kb < 8_000_000, f"peak RSS {peak_kb} KB"
+
+
+def test_native_gt_tiebreak_file_order():
+    """Tied GT counts with file key order ≠ rig order: both paths pick the
+    FIRST camera in FILE order (reference metrics_from_model.py:128-140
+    iterates frame.items() and keeps on strictly-greater)."""
+    import json
+
+    from mpe3d_tpu.data.frames import parse_frame_gt
+
+    cams = list(PANOPTIC.camera_names)
+    sk = json.dumps([{"0": [0, 100.0, 100.0, 1, 0.9]}])
+    gt_a = [{"0": [10.0, 20.0, 30.0], "-1": [0, 0, 0]}]
+    gt_b = [{"0": [40.0, 50.0, 60.0], "-1": [0, 0, 0]}]
+    # reversed rig order in the file; cams[-1] and cams[0] tie at 1 entry
+    frame = {cams[-1]: [sk, 0.0, "no_image", gt_b],
+             cams[0]: [sk, 0.0, "no_image", gt_a]}
+    text = json.dumps([frame]).encode()
+
+    ref = parse_frame_gt(frame, PANOPTIC)
+    assert ref.camera == cams[-1]          # first in FILE order
+    fas, gts = parse_frames_batch(text, PANOPTIC, with_gt=True,
+                                  use_native=True)
+    assert gts[0] is not None
+    assert gts[0].camera == ref.camera
+    assert np.allclose(gts[0].gt3d, ref.gt3d, atol=1e-6)
