@@ -176,3 +176,81 @@ def test_native_gt_tiebreak_file_order():
     assert gts[0] is not None
     assert gts[0].camera == ref.camera
     assert np.allclose(gts[0].gt3d, ref.gt3d, atol=1e-6)
+
+
+def test_native_differential_fuzz():
+    """Randomized differential fuzz: generator-driven wire frames with
+    hostile content (unicode escapes, non-rig cameras, odd joint ids,
+    missing/extra entry elements, big GT lists) must parse identically to
+    the python path — the C++ parser consumes untrusted JSON."""
+    import json
+
+    rng = np.random.default_rng(2026)
+    cams = list(PANOPTIC.camera_names)
+
+    def rand_skeletons():
+        n = int(rng.integers(0, 4))
+        out = []
+        for _ in range(n):
+            joints = {}
+            if rng.random() < 0.3:
+                joints["ID"] = int(rng.integers(0, 99))
+            for j in rng.choice(25, size=rng.integers(0, 8), replace=False):
+                joints[str(int(j))] = [int(j),
+                                       float(rng.normal(500, 300)),
+                                       float(rng.normal(300, 200)),
+                                       int(rng.integers(0, 2)),
+                                       float(rng.random())]
+            out.append(joints)
+        return json.dumps(out)
+
+    frames = []
+    for _ in range(40):
+        frame = {}
+        for cam in rng.permutation(cams + ["ghost_cam", "weirdé"]):
+            if rng.random() < 0.3:
+                continue
+            entry = [rand_skeletons()]
+            if rng.random() < 0.8:
+                entry.append(float(rng.random() * 1e6))
+            if rng.random() < 0.7:
+                entry.append("no_image")
+            # GT rides rig cameras only: a non-rig camera with the largest
+            # GT list is the documented native/python contract divergence
+            # (data/frames.py best-camera comment)
+            if cam in cams and len(entry) == 3 and rng.random() < 0.6:
+                gt = []
+                for _p in range(int(rng.integers(0, 20))):
+                    person = {str(int(j)): [float(x) for x in
+                                            rng.normal(0, 100, 3)]
+                              for j in rng.choice(20, size=3, replace=False)}
+                    if rng.random() < 0.5:
+                        person["-1"] = [0, 0, 0]
+                    gt.append(person)
+                entry.append(gt)
+            frame[str(cam)] = entry
+        frames.append(frame)
+    text = json.dumps(frames).encode()
+
+    out = parse_frames_native(text, PANOPTIC.camera_names, 6, 18,
+                              with_gt=True)
+    assert out is not None
+    from mpe3d_tpu.data.frames import parse_frame, parse_frame_gt
+    kp, valid, prob, in_view, present, ts = out[:6]
+    gts_native = parse_frames_batch(text, PANOPTIC, max_skeletons=6,
+                                    with_gt=True, use_native=True)[1]
+    for f, frame in enumerate(frames):
+        ref = parse_frame(frame, PANOPTIC, 6)
+        assert np.allclose(kp[f], ref.kp), f
+        assert np.allclose(valid[f], ref.valid), f
+        assert np.allclose(prob[f], ref.prob), f
+        assert np.array_equal(present[f], ref.present), f
+        ref_gt = parse_frame_gt(frame, PANOPTIC)
+        if ref_gt is None:
+            assert gts_native[f] is None, f
+        else:
+            # native caps GT persons at 16; compare the common prefix
+            P = len(gts_native[f].gt3d)
+            assert gts_native[f].camera == ref_gt.camera, f
+            assert np.allclose(gts_native[f].gt3d, ref_gt.gt3d[:P],
+                               atol=1e-5), f
