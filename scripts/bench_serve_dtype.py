@@ -1,0 +1,121 @@
+"""Measure bf16 weight serving (pipeline serve_dtype) vs fp32 on the chip.
+
+The fused per-frame program reads the 29.1 M-param lifter's weights from
+HBM every frame; storing them in bfloat16 halves that traffic and is
+numerically identical under the TPU's DEFAULT matmul precision
+(models/mlp.py::cast_lifter_weights).  This script measures the fused
+program's on-device per-frame time for both stored dtypes with the
+relay-safe chained-differential pattern (bench.py): the program is chained
+K times inside one jit and timed as (t_K2 − t_K1)/(K2 − K1) with float()
+value syncs, cancelling the relay round trip.
+
+Run each variant in its OWN process (the relay degrades a session after
+its first readback):
+    python scripts/bench_serve_dtype.py --bf16 0
+    python scripts/bench_serve_dtype.py --bf16 1
+It also reports the max |Δpose| between the two dtypes' outputs on the
+same frame (expected ~0 on TPU: default precision already rounds to bf16).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", type=int, default=1)
+    ap.add_argument("--k", type=int, default=120,
+                    help="long-chain length (short chain is 20)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+    from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
+                                          synthetic_ring_rig)
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    rig_config = PANOPTIC
+    rig = synthetic_ring_rig(rig_config)
+    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    pipe = PoseEstimationPipeline(
+        rig_config, rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg, lp, lcfg,
+        slot_buckets=(4,), person_buckets=(8,),
+        # low threshold: the untrained matcher must decode real persons so
+        # the |Δpose| check compares actual lifter outputs, not zero masks
+        threshold=0.05, decode_top_k=0,
+        serve_dtype=(jnp.bfloat16 if args.bf16 else False))
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    fa = parse_frame(next(iter(generate_frames(
+        rig_config, rig, 1, n_people=(3, 3), seed=11, noise=noise,
+        with_gt=False))), rig_config, max_skeletons=4)
+
+    core = pipe._fused_fn(4, 8)
+    chain_args = [jnp.asarray(fa.kp[:, :4]), jnp.asarray(fa.valid[:, :4]),
+                  jnp.asarray(fa.prob[:, :4]),
+                  jnp.asarray(fa.in_view[:, :4]),
+                  jnp.asarray(fa.present[:, :4])]
+
+    def make_chain(K):
+        @jax.jit
+        def chain(mparams, lparams, kp, valid, prob, obs, present):
+            def body(i, kp):
+                poses, _, _, _ = core(mparams, lparams,
+                                      kp, valid, prob, obs, present)
+                return kp + 1e-9 * jnp.sum(poses)
+            return jnp.sum(jax.lax.fori_loop(0, K, body, kp))
+        return chain
+
+    K1, K2 = 20, args.k
+    c1, c2 = make_chain(K1), make_chain(K2)
+    margs = (pipe.matcher_params, pipe.lifter_params)
+    float(c1(*margs, *chain_args))
+    float(c2(*margs, *chain_args))
+    t1s, t2s = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(c1(*margs, *chain_args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(c2(*margs, *chain_args))
+        t2s.append(time.perf_counter() - t0)
+    ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
+
+    # numerical check vs the OTHER dtype on the same frame
+    poses, _, _, _ = core(*margs, *chain_args)
+    from mpe3d_tpu.models.mlp import cast_lifter_weights
+    alt_lp = (jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x, np.float32)), lp)
+        if args.bf16 else cast_lifter_weights(lp, jnp.bfloat16))
+    poses_alt, _, _, _ = core(pipe.matcher_params, alt_lp, *chain_args)
+    max_diff = float(jnp.max(jnp.abs(poses - poses_alt)))
+
+    print(json.dumps({
+        "bf16": bool(args.bf16),
+        "backend": jax.default_backend(),
+        "ondevice_frame_us": round(ondevice_us, 1),
+        "max_pose_diff_m_vs_other_dtype": max_diff,
+    }))
+
+
+if __name__ == "__main__":
+    main()
