@@ -487,3 +487,88 @@ def test_decode_matches_reference_networkx(ref_graph_module):
                               for c, s in enumerate(p) if s >= 0)
                     for p in ours}
         assert ref_sets == our_sets, (trial, ref_sets ^ our_sets)
+
+
+@pytest.fixture(scope="module")
+def ref_augment_module():
+    """Import the reference's data_augmentation.py (numpy + stdlib only)."""
+    added = []
+    for p in (REF, os.path.join(REF, "utils")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+            added.append(p)
+    try:
+        import data_augmentation as ref_aug
+        yield ref_aug
+    finally:
+        for p in added:
+            sys.path.remove(p)
+
+
+def test_camera_subset_augment_matches_reference(ref_augment_module,
+                                                 frames_1p):
+    """camera_subset_augment ≡ the reference's own add_data_to_json
+    (utils/data_augmentation.py:50-85) run in-process: same expansion count
+    and, per source frame, the same set of camera subsets with the full
+    set emitted first (downstream sampling is order-insensitive)."""
+    from mpe3d_tpu.train.matcher_data import camera_subset_augment
+
+    ref_out = ref_augment_module.add_data_to_json(frames_1p,
+                                                  min_number_of_views=2)
+    ours = camera_subset_augment(frames_1p, PANOPTIC, min_views=2)
+    assert len(ref_out) == len(ours)
+
+    def grouped(expanded):
+        """subsets grouped per source frame: a new group starts at every
+        superset-of-all-following full set (the full set is emitted first
+        for each source frame by both implementations)."""
+        groups, cur = [], None
+        for fr in expanded:
+            keys = frozenset(fr.keys())
+            if cur is None or not keys < cur[0]:
+                groups.append((keys, set()))
+                cur = groups[-1]
+            cur[1].add(keys)
+        return groups
+
+    for (full_r, subs_r), (full_o, subs_o) in zip(grouped(ref_out),
+                                                  grouped(ours)):
+        assert full_r == full_o
+        assert subs_r == subs_o
+
+
+def test_random_camera_subsets_matches_reference_support(ref_augment_module):
+    """random_camera_subsets ≡ permutations_generator_random
+    (utils/data_augmentation.py:29-47) in support and structure: full set
+    first, then strict non-empty subsets of the available cameras, at most
+    max_combinations-1 of them (randomness differs only in RNG stream)."""
+    import itertools
+
+    flags = [1, 0, 1, 1, 1]
+    ref_all = set()
+    for trial in range(60):
+        out = list(ref_augment_module.permutations_generator_random(
+            flags, True, max_combinations_number=4))
+        assert out[0] == flags and len(out) <= 4
+        ref_all.update(tuple(c) for c in out[1:])
+
+    from mpe3d_tpu.train.lifter_data import random_camera_subsets
+    rng = np.random.default_rng(7)
+    ours_all = set()
+    for trial in range(60):
+        out = random_camera_subsets(np.asarray(flags, np.float32), 4, rng)
+        assert tuple(out[0].astype(int)) == tuple(flags) and len(out) <= 4
+        ours_all.update(tuple(m.astype(int)) for m in out[1:])
+
+    # identical support: every strict non-empty subset of the 4 available
+    # cameras (2^4 - 2 = 14 masks), and nothing else
+    avail = [i for i, f in enumerate(flags) if f]
+    expect = set()
+    for bits in itertools.product(range(2), repeat=len(avail)):
+        if not any(bits) or all(bits):
+            continue
+        m = [0] * len(flags)
+        for i, b in zip(avail, bits):
+            m[i] = b
+        expect.add(tuple(m))
+    assert ref_all == ours_all == expect
