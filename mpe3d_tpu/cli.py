@@ -115,6 +115,10 @@ def build_pipeline(args, backend: str):
     geo_kw = {k: getattr(args, k)
               for k in ("geo_rerank", "geo_rescue", "geo_rescue_dist")
               if hasattr(args, k)}
+    if getattr(args, "serve_dtype", "auto") != "auto":
+        import jax.numpy as jnp
+        geo_kw["serve_dtype"] = {"fp32": False, "bf16": jnp.bfloat16,
+                                 "int8": "int8"}[args.serve_dtype]
     pipe = PoseEstimationPipeline(
         rig_config, rig, mparams, mcfg, lparams, lcfg, backend=backend,
         lifter_prior=lifter_prior, **geo_kw)
@@ -464,6 +468,13 @@ def _add_common(p, models=True):
                        "the host decode on dense scenes")
         p.add_argument("--geo-rescue-dist", type=float, default=0.05,
                        help="rescue ray-distance cut in metres")
+        p.add_argument("--serve-dtype", default="auto",
+                       choices=["auto", "fp32", "bf16", "int8"],
+                       help="lifter weight serving: auto = bf16 on TPU "
+                       "(bit-identical there) / fp32 elsewhere; int8 = "
+                       "two-sided weight-only quantisation (halves HBM "
+                       "traffic again; accuracy deltas measured in "
+                       "reports/serve_int8_*.json)")
 
 
 def make_parser() -> argparse.ArgumentParser:

@@ -122,11 +122,25 @@ class PoseEstimationPipeline:
                            else False)
         self.serve_dtype = None if serve_dtype is False else serve_dtype
         if self.serve_dtype is not None and self.lifter_params is not None:
-            from mpe3d_tpu.models.mlp import cast_lifter_weights
-            self.lifter_params = cast_lifter_weights(self.lifter_params,
-                                                     self.serve_dtype)
-            if self.compute_dtype is None:
-                self.compute_dtype = self.serve_dtype
+            if self.serve_dtype in ("int8", jnp.int8):
+                # int8 weight-only serving (ops/quant_matmul.py): hidden
+                # weights stored int8 + per-channel scale, dequantised in
+                # VMEM by the pallas kernel — halves HBM weight traffic vs
+                # bf16 again.  Activations keep the bf16 MXU path.  Opt-in:
+                # weight rounding IS a (small, measured) accuracy change,
+                # unlike the bit-identical bf16 cast.
+                from mpe3d_tpu.models.mlp import quantize_lifter_weights
+                self.serve_dtype = jnp.int8
+                self.lifter_params = quantize_lifter_weights(
+                    self.lifter_params)
+                if self.compute_dtype is None:
+                    self.compute_dtype = jnp.bfloat16
+            else:
+                from mpe3d_tpu.models.mlp import cast_lifter_weights
+                self.lifter_params = cast_lifter_weights(self.lifter_params,
+                                                         self.serve_dtype)
+                if self.compute_dtype is None:
+                    self.compute_dtype = self.serve_dtype
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()

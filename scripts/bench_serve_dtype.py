@@ -11,10 +11,13 @@ value syncs, cancelling the relay round trip.
 
 Run each variant in its OWN process (the relay degrades a session after
 its first readback):
-    python scripts/bench_serve_dtype.py --bf16 0
-    python scripts/bench_serve_dtype.py --bf16 1
-It also reports the max |Δpose| between the two dtypes' outputs on the
-same frame (expected ~0 on TPU: default precision already rounds to bf16).
+    python scripts/bench_serve_dtype.py --dtype fp32
+    python scripts/bench_serve_dtype.py --dtype bf16
+    python scripts/bench_serve_dtype.py --dtype int8
+For fp32/bf16 it also reports the max |Δpose| between the two dtypes'
+outputs on the same frame (expected ~0 on TPU: default precision already
+rounds to bf16).  int8 accuracy is measured separately on real
+checkpoints (scripts/eval_serve_int8.py; reports/serve_int8_*.json).
 """
 
 import argparse
@@ -28,10 +31,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bf16", type=int, default=1)
+    ap.add_argument("--dtype", default=None,
+                    choices=["fp32", "bf16", "int8"])
+    ap.add_argument("--bf16", type=int, default=None,
+                    help="legacy alias: --bf16 1 == --dtype bf16")
     ap.add_argument("--k", type=int, default=120,
                     help="long-chain length (short chain is 20)")
     args = ap.parse_args()
+    dtype = args.dtype or ("bf16" if args.bf16 in (None, 1) else "fp32")
 
     import jax
     import jax.numpy as jnp
@@ -61,7 +68,8 @@ def main():
         # low threshold: the untrained matcher must decode real persons so
         # the |Δpose| check compares actual lifter outputs, not zero masks
         threshold=0.05, decode_top_k=0,
-        serve_dtype=(jnp.bfloat16 if args.bf16 else False))
+        serve_dtype={"fp32": False, "bf16": jnp.bfloat16,
+                     "int8": "int8"}[dtype])
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
@@ -100,21 +108,22 @@ def main():
         t2s.append(time.perf_counter() - t0)
     ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
 
-    # numerical check vs the OTHER dtype on the same frame
-    poses, _, _, _ = core(*margs, *chain_args)
-    from mpe3d_tpu.models.mlp import cast_lifter_weights
-    alt_lp = (jax.tree_util.tree_map(
-        lambda x: jnp.asarray(np.asarray(x, np.float32)), lp)
-        if args.bf16 else cast_lifter_weights(lp, jnp.bfloat16))
-    poses_alt, _, _, _ = core(pipe.matcher_params, alt_lp, *chain_args)
-    max_diff = float(jnp.max(jnp.abs(poses - poses_alt)))
+    out = {"dtype": dtype, "backend": jax.default_backend(),
+           "ondevice_frame_us": round(ondevice_us, 1)}
+    if dtype != "int8":
+        # numerical check vs the OTHER fp dtype on the same frame (same
+        # pytree structure, so the traced program is reusable); int8's
+        # accuracy is measured on real checkpoints in eval_serve_int8.py
+        poses, _, _, _ = core(*margs, *chain_args)
+        from mpe3d_tpu.models.mlp import cast_lifter_weights
+        alt_lp = (jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x, np.float32)), lp)
+            if dtype == "bf16" else cast_lifter_weights(lp, jnp.bfloat16))
+        poses_alt, _, _, _ = core(pipe.matcher_params, alt_lp, *chain_args)
+        out["max_pose_diff_m_vs_other_dtype"] = float(
+            jnp.max(jnp.abs(poses - poses_alt)))
 
-    print(json.dumps({
-        "bf16": bool(args.bf16),
-        "backend": jax.default_backend(),
-        "ondevice_frame_us": round(ondevice_us, 1),
-        "max_pose_diff_m_vs_other_dtype": max_diff,
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
