@@ -104,6 +104,23 @@ def test_apply_lifter_int8_close_to_fp32(residual):
     assert rel < 0.08, rel
 
 
+def test_cli_serve_dtype_mapping(panoptic_rig, tmp_path):
+    """cli.build_pipeline maps --serve-dtype {auto,fp32,bf16,int8} onto the
+    pipeline knob (auto leaves the pipeline's backend-dependent default)."""
+    import argparse
+
+    from mpe3d_tpu import cli
+
+    ns = dict(cpu=True, rig="PANOPTIC", tm=None, modelsdir=str(tmp_path))
+    for sd, expect in [("auto", None), ("fp32", None),
+                       ("bf16", jnp.bfloat16), ("int8", jnp.int8)]:
+        args = argparse.Namespace(serve_dtype=sd, **ns)
+        _, _, pipe = cli.build_pipeline(args, "mlp")   # random-init models
+        assert pipe.serve_dtype == (None if expect is None else expect), sd
+        if sd == "int8":
+            assert "wq" in pipe.lifter_params["layers"][0]
+
+
 def test_pipeline_serve_int8(panoptic_rig):
     """serve_dtype='int8' quantises at init and stays close to fp32
     serving on real synthetic frames end-to-end (same proposals — the
