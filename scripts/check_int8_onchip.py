@@ -43,6 +43,21 @@ def main():
         results["cases"].append({"shape": [M, K, N], "max_rel_err": rel})
         assert rel < 5e-3, (M, K, N, rel)
 
+    # vmapped case — infer_batch maps the fused program over frames, so
+    # the kernel must also be correct under pallas' batching rule on-chip
+    k1, k2, k3 = jax.random.split(key, 3)
+    xb = jax.random.normal(k1, (4, 8, 1260))
+    wq = jax.random.randint(k2, (1260, 512), -127, 128, jnp.int8)
+    scale = jax.random.uniform(k3, (512,), minval=1e-3, maxval=0.05)
+    ref = np.asarray(jax.vmap(
+        lambda xi: xla_int8_matmul(xi, wq, scale, None, None))(xb))
+    got = np.asarray(jax.vmap(
+        lambda xi: int8_weight_matmul(xi, wq, scale, use_pallas=True))(xb))
+    rel = float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+    results["cases"].append({"shape": "vmap(4)x[8,1260,512]",
+                             "max_rel_err": rel})
+    assert rel < 5e-3, rel
+
     results["ok"] = True
     print(json.dumps(results))
 
