@@ -333,7 +333,9 @@ def cmd_infer(args):
 
     (New surface — the reference only ships metric/viewer scripts; this is
     the library path of test/show_results_from_model.py:139-336 without the
-    GL window.)  Output: JSON list of {frame, n_persons, persons, poses_m}.
+    GL window.)  Output: JSON list of {frame, n_persons, persons, poses_m};
+    with --track each frame also carries stable "track_ids" (and poses_m
+    are EMA-smoothed when --track-smooth > 0; mpe3d_tpu/tracking.py).
     """
     from mpe3d_tpu.data.frames import parse_frames_file
 
@@ -350,11 +352,22 @@ def cmd_infer(args):
         outs = pipe.infer_batch(fas)
     else:
         outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
-    result = [{"frame": i,
-               "n_persons": int(len(o.persons)),
-               "persons": np.asarray(o.persons).tolist(),
-               "poses_m": np.asarray(o.poses).round(4).tolist()}
-              for i, o in enumerate(outs)]
+    tracker = None
+    if getattr(args, "track", False):
+        from mpe3d_tpu.tracking import PoseTracker
+        tracker = PoseTracker(max_dist=args.track_max_dist,
+                              max_missed=args.track_max_missed,
+                              smooth=args.track_smooth)
+    result = []
+    for i, o in enumerate(outs):
+        poses = np.asarray(o.poses)
+        rec = {"frame": i, "n_persons": int(len(o.persons)),
+               "persons": np.asarray(o.persons).tolist()}
+        if tracker is not None:
+            ids, poses = tracker.update(poses)
+            rec["track_ids"] = ids.tolist()
+        rec["poses_m"] = poses.round(4).tolist()
+        result.append(rec)
     text = json.dumps(result)
     if args.out:
         with open(args.out, "w") as f:
@@ -576,6 +589,17 @@ def make_parser() -> argparse.ArgumentParser:
                    help="one batched dispatch instead of streaming")
     p.add_argument("--stream", type=int, default=3,
                    help="streaming depth (frames in flight)")
+    p.add_argument("--track", action="store_true",
+                   help="assign stable person ids across frames "
+                   "(mpe3d_tpu/tracking.py; extension — the reference "
+                   "pipeline is frame-independent)")
+    p.add_argument("--track-max-dist", type=float, default=0.5,
+                   help="association gate: mean per-joint distance (m)")
+    p.add_argument("--track-max-missed", type=int, default=10,
+                   help="frames a track coasts before retiring")
+    p.add_argument("--track-smooth", type=float, default=0.0,
+                   help="EMA weight on history for reported joints "
+                   "(0 = raw)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("show-results")
