@@ -157,7 +157,7 @@ def main() -> int:
         @jax.jit
         def chain(mparams, lparams, kp, valid, prob, obs, present):
             def body(i, kp):
-                poses, _, _, _ = core(mparams, lparams,
+                poses, *_ = core(mparams, lparams,
                                       kp, valid, prob, obs, present)
                 return kp + 1e-9 * jnp.sum(poses)
             return jnp.sum(jax.lax.fori_loop(0, K, body, kp))

@@ -366,6 +366,10 @@ def cmd_infer(args):
         if tracker is not None:
             ids, poses = tracker.update(poses)
             rec["track_ids"] = ids.tolist()
+        if o.quality is not None:
+            # per-pose confidence: mean reprojection residual (px) of the
+            # pose against its own 2D observations (pipeline.pose_quality_px)
+            rec["quality_px"] = np.asarray(o.quality).round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         result.append(rec)
     text = json.dumps(result)

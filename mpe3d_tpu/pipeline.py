@@ -42,6 +42,41 @@ class PipelineOutput(NamedTuple):
     persons: np.ndarray      # [P, C_match] slot index per matching camera (-1 = none)
     scores: np.ndarray       # [E] matcher pair scores (bucketed)
     n_heads: int
+    # [P] mean reprojection residual of the pose against its own assigned
+    # 2D observations (px); -1 where the person has no valid observation.
+    # A per-pose confidence for serving consumers (framework extension —
+    # the reference emits nothing comparable): true persons sit near the
+    # detector noise floor, ghost/mis-associated proposals score an order
+    # of magnitude higher.
+    quality: Optional[np.ndarray] = None
+
+
+def pose_quality_px(poses_m: jnp.ndarray, kp: jnp.ndarray,
+                    valid: jnp.ndarray, observed: jnp.ndarray,
+                    rig: CameraRig,
+                    joint_ok: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-person masked mean reprojection residual, in pixels.
+
+    poses_m: [P, J, 3] metres (world); kp/valid/observed: the person's own
+    gathered per-used-camera observations ([P, Cu, J, 2] / [P, Cu, J]);
+    joint_ok: [P, J] 3D validity (the triangulation backend zero-fills
+    joints it could not reconstruct — those must not count as residual).
+    Returns [P]; -1.0 for persons with no valid observation (padding).
+    jit-friendly — runs inside the fused program for ~zero marginal cost.
+    """
+    from mpe3d_tpu.geometry.camera import project_points
+
+    pix = project_points(poses_m[:, None], rig.T_wc[None, :, None],
+                         rig.K[None, :, None], rig.dist[None, :, None],
+                         min_depth=1e-4)                     # [P, Cu, J, 2]
+    m = (valid > 0) & observed
+    if joint_ok is not None:
+        m = m & (joint_ok[:, None, :] > 0)
+    mf = m.astype(jnp.float32)
+    d = jnp.linalg.norm(jnp.clip(kp - pix, -1e5, 1e5), axis=-1)
+    tot = jnp.sum(mf, axis=(1, 2))
+    q = jnp.sum(d * mf, axis=(1, 2)) / jnp.maximum(tot, 1.0)
+    return jnp.where(tot > 0, q, -1.0)
 
 
 class PoseEstimationPipeline:
@@ -304,7 +339,9 @@ class PoseEstimationPipeline:
                         kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
                     return xyz, ok
                 xyz, ok = jax.vmap(one)(kp, observed)
-                return xyz, ok
+                quality = pose_quality_px(xyz, kp, valid, observed,
+                                          self.used_rig, joint_ok=ok)
+                return xyz, ok, quality
             return run
 
         @jax.jit
@@ -321,7 +358,9 @@ class PoseEstimationPipeline:
             poses = out.reshape(n_persons, J, 3) * 10.0          # metres
             ok = jnp.broadcast_to(pmask[:, None] > 0.5,
                                   (n_persons, J))
-            return poses, ok
+            quality = pose_quality_px(poses, kp, valid, observed,
+                                      self.used_rig)
+            return poses, ok, quality
 
         return run
 
@@ -376,12 +415,13 @@ class PoseEstimationPipeline:
             pprob = pu[cams, take] * has[..., None]
             pobs = ou[cams, take] & has[..., None]
 
+            joint_ok = None
             if backend == "triangulation":
                 def one(kp_p, obs_p):
                     xyz, ok = triangulate_median_filtered(
                         kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
-                    return xyz
-                poses = jax.vmap(one)(pkp, pobs)
+                    return xyz, ok
+                poses, joint_ok = jax.vmap(one)(pkp, pobs)
             else:
                 def one(kp_p, valid_p, prob_p, obs_p):
                     net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
@@ -392,8 +432,10 @@ class PoseEstimationPipeline:
                 out = apply_lifter(lparams, nets, self.lifter_cfg,
                                    compute_dtype=self.compute_dtype)
                 poses = out.reshape(p_max, J, 3) * 10.0
+            quality = pose_quality_px(poses, pkp, pval, pobs, self.used_rig,
+                                      joint_ok=joint_ok)
             poses = poses * person_mask[:, None, None]
-            return poses, persons, person_mask, scores
+            return poses, persons, person_mask, scores, quality
 
         return run
 
@@ -447,13 +489,14 @@ class PoseEstimationPipeline:
             lparams = replicate(mesh, lparams)
         else:
             args = [jnp.asarray(a) for a in stacked]
-        poses, persons, person_mask, scores = jax.device_get(
+        poses, persons, person_mask, scores, quality = jax.device_get(
             self._fused_batch_fn(S, p_max)(mparams, lparams, *args))
         out = []
         for i, f in enumerate(frames):
             n = int(person_mask[i].sum())
             out.append(PipelineOutput(poses[i][:n], persons[i][:n],
-                                      scores[i], int(f.present.sum())))
+                                      scores[i], int(f.present.sum()),
+                                      quality[i][:n]))
         return out
 
     def infer_stream(self, frames, depth: int = 3):
@@ -481,10 +524,10 @@ class PoseEstimationPipeline:
             return frame, out
 
         def collect(frame, out):
-            poses, persons, person_mask, scores = jax.device_get(out)
+            poses, persons, person_mask, scores, quality = jax.device_get(out)
             n = int(person_mask.sum())
             return PipelineOutput(poses[:n], persons[:n], scores,
-                                  int(frame.present.sum()))
+                                  int(frame.present.sum()), quality[:n])
 
         for frame in frames:
             pending.append(submit(frame))
@@ -505,10 +548,10 @@ class PoseEstimationPipeline:
             jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
             jnp.asarray(frame.prob[:, :S]), jnp.asarray(frame.in_view[:, :S]),
             jnp.asarray(frame.present[:, :S]))
-        poses, persons, person_mask, scores = jax.device_get(out)
+        poses, persons, person_mask, scores, quality = jax.device_get(out)
         n = int(person_mask.sum())
         return PipelineOutput(poses[:n], persons[:n], scores,
-                              int(frame.present.sum()))
+                              int(frame.present.sum()), quality[:n])
 
     # ------------------------------------------------------------------
     def match(self, frame: FrameArrays):
@@ -604,11 +647,14 @@ class PoseEstimationPipeline:
                 observed[p, ui] = frame.in_view[cam_idx, s]
         return kp, valid, prob, observed
 
-    def lift(self, frame: FrameArrays, persons: np.ndarray):
-        """Run the 3D stage on decoded proposals.  Returns poses [P, J, 3] m."""
+    def lift(self, frame: FrameArrays, persons: np.ndarray,
+             with_quality: bool = False):
+        """Run the 3D stage on decoded proposals.  Returns poses [P, J, 3] m
+        (and the per-person quality column when ``with_quality``)."""
         P = len(persons)
         if P == 0:
-            return np.zeros((0, self.rig_config.n_joints, 3), np.float32)
+            empty = np.zeros((0, self.rig_config.n_joints, 3), np.float32)
+            return (empty, np.zeros(0, np.float32)) if with_quality else empty
         PB = self._person_bucket(P)
         kp, valid, prob, observed = self.gather_person_obs(frame, persons)
         pad = PB - P
@@ -619,10 +665,11 @@ class PoseEstimationPipeline:
             observed = np.concatenate([observed, np.zeros((pad, *observed.shape[1:]), bool)])
         pmask = np.zeros(PB, np.float32)
         pmask[:P] = 1.0
-        poses, ok = self._lift_fn(PB)(self.lifter_params, jnp.asarray(kp),
-                                      jnp.asarray(valid), jnp.asarray(prob),
-                                      jnp.asarray(observed),
-                                      jnp.asarray(pmask))
+        poses, ok, quality = self._lift_fn(PB)(
+            self.lifter_params, jnp.asarray(kp), jnp.asarray(valid),
+            jnp.asarray(prob), jnp.asarray(observed), jnp.asarray(pmask))
+        if with_quality:
+            return np.asarray(poses)[:P], np.asarray(quality)[:P]
         return np.asarray(poses)[:P]
 
     def __call__(self, frame: FrameArrays) -> PipelineOutput:
@@ -638,9 +685,9 @@ class PoseEstimationPipeline:
             persons = decode_person_proposals(
                 eff, pm, topo, self.rig_config.min_number_of_views,
                 self.threshold, order_scores=order)
-        poses = self.lift(frame, persons)
+        poses, quality = self.lift(frame, persons, with_quality=True)
         return PipelineOutput(poses, persons, scores,
-                              int(frame.present.sum()))
+                              int(frame.present.sum()), quality)
 
     def warmup(self, slots: Optional[int] = None, persons: Optional[int] = None):
         """Compile all (or given) buckets ahead of time."""

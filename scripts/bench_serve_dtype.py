@@ -87,7 +87,7 @@ def main():
         @jax.jit
         def chain(mparams, lparams, kp, valid, prob, obs, present):
             def body(i, kp):
-                poses, _, _, _ = core(mparams, lparams,
+                poses, *_ = core(mparams, lparams,
                                       kp, valid, prob, obs, present)
                 return kp + 1e-9 * jnp.sum(poses)
             return jnp.sum(jax.lax.fori_loop(0, K, body, kp))
@@ -114,12 +114,12 @@ def main():
         # numerical check vs the OTHER fp dtype on the same frame (same
         # pytree structure, so the traced program is reusable); int8's
         # accuracy is measured on real checkpoints in eval_serve_int8.py
-        poses, _, _, _ = core(*margs, *chain_args)
+        poses, *_ = core(*margs, *chain_args)
         from mpe3d_tpu.models.mlp import cast_lifter_weights
         alt_lp = (jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x, np.float32)), lp)
             if dtype == "bf16" else cast_lifter_weights(lp, jnp.bfloat16))
-        poses_alt, _, _, _ = core(pipe.matcher_params, alt_lp, *chain_args)
+        poses_alt, *_ = core(pipe.matcher_params, alt_lp, *chain_args)
         out["max_pose_diff_m_vs_other_dtype"] = float(
             jnp.max(jnp.abs(poses - poses_alt)))
 
