@@ -352,12 +352,7 @@ def cmd_infer(args):
         outs = pipe.infer_batch(fas)
     else:
         outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
-    tracker = None
-    if getattr(args, "track", False):
-        from mpe3d_tpu.tracking import PoseTracker
-        tracker = PoseTracker(max_dist=args.track_max_dist,
-                              max_missed=args.track_max_missed,
-                              smooth=args.track_smooth)
+    tracker = _make_tracker(args)
     result = []
     for i, o in enumerate(outs):
         poses = np.asarray(o.poses)
@@ -379,6 +374,25 @@ def cmd_infer(args):
         print(f"wrote {args.out} ({len(result)} frames)", file=sys.stderr)
     else:
         print(text)
+
+
+def cmd_serve(args):
+    """Long-lived serving front-end: newline-delimited JSON frames in,
+    one JSON result line per frame out (poses + quality + track ids), over
+    stdio or TCP.  mpe3d_tpu/serve.py; new surface — the reference's live
+    path (test/show_results_from_model.py:78-374) replays recorded files
+    in-process only."""
+    from mpe3d_tpu.serve import PoseServer, serve_tcp
+
+    rig_config, rig, pipe = build_pipeline(args, args.backend)
+    if args.warmup:
+        pipe.warmup()
+    server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
+                        depth=args.depth, tracker=_make_tracker(args))
+    if args.tcp is not None:
+        serve_tcp(server, host=args.host, port=args.tcp)
+    else:
+        server.serve_stdio()
 
 
 def cmd_show_results(args):
@@ -462,6 +476,29 @@ def cmd_convert_torch(args):
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
+
+
+def _add_track_flags(p):
+    p.add_argument("--track", action="store_true",
+                   help="assign stable person ids across frames "
+                   "(mpe3d_tpu/tracking.py; extension — the reference "
+                   "pipeline is frame-independent)")
+    p.add_argument("--track-max-dist", type=float, default=0.5,
+                   help="association gate: mean per-joint distance (m)")
+    p.add_argument("--track-max-missed", type=int, default=10,
+                   help="frames a track coasts before retiring")
+    p.add_argument("--track-smooth", type=float, default=0.0,
+                   help="EMA weight on history for reported joints "
+                   "(0 = raw)")
+
+
+def _make_tracker(args):
+    if not getattr(args, "track", False):
+        return None
+    from mpe3d_tpu.tracking import PoseTracker
+    return PoseTracker(max_dist=args.track_max_dist,
+                       max_missed=args.track_max_missed,
+                       smooth=args.track_smooth)
 
 
 def _add_common(p, models=True):
@@ -593,18 +630,24 @@ def make_parser() -> argparse.ArgumentParser:
                    help="one batched dispatch instead of streaming")
     p.add_argument("--stream", type=int, default=3,
                    help="streaming depth (frames in flight)")
-    p.add_argument("--track", action="store_true",
-                   help="assign stable person ids across frames "
-                   "(mpe3d_tpu/tracking.py; extension — the reference "
-                   "pipeline is frame-independent)")
-    p.add_argument("--track-max-dist", type=float, default=0.5,
-                   help="association gate: mean per-joint distance (m)")
-    p.add_argument("--track-max-missed", type=int, default=10,
-                   help="frames a track coasts before retiring")
-    p.add_argument("--track-smooth", type=float, default=0.0,
-                   help="EMA weight on history for reported joints "
-                   "(0 = raw)")
+    _add_track_flags(p)
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("serve")
+    _add_common(p)
+    p.add_argument("--backend", choices=("mlp", "triangulation"),
+                   default="mlp")
+    p.add_argument("--max-skeletons", type=int, default=10)
+    p.add_argument("--depth", type=int, default=3,
+                   help="in-flight dispatch window (1 = synchronous)")
+    p.add_argument("--tcp", type=int, default=None, metavar="PORT",
+                   help="serve on a TCP port (0 = ephemeral) instead of "
+                   "stdio")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile all shape buckets before accepting input")
+    _add_track_flags(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("show-results")
     _add_common(p)

@@ -499,59 +499,52 @@ class PoseEstimationPipeline:
                                       quality[i][:n]))
         return out
 
+    def submit_fused(self, frame: FrameArrays):
+        """Dispatch one frame's fused program without waiting for the
+        result; start its device→host copy in the background.  Returns an
+        opaque ticket for :meth:`collect_fused`.  Building block for
+        pipelined consumers (``infer_stream``, ``serve.PoseServer``) that
+        keep several frames in flight so device round trips overlap."""
+        mi_all = frame.present.sum(axis=1).max()
+        S = self._bucket(max(1, int(mi_all)))
+        p_max = min(self.person_buckets[-1],
+                    max(len(self.match_idx) * S
+                        // max(self.rig_config.min_number_of_views, 1),
+                        1))
+        out = self._fused_fn(S, p_max)(
+            self.matcher_params, self.lifter_params,
+            jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
+            jnp.asarray(frame.prob[:, :S]),
+            jnp.asarray(frame.in_view[:, :S]),
+            jnp.asarray(frame.present[:, :S]))
+        for leaf in out:
+            leaf.copy_to_host_async()
+        return frame, out
+
+    def collect_fused(self, ticket) -> PipelineOutput:
+        """Block on a :meth:`submit_fused` ticket and crop to real persons."""
+        frame, out = ticket
+        poses, persons, person_mask, scores, quality = jax.device_get(out)
+        n = int(person_mask.sum())
+        return PipelineOutput(poses[:n], persons[:n], scores,
+                              int(frame.present.sum()), quality[:n])
+
     def infer_stream(self, frames, depth: int = 3):
         """Pipelined streaming inference: keeps ``depth`` frames in flight
         (dispatch frame i+k while frame i's readback is pending).  Device
         round trips overlap, so steady-state latency ≈ one round trip even
         on high-latency links.  Yields PipelineOutput in order."""
         pending = []
-
-        def submit(frame):
-            mi_all = frame.present.sum(axis=1).max()
-            S = self._bucket(max(1, int(mi_all)))
-            p_max = min(self.person_buckets[-1],
-                        max(len(self.match_idx) * S
-                            // max(self.rig_config.min_number_of_views, 1),
-                            1))
-            out = self._fused_fn(S, p_max)(
-                self.matcher_params, self.lifter_params,
-                jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
-                jnp.asarray(frame.prob[:, :S]),
-                jnp.asarray(frame.in_view[:, :S]),
-                jnp.asarray(frame.present[:, :S]))
-            for leaf in out:
-                leaf.copy_to_host_async()
-            return frame, out
-
-        def collect(frame, out):
-            poses, persons, person_mask, scores, quality = jax.device_get(out)
-            n = int(person_mask.sum())
-            return PipelineOutput(poses[:n], persons[:n], scores,
-                                  int(frame.present.sum()), quality[:n])
-
         for frame in frames:
-            pending.append(submit(frame))
+            pending.append(self.submit_fused(frame))
             if len(pending) >= depth:
-                yield collect(*pending.pop(0))
+                yield self.collect_fused(pending.pop(0))
         while pending:
-            yield collect(*pending.pop(0))
+            yield self.collect_fused(pending.pop(0))
 
     def infer_fused(self, frame: FrameArrays) -> PipelineOutput:
         """Full-frame inference in one device round trip."""
-        mi = np.asarray(self.match_idx)
-        S = self._bucket(max(1, int(frame.present.sum(axis=1).max())))
-        p_max = min(self.person_buckets[-1],
-                    max(len(self.match_idx) * S
-                        // max(self.rig_config.min_number_of_views, 1), 1))
-        out = self._fused_fn(S, p_max)(
-            self.matcher_params, self.lifter_params,
-            jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
-            jnp.asarray(frame.prob[:, :S]), jnp.asarray(frame.in_view[:, :S]),
-            jnp.asarray(frame.present[:, :S]))
-        poses, persons, person_mask, scores, quality = jax.device_get(out)
-        n = int(person_mask.sum())
-        return PipelineOutput(poses[:n], persons[:n], scores,
-                              int(frame.present.sum()), quality[:n])
+        return self.collect_fused(self.submit_fused(frame))
 
     # ------------------------------------------------------------------
     def match(self, frame: FrameArrays):

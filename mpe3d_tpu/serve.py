@@ -1,0 +1,212 @@
+"""Long-lived pose-serving front-end (production deployment surface).
+
+The reference's closest surface is the live viewer
+(``test/show_results_from_model.py:78-374``), which replays a *recorded*
+file inside a Qt/OpenGL window on the inference host.  This module serves
+the same frame→poses loop as a process boundary instead: a client streams
+wire-format frames (the reference's recorded-JSON schema, one frame per
+line) over stdio or TCP and receives one JSON result line per frame —
+poses, stable track ids, and the per-pose quality column.
+
+Protocol: newline-delimited JSON, strictly ordered.
+
+  request line   one wire-format frame dict
+                 (``{"camera_id": [[skeletons...], timestamp], ...}``)
+                 or a control object ``{"cmd": "ping"|"stats"|"close"}``
+  response line  ``{"seq": n, "n_persons": P, "poses_m": [...],
+                 "quality_px": [...], "track_ids": [...],
+                 "latency_ms": x}`` (track_ids only when tracking is on);
+                 malformed inputs get ``{"seq": n, "error": "..."}``
+                 and the server keeps serving.
+
+TPU-shaped design: frames are dispatched ahead through
+``PoseEstimationPipeline.submit_fused`` with a bounded in-flight depth —
+the device round trip (one fused program per frame, ~25 ms through the
+axon relay, ~0.1 ms direct-attached) overlaps client I/O and host
+parse/format work, so steady-state throughput is one frame per round
+trip regardless of link latency, exactly like ``infer_stream``.  Control
+commands flush the in-flight window first, so responses never reorder.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import sys
+import time
+from typing import Optional
+
+from mpe3d_tpu.data.frames import parse_frame
+
+
+class PoseServer:
+    """Drive a :class:`PoseEstimationPipeline` over a line-oriented stream.
+
+    ``depth`` is the in-flight dispatch window (1 = fully synchronous).
+    ``tracker`` is an optional :class:`mpe3d_tpu.tracking.PoseTracker`;
+    it is updated strictly in frame order at collect time.
+    """
+
+    def __init__(self, pipe, rig_config, max_skeletons: int = 10,
+                 depth: int = 3, tracker=None):
+        self.pipe = pipe
+        self.rig_config = rig_config
+        self.max_skeletons = max_skeletons
+        self.depth = max(1, int(depth))
+        self.tracker = tracker
+        self.frames_served = 0
+        self.errors = 0
+        self._latency_sum_ms = 0.0
+        # a rig with a single matching camera cannot run the fused ≥2-view
+        # decode; the staged path's single-camera bypass handles it
+        self._bypass = len(pipe.match_idx) <= 1
+
+    # ------------------------------------------------------------------
+    def _submit(self, frame_dict):
+        t0 = time.perf_counter()
+        fa = parse_frame(frame_dict, self.rig_config, self.max_skeletons)
+        if self._bypass:
+            return t0, self.pipe(fa)          # synchronous staged path
+        return t0, self.pipe.submit_fused(fa)
+
+    def _collect(self, seq: int, t0: float, ticket) -> dict:
+        out = ticket if self._bypass else self.pipe.collect_fused(ticket)
+        import numpy as np
+        poses = np.asarray(out.poses)
+        rec = {"seq": seq, "n_persons": int(len(out.persons))}
+        if self.tracker is not None:
+            ids, poses = self.tracker.update(poses)
+            rec["track_ids"] = ids.tolist()
+        if out.quality is not None:
+            rec["quality_px"] = np.asarray(out.quality).round(2).tolist()
+        rec["poses_m"] = poses.round(4).tolist()
+        lat = (time.perf_counter() - t0) * 1e3
+        rec["latency_ms"] = round(lat, 3)
+        self.frames_served += 1
+        self._latency_sum_ms += lat
+        return rec
+
+    def _stats(self) -> dict:
+        n = max(self.frames_served, 1)
+        return {"frames": self.frames_served, "errors": self.errors,
+                "mean_latency_ms": round(self._latency_sum_ms / n, 3),
+                "depth": self.depth,
+                "tracking": self.tracker is not None}
+
+    # ------------------------------------------------------------------
+    def handle_stream(self, lines, write) -> None:
+        """Serve newline-delimited JSON: ``lines`` is an iterable of input
+        lines, ``write`` a callable taking one output line (with newline).
+        Returns when the input ends or a ``close`` command arrives."""
+        pending = []  # [(seq, t0, ticket)]
+        seq = 0
+
+        def emit(rec):
+            write(json.dumps(rec) + "\n")
+
+        def drain():
+            while pending:
+                emit(self._collect(*pending.pop(0)))
+
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError as e:
+                drain()
+                self.errors += 1
+                emit({"seq": seq, "error": f"bad json: {e}"})
+                seq += 1
+                continue
+            if isinstance(obj, dict) and "cmd" in obj:
+                drain()  # keep strict ordering around control responses
+                cmd = obj["cmd"]
+                if cmd == "ping":
+                    emit({"pong": True})
+                elif cmd == "stats":
+                    emit(self._stats())
+                elif cmd == "close":
+                    emit({"closed": True, **self._stats()})
+                    return
+                else:
+                    self.errors += 1
+                    emit({"error": f"unknown cmd: {cmd}"})
+                continue
+            if not isinstance(obj, dict):
+                drain()
+                self.errors += 1
+                emit({"seq": seq, "error": "frame must be a JSON object"})
+                seq += 1
+                continue
+            try:
+                pending.append((seq, *self._submit(obj)))
+            except Exception as e:  # malformed skeleton payloads etc.
+                drain()
+                self.errors += 1
+                emit({"seq": seq, "error": f"{type(e).__name__}: {e}"})
+                seq += 1
+                continue
+            seq += 1
+            if len(pending) >= self.depth:
+                emit(self._collect(*pending.pop(0)))
+        drain()
+
+    def serve_stdio(self) -> None:
+        """Serve stdin→stdout (one process per client, e.g. behind
+        ``socat`` or a container runtime)."""
+        out = sys.stdout
+
+        def write(s):
+            out.write(s)
+            out.flush()
+
+        self.handle_stream(sys.stdin, write)
+
+
+# ---------------------------------------------------------------------------
+# TCP front-end
+# ---------------------------------------------------------------------------
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        server: PoseServer = self.server.pose_server  # type: ignore
+
+        def write(s: str):
+            self.wfile.write(s.encode())
+            self.wfile.flush()
+
+        lines = (raw.decode() for raw in self.rfile)
+        server.handle_stream(lines, write)
+
+
+class PoseTCPServer(socketserver.TCPServer):
+    """One-connection-at-a-time TCP wrapper (the pipeline is stateful when
+    tracking, and the device is a serial resource — parallel clients would
+    interleave tracker state; run one server per stream)."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, pose_server: PoseServer, host: str = "127.0.0.1",
+                 port: int = 0):
+        super().__init__((host, port), _Handler)
+        self.pose_server = pose_server
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+
+def serve_tcp(pose_server: PoseServer, host: str = "127.0.0.1",
+              port: int = 0, ready: Optional[list] = None) -> None:
+    """Blocking TCP serve loop.  ``ready`` (if given) receives the bound
+    server object before accepting, so tests can learn the ephemeral port
+    and call ``shutdown()``."""
+    with PoseTCPServer(pose_server, host, port) as srv:
+        if ready is not None:
+            ready.append(srv)
+        print(f"[mpe3d] serving on {host}:{srv.port}", file=sys.stderr)
+        srv.serve_forever(poll_interval=0.1)

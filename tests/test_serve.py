@@ -1,0 +1,136 @@
+"""Serving front-end (mpe3d_tpu/serve.py) — line protocol, ordering,
+control commands, error recovery, TCP transport.  Framework extension: the
+reference's live path (test/show_results_from_model.py) replays recorded
+files in-process only."""
+
+import json
+import socket
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames
+from mpe3d_tpu.models.gat import init_matcher
+from mpe3d_tpu.models.mlp import init_lifter
+from mpe3d_tpu.pipeline import PoseEstimationPipeline
+from mpe3d_tpu.serve import PoseServer, serve_tcp
+
+
+@pytest.fixture(scope="module")
+def pipe(panoptic_rig):
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    return PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig, init_matcher(jax.random.PRNGKey(0), mcfg),
+        mcfg, init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), threshold=0.05,
+        decode_top_k=0, backend="triangulation")
+
+
+@pytest.fixture(scope="module")
+def wire_frames(panoptic_rig):
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.02)
+    return generate_frames(PANOPTIC, panoptic_rig, 4, n_people=(1, 1),
+                           seed=31, noise=noise, with_gt=False, spread=1.2)
+
+
+def run_lines(server, lines):
+    out = []
+    server.handle_stream(lines, out.append)
+    return [json.loads(l) for l in out]
+
+
+def test_serve_basic_ordering(pipe, wire_frames):
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2)
+    lines = [json.dumps(f) for f in wire_frames]
+    recs = run_lines(server, lines)
+    assert [r["seq"] for r in recs] == list(range(len(wire_frames)))
+    for r in recs:
+        assert r["n_persons"] >= 1
+        assert len(r["poses_m"]) == r["n_persons"]
+        assert len(r["quality_px"]) == r["n_persons"]
+        assert r["latency_ms"] > 0
+    assert server.frames_served == len(wire_frames)
+
+
+def test_serve_control_and_errors(pipe, wire_frames):
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=3)
+    lines = [json.dumps(wire_frames[0]),
+             '{"cmd": "ping"}',
+             'not json at all',
+             json.dumps(wire_frames[1]),
+             '{"cmd": "stats"}',
+             '[1, 2, 3]',
+             '{"cmd": "close"}',
+             json.dumps(wire_frames[2])]     # after close: never served
+    recs = run_lines(server, lines)
+    # strict ordering: control responses flush in-flight frames first
+    assert recs[0]["seq"] == 0 and "poses_m" in recs[0]
+    assert recs[1] == {"pong": True}
+    assert "error" in recs[2] and recs[2]["seq"] == 1
+    assert recs[3]["seq"] == 2 and "poses_m" in recs[3]
+    assert recs[4]["frames"] == 2 and recs[4]["errors"] == 1
+    assert "error" in recs[5]
+    assert recs[6]["closed"] is True
+    assert len(recs) == 7
+    assert server.frames_served == 2 and server.errors == 2
+
+
+def test_serve_tracking_ids_stable(pipe, wire_frames):
+    from mpe3d_tpu.tracking import PoseTracker
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                        tracker=PoseTracker(max_dist=0.5))
+    # generate_frames yields temporally-independent frames; a repeated
+    # frame is a static person the tracker must keep under one id
+    recs = run_lines(server, [json.dumps(wire_frames[0])] * 4)
+    ids = [r["track_ids"] for r in recs]
+    assert all(len(i) >= 1 for i in ids)
+    # the single person keeps one id across the sequence
+    flat = {i[0] for i in ids}
+    assert len(flat) == 1
+
+
+def test_serve_matches_infer_fused(pipe, wire_frames):
+    """The server's poses are exactly the fused pipeline's poses."""
+    from mpe3d_tpu.data.frames import parse_frame
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2)
+    recs = run_lines(server, [json.dumps(f) for f in wire_frames])
+    for f, r in zip(wire_frames, recs):
+        ref = pipe.infer_fused(parse_frame(f, PANOPTIC, max_skeletons=4))
+        np.testing.assert_allclose(np.asarray(r["poses_m"]),
+                                   np.asarray(ref.poses).round(4),
+                                   atol=1e-4)
+
+
+def test_serve_tcp_roundtrip(pipe, wire_frames):
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2)
+    ready = []
+    t = threading.Thread(target=serve_tcp,
+                         args=(server, "127.0.0.1", 0, ready), daemon=True)
+    t.start()
+    for _ in range(100):
+        if ready:
+            break
+        import time
+        time.sleep(0.05)
+    srv = ready[0]
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=30) as s:
+            f = s.makefile("rw")
+            for w in wire_frames[:2]:
+                f.write(json.dumps(w) + "\n")
+            f.write('{"cmd": "close"}\n')
+            f.flush()
+            recs = [json.loads(f.readline()) for _ in range(3)]
+        assert recs[0]["seq"] == 0 and recs[1]["seq"] == 1
+        assert recs[0]["n_persons"] >= 1
+        assert recs[2]["closed"] is True and recs[2]["frames"] == 2
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
