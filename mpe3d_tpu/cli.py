@@ -385,10 +385,16 @@ def cmd_serve(args):
     from mpe3d_tpu.serve import PoseServer, serve_tcp
 
     rig_config, rig, pipe = build_pipeline(args, args.backend)
+    depth = args.depth
+    if args.multi_device:
+        n = pipe.enable_multi_device_serving()
+        depth = max(depth, 2 * n)   # keep every chip busy
+        print(f"[mpe3d] round-robin serving over {n} devices "
+              f"(depth {depth})", file=sys.stderr)
     if args.warmup:
         pipe.warmup()
     server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
-                        depth=args.depth, tracker=_make_tracker(args))
+                        depth=depth, tracker=_make_tracker(args))
     if args.tcp is not None:
         serve_tcp(server, host=args.host, port=args.tcp)
     else:
@@ -646,6 +652,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--warmup", action="store_true",
                    help="compile all shape buckets before accepting input")
+    p.add_argument("--multi-device", action="store_true",
+                   help="round-robin frames across all local devices "
+                   "(params replicated, no collectives; streaming "
+                   "throughput ~= one frame per RTT per chip)")
     _add_track_flags(p)
     p.set_defaults(fn=cmd_serve)
 

@@ -499,24 +499,58 @@ class PoseEstimationPipeline:
                                       quality[i][:n]))
         return out
 
+    def enable_multi_device_serving(self, devices=None):
+        """Frame-level device parallelism for serving: replicate the params
+        once onto each chip and round-robin subsequent ``submit_fused``
+        dispatches across them.  No collectives and no resharding — each
+        frame's fused program runs whole on one chip, so per-frame latency
+        stays single-chip while streaming throughput scales ~linearly with
+        the chip count (the right scale-out for a ≤1 ms/frame model: batch
+        DP via ``infer_batch(mesh=...)`` helps offline eval; a live stream
+        wants frames on independent chips).  Call with ``devices=None`` for
+        all local devices; pass an explicit list to pin.  Returns the
+        device count."""
+        import jax
+
+        devices = tuple(devices if devices is not None
+                        else jax.local_devices())
+        self._serve_devices = devices
+        self._serve_params = tuple(
+            (jax.device_put(self.matcher_params, d),
+             jax.device_put(self.lifter_params, d)) for d in devices)
+        self._serve_rr = 0
+        return len(devices)
+
     def submit_fused(self, frame: FrameArrays):
         """Dispatch one frame's fused program without waiting for the
         result; start its device→host copy in the background.  Returns an
         opaque ticket for :meth:`collect_fused`.  Building block for
         pipelined consumers (``infer_stream``, ``serve.PoseServer``) that
-        keep several frames in flight so device round trips overlap."""
+        keep several frames in flight so device round trips overlap.
+        After :meth:`enable_multi_device_serving`, successive submissions
+        round-robin across the serving devices."""
+        import jax
+
         mi_all = frame.present.sum(axis=1).max()
         S = self._bucket(max(1, int(mi_all)))
         p_max = min(self.person_buckets[-1],
                     max(len(self.match_idx) * S
                         // max(self.rig_config.min_number_of_views, 1),
                         1))
-        out = self._fused_fn(S, p_max)(
-            self.matcher_params, self.lifter_params,
-            jnp.asarray(frame.kp[:, :S]), jnp.asarray(frame.valid[:, :S]),
-            jnp.asarray(frame.prob[:, :S]),
-            jnp.asarray(frame.in_view[:, :S]),
-            jnp.asarray(frame.present[:, :S]))
+        mparams, lparams = self.matcher_params, self.lifter_params
+        args = (frame.kp[:, :S], frame.valid[:, :S], frame.prob[:, :S],
+                frame.in_view[:, :S], frame.present[:, :S])
+        devices = getattr(self, "_serve_devices", None)
+        if devices:
+            d = devices[self._serve_rr % len(devices)]
+            mparams, lparams = self._serve_params[self._serve_rr
+                                                  % len(devices)]
+            self._serve_rr += 1
+            args = tuple(jax.device_put(np.ascontiguousarray(a), d)
+                         for a in args)
+        else:
+            args = tuple(jnp.asarray(a) for a in args)
+        out = self._fused_fn(S, p_max)(mparams, lparams, *args)
         for leaf in out:
             leaf.copy_to_host_async()
         return frame, out
