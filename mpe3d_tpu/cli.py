@@ -353,18 +353,30 @@ def cmd_infer(args):
     else:
         outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
     tracker = _make_tracker(args)
+    gate = getattr(args, "quality_gate", None)
     result = []
     for i, o in enumerate(outs):
         poses = np.asarray(o.poses)
-        rec = {"frame": i, "n_persons": int(len(o.persons)),
-               "persons": np.asarray(o.persons).tolist()}
+        persons = np.asarray(o.persons)
+        quality = np.asarray(o.quality) if o.quality is not None else None
+        rec = {"frame": i}
+        if gate is not None and quality is not None:
+            # drop ghost/mis-associated proposals before they reach the
+            # tracker; -1 (no observation to judge by) is kept
+            keep = (quality < 0) | (quality <= gate)
+            if not keep.all():
+                rec["dropped_low_quality"] = int((~keep).sum())
+                poses, persons, quality = (poses[keep], persons[keep],
+                                           quality[keep])
+        rec["n_persons"] = int(len(persons))
+        rec["persons"] = persons.tolist()
         if tracker is not None:
             ids, poses = tracker.update(poses)
             rec["track_ids"] = ids.tolist()
-        if o.quality is not None:
+        if quality is not None:
             # per-pose confidence: mean reprojection residual (px) of the
             # pose against its own 2D observations (pipeline.pose_quality_px)
-            rec["quality_px"] = np.asarray(o.quality).round(2).tolist()
+            rec["quality_px"] = quality.round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         result.append(rec)
     text = json.dumps(result)
@@ -394,7 +406,8 @@ def cmd_serve(args):
     if args.warmup:
         pipe.warmup()
     server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
-                        depth=depth, tracker=_make_tracker(args))
+                        depth=depth, tracker=_make_tracker(args),
+                        quality_gate=args.quality_gate)
     if args.tcp is not None:
         serve_tcp(server, host=args.host, port=args.tcp)
     else:
@@ -485,6 +498,11 @@ def cmd_convert_torch(args):
 
 
 def _add_track_flags(p):
+    p.add_argument("--quality-gate", type=float, default=None, metavar="PX",
+                   help="drop output poses whose quality column (mean "
+                   "reprojection residual, px) exceeds PX — ghosts score "
+                   "an order of magnitude above the detector noise floor; "
+                   "applied before tracking")
     p.add_argument("--track", action="store_true",
                    help="assign stable person ids across frames "
                    "(mpe3d_tpu/tracking.py; extension — the reference "

@@ -48,14 +48,22 @@ class PoseServer:
     """
 
     def __init__(self, pipe, rig_config, max_skeletons: int = 10,
-                 depth: int = 3, tracker=None):
+                 depth: int = 3, tracker=None,
+                 quality_gate: Optional[float] = None):
         self.pipe = pipe
         self.rig_config = rig_config
         self.max_skeletons = max_skeletons
         self.depth = max(1, int(depth))
         self.tracker = tracker
+        # drop poses whose quality column (mean reprojection residual, px)
+        # exceeds this — ghost/mis-associated proposals score an order of
+        # magnitude above the detector noise floor.  Applied BEFORE the
+        # tracker so ghosts never spawn tracks.  Poses with quality -1
+        # (no valid observation to judge by) are kept, conservatively.
+        self.quality_gate = quality_gate
         self.frames_served = 0
         self.errors = 0
+        self.dropped_low_quality = 0
         self._latency_sum_ms = 0.0
         # a rig with a single matching camera cannot run the fused ≥2-view
         # decode; the staged path's single-camera bypass handles it
@@ -73,12 +81,22 @@ class PoseServer:
         out = ticket if self._bypass else self.pipe.collect_fused(ticket)
         import numpy as np
         poses = np.asarray(out.poses)
-        rec = {"seq": seq, "n_persons": int(len(out.persons))}
+        quality = (np.asarray(out.quality)
+                   if out.quality is not None else None)
+        rec = {"seq": seq}
+        if self.quality_gate is not None and quality is not None:
+            keep = (quality < 0) | (quality <= self.quality_gate)
+            dropped = int((~keep).sum())
+            if dropped:
+                poses, quality = poses[keep], quality[keep]
+                rec["dropped_low_quality"] = dropped
+                self.dropped_low_quality += dropped
+        rec["n_persons"] = int(len(poses))
         if self.tracker is not None:
             ids, poses = self.tracker.update(poses)
             rec["track_ids"] = ids.tolist()
-        if out.quality is not None:
-            rec["quality_px"] = np.asarray(out.quality).round(2).tolist()
+        if quality is not None:
+            rec["quality_px"] = quality.round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         lat = (time.perf_counter() - t0) * 1e3
         rec["latency_ms"] = round(lat, 3)
@@ -88,10 +106,14 @@ class PoseServer:
 
     def _stats(self) -> dict:
         n = max(self.frames_served, 1)
-        return {"frames": self.frames_served, "errors": self.errors,
-                "mean_latency_ms": round(self._latency_sum_ms / n, 3),
-                "depth": self.depth,
-                "tracking": self.tracker is not None}
+        rec = {"frames": self.frames_served, "errors": self.errors,
+               "mean_latency_ms": round(self._latency_sum_ms / n, 3),
+               "depth": self.depth,
+               "tracking": self.tracker is not None}
+        if self.quality_gate is not None:
+            rec["quality_gate_px"] = self.quality_gate
+            rec["dropped_low_quality"] = self.dropped_low_quality
+        return rec
 
     # ------------------------------------------------------------------
     def handle_stream(self, lines, write) -> None:

@@ -134,3 +134,42 @@ def test_serve_tcp_roundtrip(pipe, wire_frames):
     finally:
         srv.shutdown()
         t.join(timeout=10)
+
+
+def test_serve_quality_gate(pipe, wire_frames):
+    """The gate drops exactly the poses whose quality exceeds the
+    threshold (the untrained test matcher emits ghost proposals at
+    30-300 px alongside the real person at the ~1-4 px noise floor), it
+    runs before tracking, and -1 (unjudgeable) poses are kept."""
+    GATE = 15.0
+    lines = [json.dumps(f) for f in wire_frames]
+
+    plain = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=1)
+    base = run_lines(plain, lines)
+
+    from mpe3d_tpu.tracking import PoseTracker
+    gated = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=1,
+                       tracker=PoseTracker(max_dist=0.5),
+                       quality_gate=GATE)
+    recs = run_lines(gated, lines)
+
+    total_dropped = 0
+    for b, r in zip(base, recs):
+        qb = np.asarray(b["quality_px"])
+        keep = (qb < 0) | (qb <= GATE)
+        # gated output = ungated output filtered by the threshold
+        assert r["n_persons"] == int(keep.sum())
+        np.testing.assert_allclose(r["quality_px"], qb[keep], atol=1e-6)
+        if (~keep).any():
+            assert r["dropped_low_quality"] == int((~keep).sum())
+        else:
+            assert "dropped_low_quality" not in r
+        # ghosts never reached the tracker
+        assert len(r["track_ids"]) == r["n_persons"]
+        total_dropped += int((~keep).sum())
+    # the scenario actually exercises the gate (ghost proposals exist)
+    assert total_dropped >= 1
+    assert gated.dropped_low_quality == total_dropped
+    # every survivor is a real person at the noise floor
+    for r in recs:
+        assert r["n_persons"] >= 1
