@@ -363,7 +363,8 @@ def cmd_infer(args):
         if gate is not None and quality is not None:
             # drop ghost/mis-associated proposals before they reach the
             # tracker; -1 (no observation to judge by) is kept
-            keep = (quality < 0) | (quality <= gate)
+            from mpe3d_tpu.serve import quality_keep_mask
+            keep = quality_keep_mask(quality, gate)
             if not keep.all():
                 rec["dropped_low_quality"] = int((~keep).sum())
                 poses, persons, quality = (poses[keep], persons[keep],
@@ -376,6 +377,8 @@ def cmd_infer(args):
         if quality is not None:
             # per-pose confidence: mean reprojection residual (px) of the
             # pose against its own 2D observations (pipeline.pose_quality_px)
+            # — of the RAW pose; with --track-smooth the reported poses_m
+            # are EMA-blended and their own residual differs slightly
             rec["quality_px"] = quality.round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         result.append(rec)
@@ -404,7 +407,7 @@ def cmd_serve(args):
         print(f"[mpe3d] round-robin serving over {n} devices "
               f"(depth {depth})", file=sys.stderr)
     if args.warmup:
-        pipe.warmup()
+        pipe.warmup(fused=True)   # compile what serving actually dispatches
     server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
                         depth=depth, tracker=_make_tracker(args),
                         quality_gate=args.quality_gate)

@@ -79,6 +79,20 @@ def pose_quality_px(poses_m: jnp.ndarray, kp: jnp.ndarray,
     return jnp.where(tot > 0, q, -1.0)
 
 
+def _slot_view(a: np.ndarray, S: int) -> np.ndarray:
+    """Restrict a per-frame buffer ``[C, slots, ...]`` to S slots: slice
+    when the frame was parsed with ≥ S slots, zero-pad when it has fewer
+    (absent slots — exact semantics).  The pad matters: a slot bucket
+    larger than the parse-time slot dim would otherwise feed short arrays
+    into a topology built for S slots, and jit's clipped gathers would
+    silently alias slots instead of erroring."""
+    a = np.asarray(a)
+    if a.shape[1] >= S:
+        return a[:, :S]
+    pad = np.zeros((a.shape[0], S - a.shape[1]) + a.shape[2:], a.dtype)
+    return np.concatenate([a, pad], axis=1)
+
+
 class PoseEstimationPipeline:
     """Callable frame→poses pipeline with jitted stages.
 
@@ -475,7 +489,7 @@ class PoseEstimationPipeline:
                     max(len(self.match_idx) * S
                         // max(self.rig_config.min_number_of_views, 1), 1))
         names = ("kp", "valid", "prob", "in_view", "present")
-        stacked = [np.stack([getattr(f, n)[:, :S] for f in frames])
+        stacked = [np.stack([_slot_view(getattr(f, n), S) for f in frames])
                    for n in names]
         mparams, lparams = self.matcher_params, self.lifter_params
         if mesh is not None:
@@ -538,8 +552,9 @@ class PoseEstimationPipeline:
                         // max(self.rig_config.min_number_of_views, 1),
                         1))
         mparams, lparams = self.matcher_params, self.lifter_params
-        args = (frame.kp[:, :S], frame.valid[:, :S], frame.prob[:, :S],
-                frame.in_view[:, :S], frame.present[:, :S])
+        args = (_slot_view(frame.kp, S), _slot_view(frame.valid, S),
+                _slot_view(frame.prob, S), _slot_view(frame.in_view, S),
+                _slot_view(frame.present, S))
         devices = getattr(self, "_serve_devices", None)
         if devices:
             d = devices[self._serve_rr % len(devices)]
@@ -586,11 +601,11 @@ class PoseEstimationPipeline:
         mi = np.asarray(self.match_idx)
         S = self._bucket(max(1, int(frame.present[mi].sum(axis=1).max())))
         topo = self.topology(S)
-        kp = jnp.asarray(frame.kp[mi, :S])
-        valid = jnp.asarray(frame.valid[mi, :S])
-        prob = jnp.asarray(frame.prob[mi, :S])
-        observed = jnp.asarray(frame.in_view[mi, :S])
-        present = jnp.asarray(frame.present[mi, :S])
+        kp = jnp.asarray(_slot_view(frame.kp[mi], S))
+        valid = jnp.asarray(_slot_view(frame.valid[mi], S))
+        prob = jnp.asarray(_slot_view(frame.prob[mi], S))
+        observed = jnp.asarray(_slot_view(frame.in_view[mi], S))
+        present = jnp.asarray(_slot_view(frame.present[mi], S))
         scores, pm = self._match_fn(S)(self.matcher_params, kp, valid,
                                        prob, observed, present)
         return np.asarray(scores), np.asarray(pm), topo, S
@@ -607,11 +622,12 @@ class PoseEstimationPipeline:
                         // max(self.rig_config.min_number_of_views, 1), 1))
         scores, pm, persons, person_mask = jax.device_get(
             self._match_decode_fn(S, p_max)(
-                self.matcher_params, jnp.asarray(frame.kp[mi, :S]),
-                jnp.asarray(frame.valid[mi, :S]),
-                jnp.asarray(frame.prob[mi, :S]),
-                jnp.asarray(frame.in_view[mi, :S]),
-                jnp.asarray(frame.present[mi, :S])))
+                self.matcher_params,
+                jnp.asarray(_slot_view(frame.kp[mi], S)),
+                jnp.asarray(_slot_view(frame.valid[mi], S)),
+                jnp.asarray(_slot_view(frame.prob[mi], S)),
+                jnp.asarray(_slot_view(frame.in_view[mi], S)),
+                jnp.asarray(_slot_view(frame.present[mi], S))))
         n = int(person_mask.sum())
         return scores, pm, topo, S, persons[:n]
 
@@ -716,18 +732,38 @@ class PoseEstimationPipeline:
         return PipelineOutput(poses, persons, scores,
                               int(frame.present.sum()), quality)
 
-    def warmup(self, slots: Optional[int] = None, persons: Optional[int] = None):
-        """Compile all (or given) buckets ahead of time."""
+    def warmup(self, slots: Optional[int] = None,
+               persons: Optional[int] = None, fused: bool = False):
+        """Compile all (or given) buckets ahead of time.
+
+        ``fused=True`` additionally compiles the single-program path the
+        streaming/serving consumers actually dispatch (``submit_fused``)
+        for every slot bucket — and, after
+        :meth:`enable_multi_device_serving`, once per serving device (jit
+        executables are cached per device, so each chip pays its own
+        first-compile otherwise)."""
+        C_all = self.rig_config.n_cameras
+        J = self.rig_config.n_joints
         for S in ([slots] if slots else self.slot_buckets):
             C = len(self.match_idx)
-            J = self.rig_config.n_joints
             self._match_fn(S)(self.matcher_params, jnp.zeros((C, S, J, 2)),
                               jnp.zeros((C, S, J)), jnp.zeros((C, S, J)),
                               jnp.zeros((C, S, J), bool),
                               jnp.zeros((C, S), bool))
         for PB in ([persons] if persons else self.person_buckets):
             Cu = len(self.used_idx)
-            J = self.rig_config.n_joints
             self._lift_fn(PB)(self.lifter_params, jnp.zeros((PB, Cu, J, 2)),
                               jnp.zeros((PB, Cu, J)), jnp.zeros((PB, Cu, J)),
                               jnp.zeros((PB, Cu, J), bool), jnp.zeros(PB))
+        if fused:
+            n_dev = len(getattr(self, "_serve_devices", ()) or (None,))
+            for S in ([slots] if slots else self.slot_buckets):
+                # a frame with S present skeletons per camera buckets to S
+                frame = FrameArrays(
+                    np.zeros((C_all, S, J, 2), np.float32),
+                    np.zeros((C_all, S, J), np.float32),
+                    np.zeros((C_all, S, J), np.float32),
+                    np.zeros((C_all, S, J), bool),
+                    np.ones((C_all, S), bool), np.zeros(C_all))
+                for _ in range(n_dev):
+                    self.collect_fused(self.submit_fused(frame))

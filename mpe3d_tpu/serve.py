@@ -39,6 +39,13 @@ from typing import Optional
 from mpe3d_tpu.data.frames import parse_frame
 
 
+def quality_keep_mask(quality, gate: float):
+    """Which poses survive a quality gate: residual within ``gate`` px, or
+    -1 (no observation to judge by — kept conservatively).  Single source
+    of the gate semantics for both the CLI ``infer`` path and the server."""
+    return (quality < 0) | (quality <= gate)
+
+
 class PoseServer:
     """Drive a :class:`PoseEstimationPipeline` over a line-oriented stream.
 
@@ -85,7 +92,7 @@ class PoseServer:
                    if out.quality is not None else None)
         rec = {"seq": seq}
         if self.quality_gate is not None and quality is not None:
-            keep = (quality < 0) | (quality <= self.quality_gate)
+            keep = quality_keep_mask(quality, self.quality_gate)
             dropped = int((~keep).sum())
             if dropped:
                 poses, quality = poses[keep], quality[keep]
@@ -96,6 +103,9 @@ class PoseServer:
             ids, poses = self.tracker.update(poses)
             rec["track_ids"] = ids.tolist()
         if quality is not None:
+            # NB: quality describes the pipeline's RAW pose; with tracker
+            # smoothing (smooth > 0) poses_m are EMA-blended and their own
+            # residual differs slightly from the column
             rec["quality_px"] = quality.round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         lat = (time.perf_counter() - t0) * 1e3
@@ -119,61 +129,97 @@ class PoseServer:
     def handle_stream(self, lines, write) -> None:
         """Serve newline-delimited JSON: ``lines`` is an iterable of input
         lines, ``write`` a callable taking one output line (with newline).
-        Returns when the input ends or a ``close`` command arrives."""
-        pending = []  # [(seq, t0, ticket)]
+        Returns when the input ends or a ``close`` command arrives.
+
+        Responses are written by a dedicated collector thread as soon as
+        each frame's result is ready — a synchronous request-response
+        client gets its answer without having to send more input (the
+        reader thread may be blocked on the next line the whole time).
+        ``depth`` only bounds how many frames are in flight (a full
+        window blocks the reader, backpressure for firehose clients).
+        Order is still strict: the collector drains a FIFO queue, and
+        control/error responses are emitted only after a full drain."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        wlock = threading.Lock()
         seq = 0
 
         def emit(rec):
-            write(json.dumps(rec) + "\n")
+            with wlock:
+                write(json.dumps(rec) + "\n")
+
+        def collector():
+            while True:
+                item = q.get()
+                try:
+                    if item is None:
+                        return
+                    s, t0, ticket = item
+                    try:
+                        emit(self._collect(s, t0, ticket))
+                    except Exception as e:   # device/readback failure:
+                        self.errors += 1     # report, keep serving
+                        emit({"seq": s,
+                              "error": f"{type(e).__name__}: {e}"})
+                finally:
+                    q.task_done()
+
+        thread = threading.Thread(target=collector, daemon=True)
+        thread.start()
 
         def drain():
-            while pending:
-                emit(self._collect(*pending.pop(0)))
+            q.join()   # every submitted frame collected and written
 
-        for line in lines:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                obj = json.loads(line)
-            except ValueError as e:
-                drain()
-                self.errors += 1
-                emit({"seq": seq, "error": f"bad json: {e}"})
-                seq += 1
-                continue
-            if isinstance(obj, dict) and "cmd" in obj:
-                drain()  # keep strict ordering around control responses
-                cmd = obj["cmd"]
-                if cmd == "ping":
-                    emit({"pong": True})
-                elif cmd == "stats":
-                    emit(self._stats())
-                elif cmd == "close":
-                    emit({"closed": True, **self._stats()})
-                    return
-                else:
+        try:
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError as e:
+                    drain()
                     self.errors += 1
-                    emit({"error": f"unknown cmd: {cmd}"})
-                continue
-            if not isinstance(obj, dict):
-                drain()
-                self.errors += 1
-                emit({"seq": seq, "error": "frame must be a JSON object"})
+                    emit({"seq": seq, "error": f"bad json: {e}"})
+                    seq += 1
+                    continue
+                if isinstance(obj, dict) and "cmd" in obj:
+                    drain()  # strict ordering around control responses
+                    cmd = obj["cmd"]
+                    if cmd == "ping":
+                        emit({"pong": True})
+                    elif cmd == "stats":
+                        emit(self._stats())
+                    elif cmd == "close":
+                        emit({"closed": True, **self._stats()})
+                        return
+                    else:
+                        self.errors += 1
+                        emit({"error": f"unknown cmd: {cmd}"})
+                    continue
+                if not isinstance(obj, dict):
+                    drain()
+                    self.errors += 1
+                    emit({"seq": seq,
+                          "error": "frame must be a JSON object"})
+                    seq += 1
+                    continue
+                try:
+                    ticket = self._submit(obj)
+                except Exception as e:  # malformed skeleton payloads etc.
+                    drain()
+                    self.errors += 1
+                    emit({"seq": seq, "error": f"{type(e).__name__}: {e}"})
+                    seq += 1
+                    continue
+                q.put((seq, *ticket))   # blocks when the window is full
                 seq += 1
-                continue
-            try:
-                pending.append((seq, *self._submit(obj)))
-            except Exception as e:  # malformed skeleton payloads etc.
-                drain()
-                self.errors += 1
-                emit({"seq": seq, "error": f"{type(e).__name__}: {e}"})
-                seq += 1
-                continue
-            seq += 1
-            if len(pending) >= self.depth:
-                emit(self._collect(*pending.pop(0)))
-        drain()
+        finally:
+            drain()
+            q.put(None)
+            thread.join(timeout=30)
 
     def serve_stdio(self) -> None:
         """Serve stdin→stdout (one process per client, e.g. behind
@@ -210,7 +256,6 @@ class PoseTCPServer(socketserver.TCPServer):
     interleave tracker state; run one server per stream)."""
 
     allow_reuse_address = True
-    daemon_threads = True
 
     def __init__(self, pose_server: PoseServer, host: str = "127.0.0.1",
                  port: int = 0):

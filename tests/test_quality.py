@@ -106,3 +106,29 @@ def test_quality_empty_frame(panoptic_rig):
                      np.zeros(C, np.float32))
     out = pipe.infer_fused(fa)
     assert len(out.poses) == 0 and len(out.quality) == 0
+
+
+def test_slot_bucket_larger_than_parse_slots(panoptic_rig):
+    """A slot bucket above the parse-time slot dim pads with empty slots
+    instead of feeding short arrays into the S-slot topology (clipped
+    gathers would silently alias slots)."""
+    from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames
+
+    pipe = _pipe(panoptic_rig)                # slot_buckets=(4,)
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.0)
+    f = generate_frames(PANOPTIC, panoptic_rig, 1, n_people=(2, 2),
+                        seed=24, noise=noise, with_gt=False)[0]
+    wide = pipe.infer_fused(parse_frame(f, PANOPTIC, max_skeletons=4))
+    narrow = pipe.infer_fused(parse_frame(f, PANOPTIC, max_skeletons=2))
+    assert len(narrow.poses) and len(wide.poses)
+    np.testing.assert_allclose(narrow.poses, wide.poses, atol=1e-5)
+    np.testing.assert_array_equal(narrow.persons, wide.persons)
+    # and the batched path takes the same guard
+    nb = pipe.infer_batch([parse_frame(f, PANOPTIC, max_skeletons=2)],
+                          slots=4)[0]
+    np.testing.assert_allclose(nb.poses, narrow.poses, atol=1e-5)
+
+
+def test_fused_warmup_compiles_serving_path(panoptic_rig):
+    pipe = _pipe(panoptic_rig)
+    pipe.warmup(fused=True)     # must not raise; compiles submit_fused path

@@ -173,3 +173,35 @@ def test_serve_quality_gate(pipe, wire_frames):
     # every survivor is a real person at the noise floor
     for r in recs:
         assert r["n_persons"] >= 1
+
+
+def test_serve_sync_request_response(pipe, wire_frames):
+    """A synchronous client (send one frame, wait for its response before
+    sending anything else) must get the response while the server is
+    blocked on input — the collector thread flushes ready results."""
+    import queue
+
+    in_q = queue.Queue()
+    out_q = queue.Queue()
+
+    def lines():
+        while True:
+            line = in_q.get()
+            if line is None:
+                return
+            yield line
+
+    t = threading.Thread(
+        target=lambda: PoseServer(pipe, PANOPTIC, max_skeletons=4,
+                                  depth=3).handle_stream(lines(), out_q.put),
+        daemon=True)
+    t.start()
+    for i, f in enumerate(wire_frames[:3]):
+        in_q.put(json.dumps(f))
+        rec = json.loads(out_q.get(timeout=60))   # no more input yet!
+        assert rec["seq"] == i and "poses_m" in rec
+    in_q.put('{"cmd": "close"}')
+    assert json.loads(out_q.get(timeout=60))["closed"] is True
+    in_q.put(None)
+    t.join(timeout=30)
+    assert not t.is_alive()
