@@ -495,6 +495,59 @@ def cmd_convert_torch(args):
         print(f"wrote {out}.npz")
 
 
+def cmd_export_torch(args):
+    """Inverse of convert-torch: our npz checkpoints → the reference's
+    torch file formats (mpe3d_tpu/convert/torch_export.py), so weights
+    trained here load straight into the reference's torch/DGL stack."""
+    import jax
+
+    from mpe3d_tpu.config import LifterConfig, MatcherConfig, get_rig
+    from mpe3d_tpu.convert.torch_export import (export_reference_lifter,
+                                                export_reference_matcher)
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                            load_checkpoint,
+                                            matcher_config_from_meta,
+                                            read_meta)
+
+    rig_config = get_rig(args.rig)
+    os.makedirs(args.out, exist_ok=True)
+    j = os.path.join
+    wrote = []
+    if os.path.exists(j(args.modelsdir, "skeleton_matching.npz")):
+        mcfg = matcher_config_from_meta(
+            read_meta(j(args.modelsdir, "skeleton_matching")),
+            MatcherConfig(in_dim=rig_config.matcher_feature_dim))
+        mparams, _, _ = load_checkpoint(
+            j(args.modelsdir, "skeleton_matching"),
+            init_matcher(jax.random.PRNGKey(0), mcfg))
+        export_reference_matcher(mparams, mcfg,
+                                 j(args.out, "skeleton_matching.tch"),
+                                 j(args.out, "skeleton_matching.prms"))
+        wrote += ["skeleton_matching.tch", "skeleton_matching.prms"]
+    if os.path.exists(j(args.modelsdir, "pose_estimator.npz")):
+        lmeta = read_meta(j(args.modelsdir, "pose_estimator"))
+        lcfg = lifter_config_from_meta(
+            lmeta, LifterConfig(in_dim=rig_config.lifter_input_dim,
+                                out_dim=rig_config.n_joints * 3))
+        lparams, _, _ = load_checkpoint(
+            j(args.modelsdir, "pose_estimator"),
+            init_lifter(jax.random.PRNGKey(1), lcfg))
+        try:
+            export_reference_lifter(lparams,
+                                    j(args.out, "pose_estimator.pytorch"),
+                                    cfg=lcfg)
+            wrote.append("pose_estimator.pytorch")
+        except ValueError as e:
+            print(f"[mpe3d] lifter not exported: {e}", file=sys.stderr)
+    if not wrote:
+        print(f"[mpe3d] no npz checkpoints in {args.modelsdir}",
+              file=sys.stderr)
+        return 1
+    print(f"wrote {', '.join(wrote)} to {args.out}")
+
+
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
@@ -727,6 +780,14 @@ def make_parser() -> argparse.ArgumentParser:
                    help="path to skeleton_matching.prms")
     p.add_argument("--modelsdir", default="./models")
     p.set_defaults(fn=cmd_convert_torch)
+
+    p = sub.add_parser("export-torch")
+    p.add_argument("--modelsdir", default="./models",
+                   help="directory with our npz checkpoints")
+    p.add_argument("--out", required=True,
+                   help="directory for the reference-format torch files")
+    p.add_argument("--rig", default="PANOPTIC")
+    p.set_defaults(fn=cmd_export_torch)
 
     return ap
 

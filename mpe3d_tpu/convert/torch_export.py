@@ -1,0 +1,96 @@
+"""Exporters to the reference's torch checkpoint formats — the inverse of
+``torch_import`` (two-way interop: weights trained in this framework can go
+back to the reference's torch/DGL stack).
+
+Formats written (byte-layout mirrors what the reference code saves/loads):
+
+  * ``pose_estimator.pytorch`` — ``{'model_state_dict': ...}`` whose keys
+    follow the reference MLP's ``nn.Sequential`` indices: ``Flatten`` at 0,
+    ``Linear`` at 1, 3, 5, … with activations between (reference
+    ``utils/mlp.py:3-31``, saved at
+    ``pose_estimator/train_pose_estimator.py:269-277``).
+  * ``skeleton_matching.tch`` — raw GAT state_dict with
+    ``layers.{l}.fc1/fc2/attn_l/attn_r`` (+ optional biases / ``res_fc``),
+    attn tensors shaped ``[heads, d, 1]`` (reference ``gat2.py:17-48``,
+    saved at ``train_skeleton_matching.py:229-230``).
+  * ``skeleton_matching.prms`` — the hyperparameter pickle the reference
+    dumps next to the weights (``train_skeleton_matching.py:230-246``),
+    including the picklable torch activation objects.
+
+torch stores Linear weights ``[out, in]``; ours are ``[in, out]`` → every
+weight matrix is transposed on export (the exact inverse of the import).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from mpe3d_tpu.config import LifterConfig, MatcherConfig
+
+
+def _t(a):
+    import torch
+    # copy=True: jax buffers arrive as non-writable numpy views, which
+    # torch.from_numpy warns about
+    return torch.from_numpy(np.array(a, np.float32, copy=True, order="C"))
+
+
+def export_reference_lifter(params, path: str,
+                            cfg: LifterConfig | None = None) -> None:
+    """Write lifter params as a ``pose_estimator.pytorch`` the reference's
+    ``PoseEstimatorMLP`` can ``load_state_dict`` directly."""
+    import torch
+
+    if cfg is not None and getattr(cfg, "residual_prior", False):
+        raise ValueError(
+            "residual-prior lifters have no reference counterpart: the "
+            "torch MLP would output the *correction*, not poses.  Export "
+            "is only meaningful for absolute-coordinate checkpoints.")
+    state = {}
+    for i, layer in enumerate(params["layers"]):
+        idx = 1 + 2 * i      # Flatten at 0, activations at even indices
+        state[f"layers.{idx}.weight"] = _t(np.asarray(layer["w"]).T)
+        state[f"layers.{idx}.bias"] = _t(layer["b"])
+    torch.save({"model_state_dict": state}, path)
+
+
+def export_reference_matcher(params, cfg: MatcherConfig, tch_path: str,
+                             prms_path: str) -> None:
+    """Write matcher params as ``skeleton_matching.tch`` + ``.prms``."""
+    import torch
+
+    state = {}
+    for l, p in enumerate(params["layers"]):
+        state[f"layers.{l}.fc1.weight"] = _t(np.asarray(p["w1"]).T)
+        state[f"layers.{l}.fc2.weight"] = _t(np.asarray(p["w2"]).T)
+        state[f"layers.{l}.attn_l"] = _t(np.asarray(p["attn_l"])[..., None])
+        state[f"layers.{l}.attn_r"] = _t(np.asarray(p["attn_r"])[..., None])
+        if "b1" in p:
+            state[f"layers.{l}.fc1.bias"] = _t(p["b1"])
+            state[f"layers.{l}.fc2.bias"] = _t(p["b2"])
+        if "wr" in p:
+            state[f"layers.{l}.res_fc.weight"] = _t(np.asarray(p["wr"]).T)
+            if "br" in p:
+                state[f"layers.{l}.res_fc.bias"] = _t(p["br"])
+    torch.save(state, tch_path)
+
+    prms = {
+        "loss": 0.0,
+        "net": "gat",
+        "gnn_layers": len(cfg.hidden) + 1,
+        "num_feats": int(cfg.in_dim),
+        "num_hidden": [int(h) for h in cfg.hidden],
+        "graph_type": "1",
+        "n_classes": int(cfg.n_classes),
+        "heads": [int(h) for h in cfg.heads],
+        "nonlinearity": torch.nn.LeakyReLU(),
+        "final_activation": torch.nn.Sigmoid(),
+        "in_drop": float(cfg.feat_drop),
+        "attn_drop": float(cfg.attn_drop),
+        "alpha": float(cfg.alpha),
+        "residual": bool(cfg.residual),
+    }
+    with open(prms_path, "wb") as f:
+        pickle.dump(prms, f)
