@@ -423,13 +423,26 @@ def cmd_show_results(args):
     rig_config, rig, pipe = build_pipeline(args, args.backend)
     fas, frame_gts = _load_eval_files(args.testfiles, rig_config)
     fas, frame_gts = fas[: args.max_frames], frame_gts[: args.max_frames]
-    poses, gts = [], []
+    tracker = _make_tracker(args)
+    poses, gts, tids, quals = [], [], [], []
     for fa, gt in zip(fas, frame_gts):
         out = pipe(fa)
-        poses.append(out.poses)
+        p, q = np.asarray(out.poses), out.quality
+        if getattr(args, "quality_gate", None) is not None and q is not None:
+            from mpe3d_tpu.serve import quality_keep_mask
+            keep = quality_keep_mask(np.asarray(q), args.quality_gate)
+            p, q = p[keep], np.asarray(q)[keep]
+        if tracker is not None:
+            ids, p = tracker.update(p)
+            tids.append(ids)
+        poses.append(p)
+        quals.append(np.asarray(q) if q is not None else None)
         gts.append(gt.gt3d if (args.showgt and gt) else None)
     path = render_sequence(poses, rig_config, args.out,
-                           gts if args.showgt else None)
+                           gts if args.showgt else None,
+                           frames_track_ids=tids if tracker else None,
+                           frames_quality=quals if args.show_quality
+                           else None)
     print(f"wrote {path}")
 
 
@@ -741,6 +754,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="results.gif")
     p.add_argument("--showgt", action="store_true")
     p.add_argument("--max-frames", type=int, default=100)
+    p.add_argument("--show-quality", action="store_true",
+                   help="overlay each pose's quality column (px)")
+    _add_track_flags(p)
     p.set_defaults(fn=cmd_show_results)
 
     p = sub.add_parser("merge-jsons")

@@ -34,11 +34,19 @@ def remap_axes(poses: np.ndarray, rig_config: RigConfig) -> np.ndarray:
 def render_frame(ax, poses: np.ndarray, rig_config: RigConfig,
                  gt: Optional[np.ndarray] = None,
                  joint_valid: Optional[np.ndarray] = None,
-                 lim: float = 2.5) -> None:
-    """Draw one frame of [P, J, 3] display-space poses on a 3D axis."""
+                 lim: float = 2.5,
+                 track_ids: Optional[np.ndarray] = None,
+                 quality: Optional[np.ndarray] = None) -> None:
+    """Draw one frame of [P, J, 3] display-space poses on a 3D axis.
+
+    ``track_ids`` keys each person's colour (stable across frames — the
+    tracking extension's ids; positional colouring otherwise) and is shown
+    above the head together with the ``quality`` column (px) when given.
+    """
     ax.clear()
     for pi, person in enumerate(poses):
-        color = _COLORS[pi % len(_COLORS)]
+        key = int(track_ids[pi]) if track_ids is not None else pi
+        color = _COLORS[key % len(_COLORS)]
         v = joint_valid[pi] if joint_valid is not None else \
             np.ones(len(person), bool)
         for a, b in COCO_BONES:
@@ -46,6 +54,15 @@ def render_frame(ax, poses: np.ndarray, rig_config: RigConfig,
                 ax.plot(*zip(person[a], person[b]), color=color, lw=2)
         ax.scatter(person[v, 0], person[v, 1], person[v, 2],
                    color=color, s=8)
+        label = []
+        if track_ids is not None:
+            label.append(f"id {key}")
+        if quality is not None and quality[pi] >= 0:
+            label.append(f"{quality[pi]:.1f}px")
+        if label and v.any():
+            top = person[v][np.argmax(person[v, 2])]
+            ax.text(top[0], top[1], top[2] + 0.08, " ".join(label),
+                    color=color, fontsize=8, ha="center")
     if gt is not None:
         for person in gt:
             for a, b in COCO_BONES:
@@ -62,10 +79,15 @@ def render_frame(ax, poses: np.ndarray, rig_config: RigConfig,
 def render_sequence(frames_poses: List[np.ndarray], rig_config: RigConfig,
                     out_path: str,
                     frames_gt: Optional[List[np.ndarray]] = None,
-                    fps: int = 10, show: bool = False) -> str:
+                    fps: int = 10, show: bool = False,
+                    frames_track_ids: Optional[List[np.ndarray]] = None,
+                    frames_quality: Optional[List[np.ndarray]] = None
+                    ) -> str:
     """Render a sequence of per-frame [P, J, 3] world poses.
 
     out_path ending in .gif → animated GIF; otherwise a directory of PNGs.
+    ``frames_track_ids``/``frames_quality`` (per-frame [P] arrays) overlay
+    stable identity colours and the per-pose quality column.
     Returns the written path.
     """
     import matplotlib
@@ -80,12 +102,15 @@ def render_sequence(frames_poses: List[np.ndarray], rig_config: RigConfig,
                for p in frames_poses]
     gt_disp = ([remap_axes(g, rig_config) if g is not None and len(g) else None
                 for g in frames_gt] if frames_gt else [None] * len(display))
+    tids = frames_track_ids or [None] * len(display)
+    quals = frames_quality or [None] * len(display)
 
     if out_path.endswith(".gif"):
         from matplotlib.animation import FuncAnimation, PillowWriter
 
         def update(i):
-            render_frame(ax, display[i], rig_config, gt_disp[i])
+            render_frame(ax, display[i], rig_config, gt_disp[i],
+                         track_ids=tids[i], quality=quals[i])
             ax.set_title(f"frame {i}")
 
         anim = FuncAnimation(fig, update, frames=len(display))
@@ -93,7 +118,8 @@ def render_sequence(frames_poses: List[np.ndarray], rig_config: RigConfig,
     else:
         os.makedirs(out_path, exist_ok=True)
         for i in range(len(display)):
-            render_frame(ax, display[i], rig_config, gt_disp[i])
+            render_frame(ax, display[i], rig_config, gt_disp[i],
+                         track_ids=tids[i], quality=quals[i])
             ax.set_title(f"frame {i}")
             fig.savefig(os.path.join(out_path, f"frame_{i:05d}.png"),
                         dpi=80)

@@ -62,3 +62,24 @@ def test_convert_torch_cli(tmp_path, capsys):
     assert lcfg.in_dim == 1260
     assert lparams["layers"][0]["w"].shape == (1260, 3072)
     assert lifter_prior == "mean"  # torch imports carry no prior meta
+
+def test_viewer_track_and_quality_overlay(tmp_path):
+    """render_sequence accepts stable-id colours + quality labels (the
+    tracking/quality extensions) and still writes the GIF."""
+    import numpy as np
+
+    from mpe3d_tpu.config import PANOPTIC
+    from mpe3d_tpu.viz.viewer import render_sequence
+
+    rng = np.random.default_rng(0)
+    J = PANOPTIC.n_joints
+    frames = [rng.normal(size=(2, J, 3)).astype(np.float32)
+              for _ in range(2)]
+    ids = [np.array([4, 7]), np.array([4, 7])]
+    quals = [np.array([1.2, -1.0]), np.array([0.9, 33.0])]
+    out = str(tmp_path / "seq.gif")
+    path = render_sequence(frames, PANOPTIC, out,
+                           frames_track_ids=ids, frames_quality=quals,
+                           fps=2)
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
