@@ -31,12 +31,15 @@ commands flush the in-flight window first, so responses never reorder.
 from __future__ import annotations
 
 import json
+import re
 import socketserver
 import sys
 import time
 from typing import Optional
 
 from mpe3d_tpu.data.frames import parse_frame
+
+_CMD_RE = re.compile(r'^\{\s*"cmd"')
 
 
 def quality_keep_mask(quality, gate: float):
@@ -77,9 +80,36 @@ class PoseServer:
         self._bypass = len(pipe.match_idx) <= 1
 
     # ------------------------------------------------------------------
-    def _submit(self, frame_dict):
+    def _parse_line(self, line: str):
+        """One wire line → FrameArrays.  Fast path: the C++ parser
+        (mpe3d_tpu/native) on the raw bytes — it skips the ~ms-scale
+        ``json.loads`` + python skeleton loop, which would otherwise
+        dominate the ~0.1 ms on-device frame time on a direct-attached
+        chip.  Transparent python fallback (native unavailable, or the
+        line doesn't parse to exactly one frame)."""
+        from mpe3d_tpu.data.frames import parse_frames_batch
+        if line.startswith("{"):
+            try:
+                fas = parse_frames_batch(("[" + line + "]").encode(),
+                                         self.rig_config,
+                                         self.max_skeletons)
+                if len(fas) == 1:
+                    return fas[0]
+            except Exception:
+                pass
+        # python path doubles as the validator: raises on malformed JSON
+        obj = json.loads(line)
+        if not isinstance(obj, dict):
+            raise ValueError("frame must be a JSON object")
+        return parse_frame(obj, self.rig_config, self.max_skeletons)
+
+    def _submit(self, frame):
+        """``frame``: a raw wire line (str) or an already-parsed dict."""
         t0 = time.perf_counter()
-        fa = parse_frame(frame_dict, self.rig_config, self.max_skeletons)
+        if isinstance(frame, str):
+            fa = self._parse_line(frame)
+        else:
+            fa = parse_frame(frame, self.rig_config, self.max_skeletons)
         if self._bypass:
             return t0, self.pipe(fa)          # synchronous staged path
         return t0, self.pipe.submit_fused(fa)
@@ -177,6 +207,23 @@ class PoseServer:
                 line = line.strip()
                 if not line:
                     continue
+                # frame lines skip json.loads entirely (the C++ parser
+                # reads the raw bytes); only control-shaped or non-object
+                # lines pay the python parse for classification.  No rig
+                # has a camera named "cmd", so the prefix test is exact.
+                if line.startswith("{") and not _CMD_RE.match(line):
+                    try:
+                        ticket = self._submit(line)
+                    except Exception as e:  # malformed frame payloads
+                        drain()
+                        self.errors += 1
+                        emit({"seq": seq,
+                              "error": f"{type(e).__name__}: {e}"})
+                        seq += 1
+                        continue
+                    q.put((seq, *ticket))  # blocks when the window is full
+                    seq += 1
+                    continue
                 try:
                     obj = json.loads(line)
                 except ValueError as e:
@@ -199,22 +246,9 @@ class PoseServer:
                         self.errors += 1
                         emit({"error": f"unknown cmd: {cmd}"})
                     continue
-                if not isinstance(obj, dict):
-                    drain()
-                    self.errors += 1
-                    emit({"seq": seq,
-                          "error": "frame must be a JSON object"})
-                    seq += 1
-                    continue
-                try:
-                    ticket = self._submit(obj)
-                except Exception as e:  # malformed skeleton payloads etc.
-                    drain()
-                    self.errors += 1
-                    emit({"seq": seq, "error": f"{type(e).__name__}: {e}"})
-                    seq += 1
-                    continue
-                q.put((seq, *ticket))   # blocks when the window is full
+                drain()
+                self.errors += 1
+                emit({"seq": seq, "error": "frame must be a JSON object"})
                 seq += 1
         finally:
             drain()

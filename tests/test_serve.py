@@ -205,3 +205,18 @@ def test_serve_sync_request_response(pipe, wire_frames):
     in_q.put(None)
     t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_parse_line_native_matches_python(pipe, wire_frames):
+    """The server's fast-path line parser (C++ on raw bytes) produces the
+    identical FrameArrays as json.loads + parse_frame."""
+    from mpe3d_tpu.data.frames import parse_frame
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
+    for f in wire_frames:
+        line = json.dumps(f)
+        fa_fast = server._parse_line(line)
+        fa_py = parse_frame(json.loads(line), PANOPTIC, 4)
+        for name in ("kp", "valid", "prob", "in_view", "present"):
+            np.testing.assert_array_equal(getattr(fa_fast, name),
+                                          getattr(fa_py, name))
