@@ -352,34 +352,28 @@ def cmd_infer(args):
         outs = pipe.infer_batch(fas)
     else:
         outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
+    from mpe3d_tpu.serve import gate_and_track
+
     tracker = _make_tracker(args)
     gate = getattr(args, "quality_gate", None)
     result = []
     for i, o in enumerate(outs):
-        poses = np.asarray(o.poses)
-        persons = np.asarray(o.persons)
-        quality = np.asarray(o.quality) if o.quality is not None else None
+        poses, quality, persons, ids, dropped = gate_and_track(
+            o.poses, o.quality, gate=gate, tracker=tracker,
+            persons=o.persons)
         rec = {"frame": i}
-        if gate is not None and quality is not None:
-            # drop ghost/mis-associated proposals before they reach the
-            # tracker; -1 (no observation to judge by) is kept
-            from mpe3d_tpu.serve import quality_keep_mask
-            keep = quality_keep_mask(quality, gate)
-            if not keep.all():
-                rec["dropped_low_quality"] = int((~keep).sum())
-                poses, persons, quality = (poses[keep], persons[keep],
-                                           quality[keep])
+        if dropped:
+            rec["dropped_low_quality"] = dropped
         rec["n_persons"] = int(len(persons))
-        rec["persons"] = persons.tolist()
-        if tracker is not None:
-            ids, poses = tracker.update(poses)
+        rec["persons"] = np.asarray(persons).tolist()
+        if ids is not None:
             rec["track_ids"] = ids.tolist()
         if quality is not None:
             # per-pose confidence: mean reprojection residual (px) of the
-            # pose against its own 2D observations (pipeline.pose_quality_px)
-            # — of the RAW pose; with --track-smooth the reported poses_m
-            # are EMA-blended and their own residual differs slightly
-            rec["quality_px"] = quality.round(2).tolist()
+            # RAW pose against its own 2D observations
+            # (pipeline.pose_quality_px); with --track-smooth the reported
+            # poses_m are EMA-blended and their residual differs slightly
+            rec["quality_px"] = np.asarray(quality).round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         result.append(rec)
     text = json.dumps(result)
@@ -423,20 +417,19 @@ def cmd_show_results(args):
     rig_config, rig, pipe = build_pipeline(args, args.backend)
     fas, frame_gts = _load_eval_files(args.testfiles, rig_config)
     fas, frame_gts = fas[: args.max_frames], frame_gts[: args.max_frames]
+    from mpe3d_tpu.serve import gate_and_track
+
     tracker = _make_tracker(args)
     poses, gts, tids, quals = [], [], [], []
     for fa, gt in zip(fas, frame_gts):
         out = pipe(fa)
-        p, q = np.asarray(out.poses), out.quality
-        if getattr(args, "quality_gate", None) is not None and q is not None:
-            from mpe3d_tpu.serve import quality_keep_mask
-            keep = quality_keep_mask(np.asarray(q), args.quality_gate)
-            p, q = p[keep], np.asarray(q)[keep]
-        if tracker is not None:
-            ids, p = tracker.update(p)
+        p, q, _, ids, _ = gate_and_track(
+            out.poses, out.quality,
+            gate=getattr(args, "quality_gate", None), tracker=tracker)
+        if ids is not None:
             tids.append(ids)
         poses.append(p)
-        quals.append(np.asarray(q) if q is not None else None)
+        quals.append(q)
         gts.append(gt.gt3d if (args.showgt and gt) else None)
     path = render_sequence(poses, rig_config, args.out,
                            gts if args.showgt else None,
@@ -821,4 +814,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

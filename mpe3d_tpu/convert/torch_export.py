@@ -48,6 +48,12 @@ def export_reference_lifter(params, path: str,
             "residual-prior lifters have no reference counterpart: the "
             "torch MLP would output the *correction*, not poses.  Export "
             "is only meaningful for absolute-coordinate checkpoints.")
+    if cfg is not None and getattr(cfg, "negative_slope", 0.1) != 0.1:
+        raise ValueError(
+            "the reference PoseEstimatorMLP hardcodes "
+            "LeakyReLU(negative_slope=0.1) (utils/mlp.py:7); a checkpoint "
+            f"trained with slope {cfg.negative_slope} would silently "
+            "compute a different function in the reference stack.")
     state = {}
     for i, layer in enumerate(params["layers"]):
         idx = 1 + 2 * i      # Flatten at 0, activations at even indices
@@ -85,7 +91,11 @@ def export_reference_matcher(params, cfg: MatcherConfig, tch_path: str,
         "graph_type": "1",
         "n_classes": int(cfg.n_classes),
         "heads": [int(h) for h in cfg.heads],
-        "nonlinearity": torch.nn.LeakyReLU(),
+        # the reference reconstructs its GAT with these objects, so the
+        # trained slope must ride along (train_skeleton_matching.py:54
+        # uses the torch default 0.01; non-default checkpoints keep theirs)
+        "nonlinearity": torch.nn.LeakyReLU(
+            negative_slope=float(cfg.hidden_slope)),
         "final_activation": torch.nn.Sigmoid(),
         "in_drop": float(cfg.feat_drop),
         "attn_drop": float(cfg.attn_drop),

@@ -78,6 +78,10 @@ def load_reference_matcher(tch_path: str, prms_path: str
         residual=bool(prms["residual"]),
         feat_drop=float(prms.get("in_drop", 0.0)),
         attn_drop=float(prms.get("attn_drop", 0.0)),
+        # inter-layer activation: the reference pickles the torch module
+        # itself (train_skeleton_matching.py:54,239) — carry its slope
+        hidden_slope=float(getattr(prms.get("nonlinearity"),
+                                   "negative_slope", 0.01)),
     )
     n_layers = len(cfg.hidden) + 1
     layers = []

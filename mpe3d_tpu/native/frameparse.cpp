@@ -271,7 +271,16 @@ bool parse_skeletons(const std::string& text, const Buffers& b, int64_t f,
         if (!parse_string(c, key)) return false;
         if (!c.expect(':')) return false;
         bool is_id = (key == "ID");
-        long j = is_id ? -1 : strtol(key.c_str(), nullptr, 10);
+        long j = -1;
+        if (!is_id) {
+          // strict like python's int(): a non-numeric joint key is a
+          // parse failure (the python path raises ValueError), NOT a
+          // silent strtol→0 write into joint 0
+          char* endp = nullptr;
+          j = strtol(key.c_str(), &endp, 10);
+          if (key.empty() || endp == key.c_str() || *endp != '\0')
+            return false;
+        }
         bool store = !is_id && j >= 0 && j < b.J && slot < b.S;
         // value: [id, x, y, valid, prob]
         if (c.peek_is('[')) {
@@ -290,6 +299,9 @@ bool parse_skeletons(const std::string& text, const Buffers& b, int64_t f,
             }
           }
           if (!c.expect(']')) return false;
+          // a stored joint with fewer than 5 values is a failure too
+          // (python: IndexError on values[1..4])
+          if (store && n < 5) return false;
           if (store && n >= 5) {
             int64_t k = b.kp_idx(f, ci, slot, (int)j);
             int64_t m = b.j_idx(f, ci, slot, (int)j);

@@ -31,7 +31,6 @@ commands flush the in-flight window first, so responses never reorder.
 from __future__ import annotations
 
 import json
-import re
 import socketserver
 import sys
 import time
@@ -39,14 +38,40 @@ from typing import Optional
 
 from mpe3d_tpu.data.frames import parse_frame
 
-_CMD_RE = re.compile(r'^\{\s*"cmd"')
-
 
 def quality_keep_mask(quality, gate: float):
     """Which poses survive a quality gate: residual within ``gate`` px, or
     -1 (no observation to judge by — kept conservatively).  Single source
     of the gate semantics for both the CLI ``infer`` path and the server."""
     return (quality < 0) | (quality <= gate)
+
+
+def gate_and_track(poses, quality, gate=None, tracker=None, persons=None):
+    """The shared output epilogue for every serving surface (PoseServer,
+    CLI ``infer``, CLI ``show-results``): drop poses whose quality column
+    exceeds ``gate`` — BEFORE tracking, so ghosts never spawn tracks —
+    then update the (optional) tracker.
+
+    Returns ``(poses, quality, persons, track_ids, n_dropped)``; quality/
+    persons/track_ids are None when not supplied/enabled.  NB: quality
+    describes the RAW pipeline pose; with tracker smoothing the returned
+    poses are EMA-blended and their own residual differs slightly."""
+    import numpy as np
+
+    poses = np.asarray(poses)
+    dropped = 0
+    if gate is not None and quality is not None:
+        quality = np.asarray(quality)
+        keep = quality_keep_mask(quality, gate)
+        if not keep.all():
+            dropped = int((~keep).sum())
+            poses, quality = poses[keep], quality[keep]
+            if persons is not None:
+                persons = np.asarray(persons)[keep]
+    ids = None
+    if tracker is not None:
+        ids, poses = tracker.update(poses)
+    return poses, quality, persons, ids, dropped
 
 
 class PoseServer:
@@ -75,6 +100,7 @@ class PoseServer:
         self.errors = 0
         self.dropped_low_quality = 0
         self._latency_sum_ms = 0.0
+        self._native_misses = 0
         # a rig with a single matching camera cannot run the fused ≥2-view
         # decode; the staged path's single-camera bypass handles it
         self._bypass = len(pipe.match_idx) <= 1
@@ -88,15 +114,21 @@ class PoseServer:
         chip.  Transparent python fallback (native unavailable, or the
         line doesn't parse to exactly one frame)."""
         from mpe3d_tpu.data.frames import parse_frames_batch
-        if line.startswith("{"):
+        if line.startswith("{") and self._native_misses < 3:
             try:
                 fas = parse_frames_batch(("[" + line + "]").encode(),
                                          self.rig_config,
                                          self.max_skeletons)
                 if len(fas) == 1:
+                    self._native_misses = 0
                     return fas[0]
             except Exception:
                 pass
+            # back off after consecutive misses: a client whose encoding
+            # the native parser can't handle (e.g. list-encoded
+            # skeletons) must not pay a failed scan + stderr warning on
+            # every frame of a long-lived session
+            self._native_misses += 1
         # python path doubles as the validator: raises on malformed JSON
         obj = json.loads(line)
         if not isinstance(obj, dict):
@@ -116,26 +148,17 @@ class PoseServer:
 
     def _collect(self, seq: int, t0: float, ticket) -> dict:
         out = ticket if self._bypass else self.pipe.collect_fused(ticket)
-        import numpy as np
-        poses = np.asarray(out.poses)
-        quality = (np.asarray(out.quality)
-                   if out.quality is not None else None)
+        poses, quality, _, ids, dropped = gate_and_track(
+            out.poses, out.quality, gate=self.quality_gate,
+            tracker=self.tracker)
         rec = {"seq": seq}
-        if self.quality_gate is not None and quality is not None:
-            keep = quality_keep_mask(quality, self.quality_gate)
-            dropped = int((~keep).sum())
-            if dropped:
-                poses, quality = poses[keep], quality[keep]
-                rec["dropped_low_quality"] = dropped
-                self.dropped_low_quality += dropped
+        if dropped:
+            rec["dropped_low_quality"] = dropped
+            self.dropped_low_quality += dropped
         rec["n_persons"] = int(len(poses))
-        if self.tracker is not None:
-            ids, poses = self.tracker.update(poses)
+        if ids is not None:
             rec["track_ids"] = ids.tolist()
         if quality is not None:
-            # NB: quality describes the pipeline's RAW pose; with tracker
-            # smoothing (smooth > 0) poses_m are EMA-blended and their own
-            # residual differs slightly from the column
             rec["quality_px"] = quality.round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
         lat = (time.perf_counter() - t0) * 1e3
@@ -208,10 +231,13 @@ class PoseServer:
                 if not line:
                     continue
                 # frame lines skip json.loads entirely (the C++ parser
-                # reads the raw bytes); only control-shaped or non-object
-                # lines pay the python parse for classification.  No rig
-                # has a camera named "cmd", so the prefix test is exact.
-                if line.startswith("{") and not _CMD_RE.match(line):
+                # reads the raw bytes); only lines that could be control
+                # objects ('"cmd"' anywhere — JSON member order is not
+                # significant) or non-objects pay the python parse for
+                # classification.  A frame that merely *contains* the
+                # substring takes the slow path and is still served
+                # correctly.
+                if line.startswith("{") and '"cmd"' not in line:
                     try:
                         ticket = self._submit(line)
                     except Exception as e:  # malformed frame payloads

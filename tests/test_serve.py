@@ -209,14 +209,103 @@ def test_serve_sync_request_response(pipe, wire_frames):
 
 def test_parse_line_native_matches_python(pipe, wire_frames):
     """The server's fast-path line parser (C++ on raw bytes) produces the
-    identical FrameArrays as json.loads + parse_frame."""
+    identical FrameArrays as json.loads + parse_frame — including the
+    per-camera timestamps."""
     from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.native import load_library
 
+    if load_library() is None:
+        pytest.skip("native parser unavailable — fast path untestable")
     server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
     for f in wire_frames:
         line = json.dumps(f)
         fa_fast = server._parse_line(line)
         fa_py = parse_frame(json.loads(line), PANOPTIC, 4)
-        for name in ("kp", "valid", "prob", "in_view", "present"):
+        for name in ("kp", "valid", "prob", "in_view", "present",
+                     "timestamp"):
             np.testing.assert_array_equal(getattr(fa_fast, name),
                                           getattr(fa_py, name))
+    assert server._native_misses == 0   # the fast path actually ran
+
+
+def test_control_cmd_anywhere_in_object(pipe, wire_frames):
+    """JSON member order is insignificant: a control object whose "cmd"
+    key is not first must still be answered as a control response, not
+    silently served as an empty frame."""
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
+    recs = run_lines(server, [json.dumps(wire_frames[0]),
+                              '{"id": 7, "cmd": "stats"}',
+                              '{"cmd": "close"}'])
+    assert "poses_m" in recs[0]
+    assert recs[1]["frames"] == 1          # stats, not an empty frame
+    assert recs[2]["closed"] is True
+    assert server.frames_served == 1
+
+
+def test_malformed_joint_payloads_get_error_responses(pipe, wire_frames):
+    """The native fast path must not be more lenient than python: a
+    non-numeric joint key or a short joint value list is answered with an
+    error line, never served as a silently-corrupted pose."""
+    good = json.dumps(wire_frames[0])
+    cam = [k for k in wire_frames[0]
+           if isinstance(wire_frames[0][k], list)][0]
+
+    bad_key = json.loads(good)
+    skels = json.loads(bad_key[cam][0])
+    skels[0]["x5"] = [5, 100.0, 200.0, 1, 0.9]
+    bad_key[cam][0] = json.dumps(skels)
+
+    bad_len = json.loads(good)
+    skels = json.loads(bad_len[cam][0])
+    first = next(k for k in skels[0] if k != "ID")
+    skels[0][first] = skels[0][first][:4]
+    bad_len[cam][0] = json.dumps(skels)
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
+    recs = run_lines(server, [json.dumps(bad_key), json.dumps(bad_len),
+                              good])
+    assert "error" in recs[0], recs[0]
+    assert "error" in recs[1], recs[1]
+    assert "poses_m" in recs[2]            # still serving afterwards
+    assert server.errors == 2
+
+
+def test_list_encoded_skeletons_parse_identically(pipe, wire_frames):
+    """parse_frame supports skeletons sent as a raw JSON list (not an
+    embedded string); the fast path must agree on that variant too."""
+    from mpe3d_tpu.data.frames import parse_frame
+
+    f = json.loads(json.dumps(wire_frames[0]))
+    for cam in f:
+        if isinstance(f[cam], list) and isinstance(f[cam][0], str):
+            f[cam][0] = json.loads(f[cam][0])   # list-encoded variant
+    line = json.dumps(f)
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
+    fa = server._parse_line(line)
+    ref = parse_frame(json.loads(line), PANOPTIC, 4)
+    np.testing.assert_array_equal(fa.kp, ref.kp)
+    np.testing.assert_array_equal(fa.present, ref.present)
+
+
+def test_native_backoff_after_consecutive_misses(pipe, wire_frames,
+                                                 monkeypatch):
+    """When the native parser keeps failing on a client's frames, the
+    server falls back to python permanently instead of paying a failed
+    scan on every line of a long-lived session."""
+    import mpe3d_tpu.data.frames as frames_mod
+
+    calls = {"n": 0}
+
+    def failing(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated native failure")
+
+    monkeypatch.setattr(frames_mod, "parse_frames_batch", failing)
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
+    line = json.dumps(wire_frames[0])
+    ref = server._parse_line(line)          # python fallback still works
+    for _ in range(10):
+        server._parse_line(line)
+    assert server._native_misses >= 3
+    assert calls["n"] == 3                  # backoff: no further attempts
+    assert len(ref.kp)

@@ -81,7 +81,8 @@ def test_matcher_export_roundtrip(tmp_path, residual):
     from mpe3d_tpu.models.gat import init_matcher
 
     cfg = MatcherConfig(in_dim=24, hidden=(8, 6), heads=(2, 3),
-                        residual=residual, feat_drop=0.1, attn_drop=0.2)
+                        residual=residual, feat_drop=0.1, attn_drop=0.2,
+                        hidden_slope=0.2)
     params = init_matcher(jax.random.PRNGKey(6), cfg)
     tch = str(tmp_path / "skeleton_matching.tch")
     prms = str(tmp_path / "skeleton_matching.prms")
@@ -89,8 +90,17 @@ def test_matcher_export_roundtrip(tmp_path, residual):
     back, back_cfg = load_reference_matcher(tch, prms)
     _tree_equal(params, back)
     for f in ("in_dim", "hidden", "heads", "n_classes", "alpha",
-              "residual", "feat_drop", "attn_drop"):
+              "residual", "feat_drop", "attn_drop", "hidden_slope"):
         assert getattr(back_cfg, f) == getattr(cfg, f), f
+
+
+def test_lifter_export_refuses_nonreference_slope(tmp_path):
+    cfg = LifterConfig(in_dim=32, out_dim=9, widths=(16,),
+                       negative_slope=0.2)
+    params = init_lifter(jax.random.PRNGKey(9), cfg)
+    with pytest.raises(ValueError, match="negative_slope"):
+        export_reference_lifter(params, str(tmp_path / "x.pytorch"),
+                                cfg=cfg)
 
 
 def test_cli_export_torch_roundtrip(tmp_path):
