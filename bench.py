@@ -106,10 +106,9 @@ def main() -> int:
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
     n_frames = 10 if smoke else 60
-    frames = [parse_frame(f, rig_config, max_skeletons=4)
-              for f in generate_frames(rig_config, rig, n_frames,
-                                       n_people=(2, 3),
-                                       seed=11, noise=noise, with_gt=False)]
+    wire = generate_frames(rig_config, rig, n_frames, n_people=(2, 3),
+                           seed=11, noise=noise, with_gt=False)
+    frames = [parse_frame(f, rig_config, max_skeletons=4) for f in wire]
 
     for f in frames[:5]:                       # warm the fused e2e path
         pipe.infer_fused(f)
@@ -127,6 +126,21 @@ def main() -> int:
     t0 = time.perf_counter()
     outs = list(pipe.infer_stream(frames, depth=8))
     stream_ms = (time.perf_counter() - t0) / max(len(outs), 1) * 1e3
+
+    # serving front-end loopback: the full `serve` path per frame — wire
+    # line → native parse → fused dispatch (depth-8 window) → JSON line —
+    # with no socket, so it measures protocol + host work + device RTT
+    from mpe3d_tpu.serve import PoseServer
+
+    lines = [json.dumps(w) for w in wire]
+    sink = []
+    PoseServer(pipe, rig_config, max_skeletons=4,
+               depth=8).handle_stream(lines, sink.append)      # warm
+    sink = []
+    t0 = time.perf_counter()
+    PoseServer(pipe, rig_config, max_skeletons=4,
+               depth=8).handle_stream(lines, sink.append)
+    serve_ms = (time.perf_counter() - t0) / max(len(sink), 1) * 1e3
 
     # batched offline-eval throughput (one dispatch per batch)
     B = min(32, len(frames))
@@ -249,6 +263,7 @@ def main() -> int:
         "vs_baseline": round(BASELINE_MS / stream_ms, 2),
         "backend": backend,
         "single_dispatch_ms": round(ms, 3),
+        "serve_frame_ms": round(serve_ms, 3),
         "batched_throughput_fps": round(fps, 1),
         "ondevice_frame_us": round(ondevice_us, 1),
         "train_samples_per_s": round(sps, 1),
