@@ -90,3 +90,22 @@ def test_server_over_multi_device(panoptic_rig):
     recs = [json.loads(l) for l in out]
     assert [r["seq"] for r in recs[:-1]] == list(range(len(wire)))
     assert recs[-1]["frames"] == len(wire) and recs[-1]["errors"] == 0
+
+
+def test_multi_device_with_int8_serving(panoptic_rig, frames):
+    """Quantized (int8) serving params are a custom pytree; they must
+    replicate per device and round-robin identically to single-device."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                        hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    pipe = PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig, init_matcher(jax.random.PRNGKey(0), mcfg),
+        mcfg, init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), threshold=0.05,
+        decode_top_k=0, backend="mlp", serve_dtype="int8")
+    single = [pipe.infer_fused(f) for f in frames[:4]]
+    pipe.enable_multi_device_serving()
+    multi = list(pipe.infer_stream(frames[:4], depth=4))
+    for s, m in zip(single, multi):
+        np.testing.assert_allclose(s.poses, m.poses, atol=1e-5)
+        np.testing.assert_array_equal(s.persons, m.persons)
