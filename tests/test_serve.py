@@ -309,3 +309,40 @@ def test_native_backoff_after_consecutive_misses(pipe, wire_frames,
     assert server._native_misses >= 3
     assert calls["n"] == 3                  # backoff: no further attempts
     assert len(ref.kp)
+
+
+def test_serve_protocol_fuzz(pipe, wire_frames):
+    """Randomized (seeded) interleaving of frames, control commands, blank
+    lines and garbage: responses keep contiguous seq order, every frame
+    line gets exactly one response, and the counters reconcile."""
+    rng = np.random.default_rng(58008)
+    lines, expect_frames, expect_errors = [], 0, 0
+    for _ in range(60):
+        r = rng.random()
+        if r < 0.5:
+            lines.append(json.dumps(wire_frames[rng.integers(
+                len(wire_frames))]))
+            expect_frames += 1
+        elif r < 0.6:
+            lines.append('{"cmd": "ping"}')
+        elif r < 0.7:
+            lines.append('{"cmd": "stats"}')
+        elif r < 0.78:
+            lines.append("")                      # blank: ignored
+        elif r < 0.86:
+            lines.append("garbage {{{")           # bad json
+            expect_errors += 1
+        elif r < 0.94:
+            lines.append('[{"not": "an object"}]')
+            expect_errors += 1
+        else:
+            lines.append('{"cmd": "nope"}')       # unknown cmd
+            expect_errors += 1
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=3)
+    recs = run_lines(server, lines)
+    seqs = [r["seq"] for r in recs if "seq" in r]
+    assert seqs == sorted(seqs) == list(range(len(seqs)))
+    served = [r for r in recs if "poses_m" in r]
+    errored = [r for r in recs if "error" in r]
+    assert len(served) == expect_frames == server.frames_served
+    assert len(errored) == expect_errors == server.errors
