@@ -53,7 +53,8 @@ def load_models(models_dir: str, rig_config):
     from mpe3d_tpu.config import LifterConfig, MatcherConfig
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
-    from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+    from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                            load_checkpoint,
                                             matcher_config_from_meta,
                                             read_meta)
 
@@ -62,7 +63,7 @@ def load_models(models_dir: str, rig_config):
                         out_dim=rig_config.n_joints * 3)
     j = os.path.join
 
-    if os.path.exists(j(models_dir, "skeleton_matching.npz")):
+    if checkpoint_exists(j(models_dir, "skeleton_matching")):
         # architecture variants (hidden/heads/residual/dropout) the
         # checkpoint was trained with override the rig default
         mcfg = matcher_config_from_meta(
@@ -81,7 +82,7 @@ def load_models(models_dir: str, rig_config):
         mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
 
     lifter_prior = "mean"
-    if os.path.exists(j(models_dir, "pose_estimator.npz")):
+    if checkpoint_exists(j(models_dir, "pose_estimator")):
         from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
                                                 read_meta)
         lmeta = read_meta(j(models_dir, "pose_estimator"))
@@ -162,7 +163,8 @@ def cmd_train_matcher(args):
     rig_config, rig = load_rig(args)
     topo = build_topology(rig_config.n_matching_cameras, args.slots)
     tcfg = MatcherTrainConfig(epochs=args.epochs, limit=args.limit,
-                              batch_size=args.batch_size, seed=args.seed)
+                              batch_size=args.batch_size, seed=args.seed,
+                              checkpoint_backend=args.ckpt_backend)
     cfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     train = build_matcher_scenes([load_frames(p) for p in args.trainset],
                                  rig_config, topo, limit=tcfg.limit,
@@ -188,14 +190,14 @@ def cmd_train_matcher(args):
         tmpl_o = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay) \
             .init(tmpl_p)
         params, opt_state, meta = load_checkpoint(out, tmpl_p, tmpl_o)
-        print(f"resuming from {out}.npz (epoch {meta.get('epoch')}, "
+        print(f"resuming from {out} (epoch {meta.get('epoch')}, "
               f"val {meta.get('val_loss')}, "
               f"opt_state={'yes' if opt_state is not None else 'no'})")
     res = train_matcher(train, dev, rig_config, rig, topo, cfg, tcfg,
                         checkpoint_path=out, params=params,
                         opt_state=opt_state)
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
-          f"epochs → {out}.npz")
+          f"epochs → {out} [{tcfg.checkpoint_backend}]")
     if args.testset:
         test = build_matcher_scenes([load_frames(p) for p in args.testset],
                                     rig_config, topo, limit=tcfg.limit,
@@ -225,16 +227,18 @@ def cmd_train_lifter(args):
     rig_config, rig = load_rig(args)
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              optimise_matrices=args.optimise_matrices,
-                             seed=args.seed, loss=args.loss)
+                             seed=args.seed, loss=args.loss,
+                             checkpoint_backend=args.ckpt_backend)
+    from mpe3d_tpu.train.checkpoint import checkpoint_exists
     ckpt_path = os.path.join(args.modelsdir, "pose_estimator")
-    if getattr(args, "resume", False) and os.path.exists(ckpt_path + ".npz"):
+    if getattr(args, "resume", False) and checkpoint_exists(ckpt_path):
         # the packer variant is baked into the checkpoint: resuming with a
         # different --prior would train on a different input distribution
         # AND overwrite the recorded prior at the next save
         from mpe3d_tpu.train.checkpoint import read_meta
         ck_prior = read_meta(ckpt_path).get("prior", "mean")
         if ck_prior != args.prior:
-            sys.exit(f"{ckpt_path}.npz was trained with prior={ck_prior}; "
+            sys.exit(f"{ckpt_path} was trained with prior={ck_prior}; "
                      f"pass --prior {ck_prior} or use a fresh --modelsdir")
     net_t, err_t = build_lifter_dataset_from_files(
         args.trainset, rig_config, rig, cache=args.cache, prior=args.prior)
@@ -259,7 +263,7 @@ def cmd_train_lifter(args):
             optax.clip_by_global_norm(tcfg.grad_clip_norm),
             optax.adam(tcfg.lr)).init({"model": tmpl_p})
         params, opt_state, meta = load_checkpoint(out, tmpl_p, tmpl_o)
-        print(f"resuming from {out}.npz (epoch {meta.get('epoch')}, "
+        print(f"resuming from {out} (epoch {meta.get('epoch')}, "
               f"val {meta.get('val_loss')}, "
               f"opt_state={'yes' if opt_state is not None else 'no'})")
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig,
@@ -267,7 +271,7 @@ def cmd_train_lifter(args):
                        opt_state=opt_state,
                        extra_meta={"prior": args.prior})
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
-          f"epochs → {out}.npz")
+          f"epochs → {out} [{tcfg.checkpoint_backend}]")
 
 
 def _pose_metrics(args, backend: str):
@@ -512,7 +516,8 @@ def cmd_export_torch(args):
                                                 export_reference_matcher)
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
-    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+    from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                            lifter_config_from_meta,
                                             load_checkpoint,
                                             matcher_config_from_meta,
                                             read_meta)
@@ -521,7 +526,7 @@ def cmd_export_torch(args):
     os.makedirs(args.out, exist_ok=True)
     j = os.path.join
     wrote = []
-    if os.path.exists(j(args.modelsdir, "skeleton_matching.npz")):
+    if checkpoint_exists(j(args.modelsdir, "skeleton_matching")):
         mcfg = matcher_config_from_meta(
             read_meta(j(args.modelsdir, "skeleton_matching")),
             MatcherConfig(in_dim=rig_config.matcher_feature_dim))
@@ -532,7 +537,7 @@ def cmd_export_torch(args):
                                  j(args.out, "skeleton_matching.tch"),
                                  j(args.out, "skeleton_matching.prms"))
         wrote += ["skeleton_matching.tch", "skeleton_matching.prms"]
-    if os.path.exists(j(args.modelsdir, "pose_estimator.npz")):
+    if checkpoint_exists(j(args.modelsdir, "pose_estimator")):
         lmeta = read_meta(j(args.modelsdir, "pose_estimator"))
         lcfg = lifter_config_from_meta(
             lmeta, LifterConfig(in_dim=rig_config.lifter_input_dim,
@@ -637,6 +642,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume params + optimizer state from the "
                    "modelsdir checkpoint (the reference can only save)")
+    p.add_argument("--ckpt-backend", default="npz",
+                   choices=["npz", "orbax"],
+                   help="checkpoint format: 'npz' = synchronous flat npz; "
+                   "'orbax' = async background saves, sharded-aware "
+                   "(train/checkpoint.py).  Loading auto-detects either.")
     p.set_defaults(fn=cmd_train_matcher)
 
     p = sub.add_parser("train-lifter")
@@ -670,6 +680,12 @@ def make_parser() -> argparse.ArgumentParser:
                    "instead of absolute coordinates (zero-initialised head "
                    "starts training AT the prior; config.LifterConfig)."
                    "  Recorded in the checkpoint; loaders reconstruct it.")
+    p.add_argument("--ckpt-backend", default="npz",
+                   choices=["npz", "orbax"],
+                   help="checkpoint format: 'npz' = synchronous flat npz; "
+                   "'orbax' = async background saves of the DEVICE tree "
+                   "(no blocking 116 MB host pull per save; "
+                   "train/checkpoint.py).  Loading auto-detects either.")
     p.set_defaults(fn=cmd_train_lifter)
 
     for name, fn in (("metrics-from-model", cmd_metrics_from_model),

@@ -276,6 +276,9 @@ class MatcherTrainConfig:
     # run each epoch as ONE jit-compiled lax.scan over its batches — one
     # dispatch per epoch (the tail partial batch is dropped)
     scan_epoch: bool = True
+    # "npz" (synchronous host arrays) | "orbax" (async, sharded-aware —
+    # saves overlap training; see train/checkpoint.py)
+    checkpoint_backend: str = "npz"
 
 
 @dataclass(frozen=True)
@@ -309,6 +312,10 @@ class LifterTrainConfig:
     # per eval dominated wall clock (measured 26 s → 1126 s per 10 epochs).
     # The final best is always saved at loop end.
     save_rel_improve: float = 0.02
+    # "npz" (synchronous host arrays) | "orbax" (async, sharded-aware —
+    # in-loop saves stream the DEVICE tree on a background thread, no
+    # blocking device_get; see train/checkpoint.py)
+    checkpoint_backend: str = "npz"
 
 
 @dataclass(frozen=True)

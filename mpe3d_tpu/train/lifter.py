@@ -32,7 +32,7 @@ from mpe3d_tpu.models.mlp import apply_lifter, init_lifter
 from mpe3d_tpu.parallel.mesh import (data_sharding, lifter_tp_shardings,
                                      make_mesh, replicate, replicated,
                                      shard_batch, shard_tree)
-from mpe3d_tpu.train.checkpoint import save_checkpoint
+from mpe3d_tpu.train.checkpoint import save_checkpoint, wait_for_async_saves
 
 
 @dataclass
@@ -253,10 +253,22 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                                  **(extra_meta or {})}
                     if val_loss <= last_saved * (1.0 - tcfg.save_rel_improve):
                         last_saved = val_loss
-                        result.params = jax.device_get(best_device)["model"]
-                        if checkpoint_path:
-                            save_checkpoint(checkpoint_path, result.params,
-                                            meta=best_meta)
+                        if tcfg.checkpoint_backend == "orbax":
+                            # async: the device tree streams to disk on a
+                            # background thread — no blocking device_get in
+                            # the training loop (the npz path measured 26 s
+                            # per save through a remote-TPU relay)
+                            if checkpoint_path:
+                                save_checkpoint(checkpoint_path,
+                                                best_device["model"],
+                                                meta=best_meta,
+                                                backend="orbax", wait=False)
+                        else:
+                            result.params = \
+                                jax.device_get(best_device)["model"]
+                            if checkpoint_path:
+                                save_checkpoint(checkpoint_path,
+                                                result.params, meta=best_meta)
                 else:
                     patience += 1
                     if patience >= tcfg.patience:
@@ -266,11 +278,16 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
     finally:
         # persist the tracked best even on interruption (relay
         # drops and Ctrl-C are routine on multi-hour remote legs)
-        if best_device is not None and best < last_saved:
-            result.params = jax.device_get(best_device)["model"]
-            if checkpoint_path:
+        if best_device is not None:
+            # one host pull covers both the result and the final save
+            # (the orbax path defers it to here; the npz path may need a
+            # refresh when the tracked best is newer than the last save)
+            if best < last_saved or result.params is None:
+                result.params = jax.device_get(best_device)["model"]
+            if best < last_saved and checkpoint_path:
                 save_checkpoint(checkpoint_path, result.params,
-                                meta=best_meta)
+                                meta=best_meta,
+                                backend=tcfg.checkpoint_backend)
         elif result.params is None:      # never evaluated
             try:
                 result.params = jax.device_get(trainable)["model"]
@@ -278,4 +295,5 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                 # trainable may be a donated/deleted buffer if the step
                 # itself raised — don't mask the original exception
                 pass
+        wait_for_async_saves()           # in-loop orbax saves must commit
     return result

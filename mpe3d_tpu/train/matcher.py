@@ -31,7 +31,7 @@ from mpe3d_tpu.matching.features import (PairTopology, edge_node_features,
                                          head_features)
 from mpe3d_tpu.models.gat import TopologyArrays, apply_matcher, init_matcher
 from mpe3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from mpe3d_tpu.train.checkpoint import save_checkpoint
+from mpe3d_tpu.train.checkpoint import save_checkpoint, wait_for_async_saves
 from mpe3d_tpu.train.matcher_data import MatcherScenes
 
 
@@ -320,13 +320,18 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
                 result.params = jax.device_get(params)
                 result.best_val_loss = best
                 if checkpoint_path:
+                    # orbax backend: async commit on a background thread
+                    # (matcher trees are small, but the relay round trip
+                    # isn't); npz: synchronous, as before
                     save_checkpoint(checkpoint_path, result.params,
                                     opt_state=jax.device_get(opt_state),
                                     meta={"epoch": epoch,
                                           "val_loss": val_loss,
                                           "matcher_config": cfg,
                                           "train_config": tcfg,
-                                          "n_slots": topo.n_slots})
+                                          "n_slots": topo.n_slots},
+                                    backend=tcfg.checkpoint_backend,
+                                    wait=False)
             else:
                 patience += 1
                 if patience >= tcfg.patience:
@@ -334,4 +339,5 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
         result.epochs_run = epoch + 1
     if not result.history:
         result.params = jax.device_get(params)
+    wait_for_async_saves()               # in-loop orbax saves must commit
     return result

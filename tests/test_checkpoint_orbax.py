@@ -1,0 +1,146 @@
+"""Orbax checkpoint backend: async background saves, sharded-aware restore,
+format auto-detection (train/checkpoint.py).  The reference only has
+synchronous torch.save (train_skeleton_matching.py:229-246,
+train_pose_estimator.py:269-277); this backend is the TPU-idiomatic
+extension — saves overlap training and sharded ``jax.Array`` trees are
+written per-shard without a host gather."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mpe3d_tpu.config import (PANOPTIC, LifterConfig, LifterTrainConfig,
+                              MatcherConfig)
+from mpe3d_tpu.models.mlp import init_lifter
+from mpe3d_tpu.train.checkpoint import (checkpoint_exists, load_checkpoint,
+                                        save_checkpoint,
+                                        wait_for_async_saves)
+
+
+def _tree_allclose(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        assert np.allclose(np.asarray(x), np.asarray(y))
+
+
+def test_orbax_roundtrip_params_opt_meta(tmp_path):
+    cfg = LifterConfig(widths=(32,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, opt_state=opt_state,
+                    meta={"lifter_config": cfg, "epoch": 7},
+                    backend="orbax")
+    assert checkpoint_exists(path)
+    loaded, opt_loaded, meta = load_checkpoint(
+        path, init_lifter(jax.random.PRNGKey(1), cfg), tx.init(params))
+    _tree_allclose(params, loaded)
+    _tree_allclose(opt_state, opt_loaded)
+    assert meta["epoch"] == 7
+    assert meta["lifter_config"]["widths"] == [32]
+
+
+def test_orbax_async_save_commits_after_wait(tmp_path):
+    cfg = LifterConfig(widths=(16,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, backend="orbax", wait=False)
+    wait_for_async_saves()
+    loaded, opt_loaded, _ = load_checkpoint(
+        path, init_lifter(jax.random.PRNGKey(1), cfg))
+    _tree_allclose(params, loaded)
+    assert opt_loaded is None
+
+
+def test_orbax_save_without_opt_state_loads_with_template(tmp_path):
+    # an orbax checkpoint written params-only must load cleanly even when
+    # the caller supplies an opt_state template (resume ergonomics)
+    cfg = LifterConfig(widths=(16,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, backend="orbax")
+    tmpl_o = optax.adam(1e-3).init(params)
+    loaded, opt_loaded, _ = load_checkpoint(
+        path, init_lifter(jax.random.PRNGKey(1), cfg), tmpl_o)
+    _tree_allclose(params, loaded)
+    assert opt_loaded is None
+
+
+def test_orbax_shape_mismatch_raises(tmp_path):
+    params = init_lifter(jax.random.PRNGKey(0), LifterConfig(widths=(16,)))
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, backend="orbax")
+    bad = init_lifter(jax.random.PRNGKey(1), LifterConfig(widths=(32,)))
+    with pytest.raises(Exception):
+        load_checkpoint(path, bad)
+
+
+def test_orbax_overwrite_replaces_previous_version(tmp_path):
+    cfg = LifterConfig(widths=(16,))
+    p1 = init_lifter(jax.random.PRNGKey(0), cfg)
+    p2 = init_lifter(jax.random.PRNGKey(2), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, p1, meta={"epoch": 1}, backend="orbax")
+    save_checkpoint(path, p2, meta={"epoch": 2}, backend="orbax")
+    loaded, _, meta = load_checkpoint(path, p1)
+    _tree_allclose(p2, loaded)
+    assert meta["epoch"] == 2
+
+
+def test_orbax_sharded_save_restores_sharded(tmp_path):
+    # a data-parallel-sharded tree saves from its shards and restores with
+    # the template's sharding intact (multi-chip training checkpoints)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mpe3d_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P("data"))
+    tree = {"w": jax.device_put(jnp.arange(n * 16.0).reshape(n, 16), sh),
+            "b": jax.device_put(jnp.ones((n,)), sh)}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, tree, backend="orbax")
+    tmpl = {"w": jax.ShapeDtypeStruct((n, 16), jnp.float32, sharding=sh),
+            "b": jax.ShapeDtypeStruct((n,), jnp.float32, sharding=sh)}
+    loaded, _, _ = load_checkpoint(path, tmpl)
+    assert loaded["w"].sharding == sh
+    _tree_allclose(tree, loaded)
+
+
+def test_load_checkpoint_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_checkpoint(str(tmp_path / "nope"),
+                        init_lifter(jax.random.PRNGKey(0),
+                                    LifterConfig(widths=(16,))))
+
+
+def test_lifter_trainer_orbax_backend_end_to_end(tmp_path, panoptic_rig):
+    # in-loop saves stream the DEVICE tree asynchronously; the finally
+    # block commits the tracked best — the checkpoint on disk must equal
+    # result.params
+    from mpe3d_tpu.data.synthetic import generate_single_person_frames
+    from mpe3d_tpu.train.lifter import train_lifter
+    from mpe3d_tpu.train.lifter_data import build_lifter_dataset
+
+    frames = generate_single_person_frames(PANOPTIC, panoptic_rig, 20,
+                                           seed=0)
+    net, err = build_lifter_dataset(frames, PANOPTIC, panoptic_rig,
+                                    augment=False)
+    cfg = LifterConfig(widths=(32,))
+    tcfg = LifterTrainConfig(epochs=4, batch_size=32, eval_every=1,
+                             patience=10, lr=1e-3,
+                             checkpoint_backend="orbax",
+                             save_rel_improve=0.0)
+    path = str(tmp_path / "pose_estimator")
+    res = train_lifter(net, err, net, err, PANOPTIC, panoptic_rig, cfg,
+                       tcfg, checkpoint_path=path, log=lambda s: None)
+    assert checkpoint_exists(path)
+    loaded, _, meta = load_checkpoint(
+        path, init_lifter(jax.random.PRNGKey(1), cfg))
+    _tree_allclose(res.params, loaded)
+    assert meta["train_config"]["checkpoint_backend"] == "orbax"
+    assert meta["val_loss"] == res.best_val_loss
