@@ -180,9 +180,13 @@ def cmd_train_matcher(args):
         import optax
 
         from mpe3d_tpu.models.gat import init_matcher
-        from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+        from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                                load_checkpoint,
                                                 matcher_config_from_meta,
                                                 read_meta)
+        if not checkpoint_exists(out):
+            sys.exit(f"--resume: no checkpoint at {out} "
+                     f"(.npz or .orbax/) — drop --resume to train fresh")
         # the checkpoint's architecture (residual/dropout/hidden) overrides
         # the default — the load template must match its leaves
         cfg = matcher_config_from_meta(read_meta(out), cfg)
@@ -231,7 +235,12 @@ def cmd_train_lifter(args):
                              checkpoint_backend=args.ckpt_backend)
     from mpe3d_tpu.train.checkpoint import checkpoint_exists
     ckpt_path = os.path.join(args.modelsdir, "pose_estimator")
-    if getattr(args, "resume", False) and checkpoint_exists(ckpt_path):
+    if getattr(args, "resume", False):
+        # checked BEFORE the (expensive) dataset build: a missing
+        # checkpoint must fail in milliseconds, not minutes
+        if not checkpoint_exists(ckpt_path):
+            sys.exit(f"--resume: no checkpoint at {ckpt_path} "
+                     f"(.npz or .orbax/) — drop --resume to train fresh")
         # the packer variant is baked into the checkpoint: resuming with a
         # different --prior would train on a different input distribution
         # AND overwrite the recorded prior at the next save

@@ -160,6 +160,17 @@ def parse_frames_batch(text: bytes, rig: RigConfig, max_skeletons: int = 10,
 
         out = parse_frames_native(text, cameras, max_skeletons, rig.n_joints,
                                   with_gt=with_gt)
+        if out is not None and with_gt:
+            # gt_count is exact even beyond the storage cap (the C parser
+            # consumes-but-skips extra persons): when any frame's GT list
+            # overflows the default cap, re-parse with an exact cap so the
+            # native path never silently truncates vs the python fallback
+            # (crowded frames / the wire GT-duplication artifact)
+            max_count = int(out[9].max(initial=0))
+            if max_count > out[6].shape[2]:
+                out = parse_frames_native(text, cameras, max_skeletons,
+                                          rig.n_joints, with_gt=True,
+                                          max_gt_persons=max_count)
         if out is not None:
             kp, valid, prob, in_view, present, ts = out[:6]
             fas = [FrameArrays(kp[f], valid[f], prob[f], in_view[f],

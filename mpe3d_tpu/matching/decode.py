@@ -52,14 +52,25 @@ def _cpython_set2_order(x: int, y: int):
     return out[0], out[1]
 
 
+_PAIR_ORDER_CACHE: dict = {}
+
+
 def reference_pair_order(e1: np.ndarray, e2: np.ndarray):
     """Per-pair (a, b) endpoint roles in the reference's set-iteration
-    order (see _cpython_set2_order) — host numpy, computed once per
-    topology."""
+    order (see _cpython_set2_order) — host numpy.  Memoised on the edge
+    lists: a pure function of the topology, but the staged host-decode
+    path calls it per frame (~E python iterations that never change)."""
+    key = (e1.tobytes(), e2.tobytes())
+    hit = _PAIR_ORDER_CACHE.get(key)
+    if hit is not None:
+        return hit
     a = np.empty_like(e1)
     b = np.empty_like(e2)
     for k in range(len(e1)):
         a[k], b[k] = _cpython_set2_order(int(e1[k]), int(e2[k]))
+    if len(_PAIR_ORDER_CACHE) > 32:      # a handful of topologies exist
+        _PAIR_ORDER_CACHE.clear()
+    _PAIR_ORDER_CACHE[key] = (a, b)
     return a, b
 
 

@@ -204,7 +204,16 @@ bool parse_gt_list(Cursor& c, const Buffers& b, int64_t f, int ci) {
         if (!parse_string(c, key)) return false;
         if (!c.expect(':')) return false;
         bool is_marker = (key == "-1");
-        long j = is_marker ? -1 : strtol(key.c_str(), nullptr, 10);
+        long j = -1;
+        if (!is_marker) {
+          // strict like python's int() (parse_frame_gt): a non-numeric
+          // joint key is a parse failure, NOT a silent strtol→0 write
+          // into joint 0 — same rule as the skeleton parser below
+          char* endp = nullptr;
+          j = strtol(key.c_str(), &endp, 10);
+          if (key.empty() || endp == key.c_str() || *endp != '\0')
+            return false;
+        }
         if (is_marker && store_p && b.gt_pvalid)
           b.gt_pvalid[(f * b.C + ci) * b.P + p] = 1;
         bool store_j = store_p && !is_marker && j >= 0 && j < b.J;
@@ -224,6 +233,11 @@ bool parse_gt_list(Cursor& c, const Buffers& b, int64_t f, int ci) {
             }
           }
           if (!c.expect(']')) return false;
+          // python assigns xyz[:3] into a (3,) slot: fewer than 3
+          // coordinates raises there (broadcast error) for any stored
+          // in-range joint — mirror that as a parse failure regardless
+          // of the person cap (python has no cap)
+          if (!is_marker && j >= 0 && j < b.J && n < 3) return false;
           if (store_j) {
             int64_t k = b.gt_idx(f, ci, p, (int)j);
             b.gt[k] = (float)vals[0];

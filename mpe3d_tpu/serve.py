@@ -272,6 +272,22 @@ class PoseServer:
                         self.errors += 1
                         emit({"error": f"unknown cmd: {cmd}"})
                     continue
+                if isinstance(obj, dict):
+                    # a frame whose raw line contains the substring '"cmd"'
+                    # without a top-level "cmd" key: classification sent it
+                    # down the slow path — it is still a frame, serve it
+                    try:
+                        ticket = self._submit(obj)
+                    except Exception as e:
+                        drain()
+                        self.errors += 1
+                        emit({"seq": seq,
+                              "error": f"{type(e).__name__}: {e}"})
+                        seq += 1
+                        continue
+                    q.put((seq, *ticket))
+                    seq += 1
+                    continue
                 drain()
                 self.errors += 1
                 emit({"seq": seq, "error": "frame must be a JSON object"})

@@ -10,12 +10,23 @@ arbitrary code execution (unlike pickles).
 
 A second backend (``backend="orbax"``) saves the same flat leaf dict through
 ``orbax.checkpoint`` into ``<path>.orbax/`` — the TPU-idiomatic path:
-*async* (the device→host transfer and file write run on a background thread
-while training keeps dispatching; pulling the 116 MB lifter tree through a
-remote-TPU relay measured 26 s per synchronous save) and *sharded-aware*
-(``jax.Array`` shards are written per-device without a host gather, so
-multi-chip training checkpoints scale).  Both backends share the JSON meta
-sidecar; ``load_checkpoint`` auto-detects the format on disk.
+*async* (with ``wait=False`` the WHOLE save — device→host transfer AND file
+write — runs on a dedicated saver thread while training keeps dispatching;
+pulling the 116 MB lifter tree through a remote-TPU relay measured 26 s per
+synchronous save, and orbax's own AsyncCheckpointer would still block the
+caller for that transfer — only its file write is backgrounded, hence the
+in-house thread) and *sharded-aware* (``jax.Array`` shards are written
+per-shard without a host gather, so multi-chip training checkpoints scale).
+
+Durability: a save never deletes the live ``<path>.orbax/`` before its
+replacement is on disk — arrays commit into ``<path>.orbax.next/`` (orbax
+itself writes a tmp dir and renames, so the staging dir's presence implies a
+complete save), then a finalize step swaps it in and moves the matching meta
+sidecar; a crash at any point leaves either the old or the new checkpoint
+loadable.  Both backends share the JSON meta sidecar, each backend removes
+the OTHER backend's artifact on a successful save (a stale npz twin would
+otherwise shadow newer orbax saves at load), and ``load_checkpoint``
+auto-detects the format on disk.
 
 ``mpe3d_tpu.convert.torch_import`` reads the reference's torch files for
 parity evaluation.
@@ -48,13 +59,17 @@ def _json_default(o):
     return str(o)
 
 
-def _write_meta(path: str, meta: Optional[Dict[str, Any]]) -> None:
+def _write_meta_at(file_path: str, meta: Optional[Dict[str, Any]]) -> None:
     meta = dict(meta or {})
     for k, v in list(meta.items()):
         if dataclasses.is_dataclass(v):
             meta[k] = dataclasses.asdict(v)
-    with open(path + ".json", "w") as f:
+    with open(file_path, "w") as f:
         json.dump(meta, f, indent=2, default=_json_default)
+
+
+def _write_meta(path: str, meta: Optional[Dict[str, Any]]) -> None:
+    _write_meta_at(path + ".json", meta)
 
 
 def save_checkpoint(path: str, params, opt_state=None,
@@ -66,12 +81,13 @@ def save_checkpoint(path: str, params, opt_state=None,
 
     ``backend="npz"``: synchronous flat `<path>.npz` (host arrays).
     ``backend="orbax"``: `<path>.orbax/` directory via orbax — leaves may be
-    live (even sharded) ``jax.Array``s; with ``wait=False`` the save runs
-    asynchronously (call :func:`wait_for_async_saves` before reading it
-    back or exiting)."""
+    live (even sharded) ``jax.Array``s; with ``wait=False`` the whole save
+    (device pull + write + atomic swap-in) runs on a background saver
+    thread (call :func:`wait_for_async_saves` before reading it back or
+    exiting — the trainers do)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     if backend == "orbax":
-        _save_orbax(path, params, opt_state, wait=wait)
+        _save_orbax(path, params, opt_state, meta, wait=wait)
     elif backend == "npz":
         flat_p, _ = _flatten(params)
         arrays = {f"p.{k}": v for k, v in flat_p.items()}
@@ -79,26 +95,46 @@ def save_checkpoint(path: str, params, opt_state=None,
             flat_o, _ = _flatten(opt_state)
             arrays.update({f"o.{k}": v for k, v in flat_o.items()})
         np.savez(path + ".npz", **arrays)
+        _write_meta(path, meta)
+        _remove_orbax_artifacts(path)     # a stale orbax twin would win at
+        # load only in the both-present mtime race; remove it outright
     else:
         raise ValueError(f"unknown checkpoint backend: {backend!r}")
-    _write_meta(path, meta)
 
 
 # ---------------------------------------------------------------------------
 # orbax backend
 # ---------------------------------------------------------------------------
 
+import threading
+
 _ORBAX_CKPTR = None
+_ORBAX_LOCK = threading.Lock()
+_SAVE_EXECUTOR = None
+_PENDING_SAVES: list = []
 
 
 def _orbax_checkpointer():
-    """Process-wide AsyncCheckpointer (it owns a background thread pool;
-    one per process is the intended usage)."""
+    """Process-wide SYNCHRONOUS orbax Checkpointer.  Asynchrony is provided
+    by this module's own single-worker saver thread (``_save_executor``),
+    which backgrounds the device→host transfer too — orbax's
+    AsyncCheckpointer performs that transfer in the caller's thread and
+    only backgrounds the file write."""
     global _ORBAX_CKPTR
-    if _ORBAX_CKPTR is None:
-        import orbax.checkpoint as ocp
-        _ORBAX_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    with _ORBAX_LOCK:                 # saver thread + loader may race init
+        if _ORBAX_CKPTR is None:
+            import orbax.checkpoint as ocp
+            _ORBAX_CKPTR = ocp.Checkpointer(ocp.StandardCheckpointHandler())
     return _ORBAX_CKPTR
+
+
+def _save_executor():
+    global _SAVE_EXECUTOR
+    if _SAVE_EXECUTOR is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _SAVE_EXECUTOR = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="mpe3d-ckpt-save")
+    return _SAVE_EXECUTOR
 
 
 def _flat_leaves(tree, prefix: str) -> Dict[str, Any]:
@@ -109,37 +145,97 @@ def _flat_leaves(tree, prefix: str) -> Dict[str, Any]:
     return {f"{prefix}.leaf_{i:05d}": l for i, l in enumerate(leaves)}
 
 
-def _save_orbax(path: str, params, opt_state=None, wait: bool = True) -> None:
+def _finalize_orbax(path: str) -> None:
+    """Swap a COMMITTED staging save into place: `<path>.orbax.next/` →
+    `<path>.orbax/` and `<path>.json.next` → `<path>.json`.  The staging
+    dir only ever exists fully written (orbax renames its own tmp dir into
+    it), so this is safe to call at any time, including after a crash."""
+    import shutil
+
+    staging, dest = path + ".orbax.next", path + ".orbax"
+    if os.path.isdir(staging):
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.rename(staging, dest)
+    if os.path.exists(path + ".json.next"):
+        os.replace(path + ".json.next", path + ".json")
+
+
+def _remove_orbax_artifacts(path: str) -> None:
+    import shutil
+
+    for d in (path + ".orbax", path + ".orbax.next"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if os.path.exists(path + ".json.next"):
+        os.remove(path + ".json.next")
+
+
+def _save_orbax(path: str, params, opt_state=None,
+                meta: Optional[Dict[str, Any]] = None,
+                wait: bool = True) -> None:
     import orbax.checkpoint as ocp
 
+    # the flat dict is built in the CALLER's thread (cheap, no transfers)
+    # so the tree it references is pinned; jax arrays are immutable, so
+    # the saver thread snapshots consistent values even while training
+    # continues (donated buffers never reach here — callers pass the
+    # tracked-best copy, not the in-flight training state)
     flat = _flat_leaves(params, "p")
     if opt_state is not None:
         flat.update(_flat_leaves(opt_state, "o"))
-    ckptr = _orbax_checkpointer()
-    # serialise with any in-flight save of the same path (force=True
-    # replaces the previous version atomically: tmp dir + rename)
-    ckptr.wait_until_finished()
-    ckptr.save(os.path.abspath(path) + ".orbax",
-               args=ocp.args.StandardSave(flat), force=True)
+    abspath = os.path.abspath(path)
+
+    def task():
+        ckptr = _orbax_checkpointer()
+        _finalize_orbax(abspath)          # adopt any committed predecessor
+        ckptr.save(abspath + ".orbax.next",
+                   args=ocp.args.StandardSave(flat), force=True)
+        # meta goes to `<path>.json.next` so the sidecar swaps in WITH its
+        # arrays (a crash between array commit and meta write must not
+        # pair new meta with old arrays)
+        _write_meta_at(abspath + ".json.next", meta)
+        _finalize_orbax(abspath)
+        if os.path.exists(abspath + ".npz"):
+            os.remove(abspath + ".npz")   # the npz twin would shadow this
+            # save for loaders on the both-present path
+
     if wait:
-        ckptr.wait_until_finished()
+        task()
+    else:
+        _PENDING_SAVES.append(_save_executor().submit(task))
 
 
 def wait_for_async_saves() -> None:
-    """Block until every async orbax save issued by this process has
-    committed (no-op when none were)."""
-    if _ORBAX_CKPTR is not None:
-        _ORBAX_CKPTR.wait_until_finished()
+    """Block until every async checkpoint save issued by this process has
+    committed (no-op when none were).  Re-raises the first save failure —
+    a training run must not end believing a failed save succeeded."""
+    global _PENDING_SAVES
+    pending, _PENDING_SAVES = _PENDING_SAVES, []
+    first_err = None
+    for fut in pending:
+        try:
+            fut.result()
+        except Exception as e:  # noqa: BLE001 — surfaced after full drain
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
 
 
 def checkpoint_exists(path: str) -> bool:
-    """True if either backend's artifact is present at ``path``."""
-    return os.path.exists(path + ".npz") or os.path.isdir(path + ".orbax")
+    """True if either backend's artifact is present at ``path`` (including
+    a committed-but-unswapped orbax staging dir from an interrupted run)."""
+    return (os.path.exists(path + ".npz") or os.path.isdir(path + ".orbax")
+            or os.path.isdir(path + ".orbax.next"))
 
 
 def read_meta(path: str) -> Dict[str, Any]:
     """Read a checkpoint's JSON sidecar without touching the arrays (so a
     caller can reconstruct configs BEFORE building the load template)."""
+    _finalize_orbax(path)   # adopt a committed-but-unswapped orbax save
+    # (e.g. the saving process crashed between commit and swap) so the
+    # sidecar matches what load_checkpoint will read
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             return json.load(f)
@@ -191,9 +287,22 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
     Auto-detects the on-disk backend: `<path>.npz`, else `<path>.orbax/`.
 
     Returns (params, opt_state_or_None, meta)."""
-    if os.path.exists(path + ".npz"):
+    import sys
+
+    wait_for_async_saves()            # an in-flight save of this path must
+    _finalize_orbax(path)             # be visible; adopt committed staging
+    have_npz = os.path.exists(path + ".npz")
+    have_orbax = os.path.isdir(path + ".orbax")
+    if have_npz and have_orbax:
+        # each backend removes the other on save, so a twin means an older
+        # layout / external copy: take the newer artifact, say so
+        have_npz = (os.path.getmtime(path + ".npz")
+                    >= os.path.getmtime(path + ".orbax"))
+        print(f"[mpe3d] both {path}.npz and .orbax/ exist; loading the "
+              f"newer ({'npz' if have_npz else 'orbax'})", file=sys.stderr)
+    if have_npz:
         data = np.load(path + ".npz")
-    elif os.path.isdir(path + ".orbax"):
+    elif have_orbax:
         data = _load_orbax_flat(path, params_template, opt_state_template)
     else:
         raise FileNotFoundError(f"no checkpoint at {path} "
@@ -236,7 +345,6 @@ def _load_orbax_flat(path: str, params_template, opt_state_template):
 
     full = os.path.abspath(path) + ".orbax"
     ckptr = _orbax_checkpointer()
-    ckptr.wait_until_finished()
     saved_keys = set(ckptr.metadata(full).item_metadata.tree.keys())
     tmpl = abstract(params_template, "p")
     if opt_state_template is not None and any(k.startswith("o.")

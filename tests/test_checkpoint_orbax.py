@@ -90,6 +90,80 @@ def test_orbax_overwrite_replaces_previous_version(tmp_path):
     assert meta["epoch"] == 2
 
 
+def test_orbax_save_never_deletes_live_before_commit(tmp_path):
+    # durability: the live <path>.orbax/ must survive until the replacement
+    # is fully on disk — arrays commit into <path>.orbax.next/ and swap in
+    cfg = LifterConfig(widths=(16,))
+    p1 = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, p1, meta={"epoch": 1}, backend="orbax")
+    import os
+    assert os.path.isdir(path + ".orbax")
+    assert not os.path.isdir(path + ".orbax.next")
+
+
+def test_orbax_committed_staging_is_adopted(tmp_path):
+    # crash between staging commit and swap: .orbax.next/ + .json.next
+    # exist, .orbax/ holds the previous save — loaders must adopt staging
+    import os
+    cfg = LifterConfig(widths=(16,))
+    p1 = init_lifter(jax.random.PRNGKey(0), cfg)
+    p2 = init_lifter(jax.random.PRNGKey(2), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, p1, meta={"epoch": 1}, backend="orbax")
+    save_checkpoint(path, p2, meta={"epoch": 2}, backend="orbax")
+    # simulate the crash window: demote the committed save to staging
+    os.rename(path + ".orbax", path + ".orbax.next")
+    os.rename(path + ".json", path + ".json.next")
+    from mpe3d_tpu.train.checkpoint import read_meta
+    assert checkpoint_exists(path)
+    assert read_meta(path)["epoch"] == 2          # sidecar adopted too
+    loaded, _, meta = load_checkpoint(path, p1)
+    _tree_allclose(p2, loaded)
+    assert meta["epoch"] == 2
+    assert os.path.isdir(path + ".orbax")
+    assert not os.path.isdir(path + ".orbax.next")
+
+
+def test_backend_switch_never_loads_stale_twin(tmp_path):
+    # npz leg then orbax leg at the same path: the orbax save removes the
+    # npz twin, so a later load cannot return leg-1 arrays with leg-2 meta
+    import os
+    cfg = LifterConfig(widths=(16,))
+    p1 = init_lifter(jax.random.PRNGKey(0), cfg)
+    p2 = init_lifter(jax.random.PRNGKey(2), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, p1, meta={"epoch": 1}, backend="npz")
+    save_checkpoint(path, p2, meta={"epoch": 2}, backend="orbax")
+    assert not os.path.exists(path + ".npz")
+    loaded, _, meta = load_checkpoint(path, p1)
+    _tree_allclose(p2, loaded)
+    assert meta["epoch"] == 2
+    # and the reverse: npz save removes the orbax twin
+    save_checkpoint(path, p1, meta={"epoch": 3}, backend="npz")
+    assert not os.path.isdir(path + ".orbax")
+    loaded, _, meta = load_checkpoint(path, p2)
+    _tree_allclose(p1, loaded)
+    assert meta["epoch"] == 3
+
+
+def test_async_save_failure_surfaces_on_wait(tmp_path):
+    # a failed background save must not be silent: wait_for_async_saves
+    # re-raises, and the pending list is drained for the next run
+    path = str(tmp_path / "sub" / "ck")
+    cfg = LifterConfig(widths=(16,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    bad = {"layers": [{"w": object()}]}           # unsaveable leaf
+    with pytest.raises(Exception):
+        save_checkpoint(path, bad, backend="orbax", wait=False)
+        wait_for_async_saves()
+    wait_for_async_saves()                        # drained: no re-raise
+    save_checkpoint(path, params, backend="orbax", wait=False)
+    wait_for_async_saves()
+    loaded, _, _ = load_checkpoint(path, params)
+    _tree_allclose(params, loaded)
+
+
 def test_orbax_sharded_save_restores_sharded(tmp_path):
     # a data-parallel-sharded tree saves from its shards and restores with
     # the template's sharding intact (multi-chip training checkpoints)

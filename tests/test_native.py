@@ -178,6 +178,52 @@ def test_native_gt_tiebreak_file_order():
     assert np.allclose(gts[0].gt3d, ref.gt3d, atol=1e-6)
 
 
+def test_native_gt_no_truncation_on_crowded_frames():
+    """A GT list longer than the default 16-person cap (e.g. the wire
+    GT-duplication artifact) must not be silently truncated: the native
+    path re-parses with an exact cap and matches python."""
+    import json
+
+    from mpe3d_tpu.data.frames import parse_frame_gt
+
+    cams = list(PANOPTIC.camera_names)
+    sk = json.dumps([{"0": [0, 100.0, 100.0, 1, 0.9]}])
+    n_people = 23
+    gt = [{"0": [float(10 * p), 20.0, 30.0], "-1": [0, 0, 0]}
+          for p in range(n_people)]
+    frame = {cams[0]: [sk, 0.0, "no_image", gt]}
+    text = json.dumps([frame]).encode()
+
+    ref = parse_frame_gt(frame, PANOPTIC)
+    assert ref.gt3d.shape[0] == n_people
+    fas, gts = parse_frames_batch(text, PANOPTIC, with_gt=True,
+                                  use_native=True)
+    assert gts[0] is not None
+    assert gts[0].gt3d.shape[0] == n_people
+    assert np.allclose(gts[0].gt3d, ref.gt3d, atol=1e-6)
+    assert np.array_equal(gts[0].gt_valid, ref.gt_valid)
+    assert np.array_equal(gts[0].person_valid, ref.person_valid)
+
+
+def test_native_gt_strictness_matches_python():
+    """GT dicts the python path rejects (non-numeric joint key; an
+    in-range joint with fewer than 3 coordinates) must not parse to
+    different arrays natively — the native parser fails them, and the
+    python fallback raises, on BOTH paths."""
+    import json
+
+    cams = list(PANOPTIC.camera_names)
+    sk = json.dumps([{"0": [0, 100.0, 100.0, 1, 0.9]}])
+    for bad_gt in ([{"x": [1.0, 2.0, 3.0]}],        # non-numeric key
+                   [{"0": [1.0, 2.0]}]):            # 2-coordinate triple
+        frame = {cams[0]: [sk, 0.0, "no_image", bad_gt]}
+        text = json.dumps([frame]).encode()
+        for use_native in (True, False):
+            with pytest.raises(ValueError):
+                parse_frames_batch(text, PANOPTIC, with_gt=True,
+                                   use_native=use_native)
+
+
 def test_native_differential_fuzz():
     """Randomized differential fuzz: generator-driven wire frames with
     hostile content (unicode escapes, non-rig cameras, odd joint ids,

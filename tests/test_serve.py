@@ -242,6 +242,19 @@ def test_control_cmd_anywhere_in_object(pipe, wire_frames):
     assert server.frames_served == 1
 
 
+def test_frame_containing_cmd_substring_is_served(pipe, wire_frames):
+    """Classification sends any line containing '"cmd"' down the slow
+    path; a real frame that merely CONTAINS the substring (no top-level
+    "cmd" key) must still be submitted, not rejected."""
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4)
+    frame = dict(wire_frames[0])
+    frame["note"] = 'client metadata mentioning "cmd" in a string'
+    recs = run_lines(server, [json.dumps(frame)])
+    assert recs[0].get("error") is None, recs[0]
+    assert "poses_m" in recs[0] and recs[0]["n_persons"] >= 1
+    assert server.errors == 0 and server.frames_served == 1
+
+
 def test_malformed_joint_payloads_get_error_responses(pipe, wire_frames):
     """The native fast path must not be more lenient than python: a
     non-numeric joint key or a short joint value list is answered with an
