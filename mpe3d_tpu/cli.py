@@ -232,7 +232,8 @@ def cmd_train_lifter(args):
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              optimise_matrices=args.optimise_matrices,
                              seed=args.seed, loss=args.loss,
-                             checkpoint_backend=args.ckpt_backend)
+                             checkpoint_backend=args.ckpt_backend,
+                             ema_decay=args.ema)
     from mpe3d_tpu.train.checkpoint import checkpoint_exists
     ckpt_path = os.path.join(args.modelsdir, "pose_estimator")
     if getattr(args, "resume", False):
@@ -695,6 +696,11 @@ def make_parser() -> argparse.ArgumentParser:
                    "'orbax' = async background saves of the DEVICE tree "
                    "(no blocking 116 MB host pull per save; "
                    "train/checkpoint.py).  Loading auto-detects either.")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="Polyak/EMA weight-averaging decay (0 = off; "
+                   "typical 0.999).  The averaged tree is carried inside "
+                   "the scan-epoch program; eval/early-stop/checkpoints "
+                   "use it (LifterTrainConfig.ema_decay).")
     p.set_defaults(fn=cmd_train_lifter)
 
     for name, fn in (("metrics-from-model", cmd_metrics_from_model),

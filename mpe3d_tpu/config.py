@@ -316,6 +316,15 @@ class LifterTrainConfig:
     # in-loop saves stream the DEVICE tree on a background thread, no
     # blocking device_get; see train/checkpoint.py)
     checkpoint_backend: str = "npz"
+    # Polyak/EMA weight averaging (0 = off; typical 0.999): a second
+    # parameter tree tracks ema = d*ema + (1-d)*params after every step,
+    # carried INSIDE the scan-epoch program (one extra tree_map per step,
+    # device-resident — no extra dispatches).  Eval, early stopping and
+    # checkpoints all use the EMA copy: the self-supervised reprojection
+    # loss is noisy (detector noise enters every gradient), and averaging
+    # removes the final-iterate jitter.  Extension — the reference always
+    # evaluates the raw final iterate.
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

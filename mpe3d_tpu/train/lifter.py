@@ -65,15 +65,24 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
 
     step = jax.jit(_step)
 
+    def _ema(ema, trainable):
+        d = tcfg.ema_decay
+        return jax.tree_util.tree_map(lambda e, p: e * d + p * (1.0 - d),
+                                      ema, trainable)
+
+    ema_update = jax.jit(_ema, donate_argnames=("ema",))
+
     @functools.partial(jax.jit,
                        static_argnames=("k_batches", "batch_size",
                                         "batch_sharding"),
-                       donate_argnames=("trainable", "opt_state"))
+                       donate_argnames=("trainable", "opt_state", "ema"))
     def epoch_step(trainable, opt_state, net_all, err_all, key,
-                   k_batches, batch_size, batch_sharding=None):
+                   k_batches, batch_size, batch_sharding=None, ema=None):
         """One dispatch for a whole epoch: shuffle ON DEVICE, then lax.scan
         over the batches.  The dataset is uploaded once and stays resident —
-        no per-epoch host→device traffic.  Returns per-batch losses [K]."""
+        no per-epoch host→device traffic.  ``ema`` (optional, config
+        ``ema_decay``) is the Polyak average, updated after every step
+        inside the scan.  Returns per-batch losses [K]."""
         n = k_batches * batch_size
         perm = jax.random.permutation(key, net_all.shape[0])[:n]
         nets = net_all[perm].reshape(k_batches, batch_size, -1)
@@ -83,18 +92,20 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
             errs = jax.lax.with_sharding_constraint(errs, batch_sharding)
 
         def body(carry, xs):
-            tr, os_ = carry
+            tr, os_, em = carry
             tr, os_, loss = _step(tr, os_, xs[0], xs[1])
-            return (tr, os_), loss
-        (trainable, opt_state), losses = jax.lax.scan(
-            body, (trainable, opt_state), (nets, errs))
-        return trainable, opt_state, losses
+            if em is not None:       # static: ema-ness fixed at trace time
+                em = _ema(em, tr)
+            return (tr, os_, em), loss
+        (trainable, opt_state, ema), losses = jax.lax.scan(
+            body, (trainable, opt_state, ema), (nets, errs))
+        return trainable, opt_state, losses, ema
 
     @jax.jit
     def eval_loss(trainable, net, err):
         return loss_fn(trainable, rig, net, err)
 
-    return step, eval_loss, epoch_step
+    return step, eval_loss, epoch_step, ema_update
 
 
 def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
@@ -137,8 +148,8 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
 
     tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm),
                      optax.adam(tcfg.lr))
-    step, eval_loss, epoch_step = make_train_step(rig, J, cfg, tcfg, tx,
-                                                  tcfg.optimise_matrices)
+    step, eval_loss, epoch_step, ema_update = make_train_step(
+        rig, J, cfg, tcfg, tx, tcfg.optimise_matrices)
 
     if mesh.shape.get("model", 1) > 1:
         # tensor-parallel layout for the MLP (parallel/mesh.py): rig and any
@@ -159,6 +170,12 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                               is not None else tx.init(trainable))
     batch_sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(None, "data"))
+    # Polyak average: seeded FROM the current params (no zero-init bias
+    # correction needed; a resumed leg starts its average at the loaded
+    # weights).  Same structure/sharding as `trainable`.
+    ema = (jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, "dtype")
+                                  else x, trainable)
+           if tcfg.ema_decay > 0 else None)
     # dataset uploaded ONCE, device-resident for all epochs
     bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
     k_batches = len(net_train) // bs
@@ -196,16 +213,18 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             # expensive through remote-TPU relays (see pipeline.py)
             if tcfg.scan_epoch and k_batches > 0:
                 epoch_key, k = jax.random.split(epoch_key)
-                trainable, opt_state, losses_d = epoch_step(
+                trainable, opt_state, losses_d, ema = epoch_step(
                     trainable, opt_state, net_dev_res, err_dev_res, k,
                     k_batches=k_batches, batch_size=bs,
-                    batch_sharding=batch_sharding)
+                    batch_sharding=batch_sharding, ema=ema)
                 train_loss = float(jnp.mean(losses_d))
             else:
                 losses, sizes = [], []
                 for net_b, err_b in batches(net_train, err_train, rng):
                     trainable, opt_state, loss = step(trainable, opt_state,
                                                       net_b, err_b)
+                    if ema is not None:
+                        ema = ema_update(ema, trainable)
                     losses.append(loss)
                     sizes.append(net_b.shape[0])
                 host = jax.device_get(losses)
@@ -223,10 +242,13 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                                  / rig_config.n_cameras / J / 2)
 
             if epoch % tcfg.eval_every == 0:
+                # with EMA on, the averaged weights ARE the model being
+                # trained: eval/early-stop/checkpoints all use them
+                eval_tree = ema if ema is not None else trainable
                 vlosses, vsizes = [], []
                 for net_b, err_b in batches(net_dev, err_dev,
                                             np.random.default_rng(0)):
-                    vlosses.append(eval_loss(trainable, net_b, err_b))
+                    vlosses.append(eval_loss(eval_tree, net_b, err_b))
                     vsizes.append(net_b.shape[0])
                 vhost = jax.device_get(vlosses)
                 val_loss = (sum(l * b for l, b in zip(vhost, vsizes))
@@ -242,11 +264,11 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
                     best = val_loss
                     patience = 0
                     result.best_val_loss = best
-                    # on-device copy — `trainable` is donated into the next
-                    # epoch_step, so a bare reference would dangle
+                    # on-device copy — `trainable`/`ema` are donated into
+                    # the next epoch_step, so a bare reference would dangle
                     best_device = jax.tree_util.tree_map(lambda x: x + 0
                                                          if hasattr(x, "dtype")
-                                                         else x, trainable)
+                                                         else x, eval_tree)
                     best_meta = {"epoch": epoch, "val_loss": val_loss,
                                  "train_loss": train_loss,
                                  "lifter_config": cfg, "train_config": tcfg,

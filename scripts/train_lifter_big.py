@@ -45,6 +45,10 @@ def main():
                     "reference's summed-L1-squared stalls at ~2x the DLT "
                     "prior's MPJPE; per_term/huber converge to the "
                     "reprojection least-squares optimum")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="Polyak/EMA weight-averaging decay (0 = off; "
+                    "typical 0.999).  Eval/early-stop/checkpoints use the "
+                    "averaged weights (LifterTrainConfig.ema_decay).")
     ap.add_argument("--prior-dropout", type=float, default=0.0,
                     help="per-joint chance of zeroing the triangulated-prior "
                     "fields on augmented copies (trains the residual head's "
@@ -180,7 +184,8 @@ def main():
 
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
-                             lr=args.lr, loss=args.loss)
+                             lr=args.lr, loss=args.loss,
+                             ema_decay=args.ema)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
                        tcfg, params=params, checkpoint_path=ckpt, log=log,
                        stop_flag=lambda: stop["flag"],

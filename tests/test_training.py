@@ -84,6 +84,61 @@ def test_lifter_dataset_and_training(single_person_files, panoptic_rig):
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
 
 
+def test_lifter_ema_training(single_person_files, panoptic_rig, tmp_path):
+    """Polyak/EMA averaging (extension; LifterTrainConfig.ema_decay).
+    decay→0 degenerates to the raw final iterate (plumbing check: eval/
+    snapshot/save all run through the EMA tree); a real decay yields
+    averaged params that differ from the raw run but train identically
+    (EMA never feeds back into the optimizer)."""
+    net, err = build_lifter_dataset(
+        single_person_files[0] + single_person_files[1], PANOPTIC,
+        panoptic_rig, augment=False)
+    net_dev, err_dev = build_lifter_dataset(
+        single_person_files[2], PANOPTIC, panoptic_rig, augment=False)
+    cfg = LifterConfig(widths=(64,))
+
+    def run(decay, **kw):
+        tcfg = LifterTrainConfig(epochs=6, batch_size=64, eval_every=2,
+                                 patience=10, lr=1e-3, ema_decay=decay, **kw)
+        return train_lifter(net, err, net_dev, err_dev, PANOPTIC,
+                            panoptic_rig, cfg, tcfg, log=lambda s: None)
+
+    res_off = run(0.0)
+    res_eps = run(1e-12)       # EMA ≈ the raw final iterate
+    for a, b in zip(jax.tree_util.tree_leaves(res_off.params),
+                    jax.tree_util.tree_leaves(res_eps.params)):
+        assert np.allclose(a, b, atol=1e-5)
+
+    res_ema = run(0.99)        # few steps: average lags the raw iterate
+    assert np.isfinite(res_ema.best_val_loss)
+    diffs = [float(np.abs(a - b).max())
+             for a, b in zip(jax.tree_util.tree_leaves(res_off.params),
+                             jax.tree_util.tree_leaves(res_ema.params))]
+    assert max(diffs) > 1e-6   # EMA params are genuinely averaged
+
+    # the non-scan path applies the same averaging
+    res_ns = run(0.99, scan_epoch=False)
+    assert np.isfinite(res_ns.best_val_loss)
+
+    # checkpointed params ARE the EMA copy
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.train.checkpoint import load_checkpoint
+
+    tcfg = LifterTrainConfig(epochs=4, batch_size=64, eval_every=1,
+                             patience=10, lr=1e-3, ema_decay=0.99,
+                             save_rel_improve=0.0)
+    path = str(tmp_path / "pose_estimator")
+    res_ck = train_lifter(net, err, net_dev, err_dev, PANOPTIC,
+                          panoptic_rig, cfg, tcfg, checkpoint_path=path,
+                          log=lambda s: None)
+    loaded, _, meta = load_checkpoint(
+        path, init_lifter(jax.random.PRNGKey(1), cfg))
+    for a, b in zip(jax.tree_util.tree_leaves(res_ck.params),
+                    jax.tree_util.tree_leaves(loaded)):
+        assert np.allclose(a, b)
+    assert meta["train_config"]["ema_decay"] == 0.99
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.train.checkpoint import load_checkpoint, save_checkpoint
