@@ -210,8 +210,9 @@ def main() -> int:
     tcfg = LifterTrainConfig(batch_size=bs)
     tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm),
                      optax.adam(tcfg.lr))
-    _, _, epoch_step = make_train_step(pipe.used_rig, rig_config.n_joints,
-                                       lcfg, tcfg, tx)
+    _, _, epoch_step, _ = make_train_step(pipe.used_rig,
+                                          rig_config.n_joints,
+                                          lcfg, tcfg, tx)
     # fresh fp32 params: the pipeline may have bf16-cast its own copy for
     # serving (serve_dtype), but training throughput/MFU must measure the
     # fp32 configuration train_lifter actually runs
@@ -227,19 +228,19 @@ def main() -> int:
     # time, long before the device has executed — only a value readback
     # truly synchronises (measured: a "blocked" queue later took 110 s to
     # drain at the first float()).
-    lparams, opt_state, losses = epoch_step(lparams, opt_state, net_all,
-                                            err_all, key,
-                                            k_batches=k_batches,
-                                            batch_size=bs)
+    lparams, opt_state, losses, _ = epoch_step(lparams, opt_state, net_all,
+                                               err_all, key,
+                                               k_batches=k_batches,
+                                               batch_size=bs)
     float(losses.sum())
     reps_t = 1 if smoke else 3
     t0 = time.perf_counter()
     for r in range(reps_t):
         key, k = jax.random.split(key)
-        lparams, opt_state, losses = epoch_step(lparams, opt_state, net_all,
-                                                err_all, k,
-                                                k_batches=k_batches,
-                                                batch_size=bs)
+        lparams, opt_state, losses, _ = epoch_step(lparams, opt_state,
+                                                   net_all, err_all, k,
+                                                   k_batches=k_batches,
+                                                   batch_size=bs)
     float(losses.sum())
     train_wall = time.perf_counter() - t0
     sps = reps_t * k_batches * bs / train_wall
