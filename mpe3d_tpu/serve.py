@@ -101,6 +101,10 @@ class PoseServer:
         self.dropped_low_quality = 0
         self._latency_sum_ms = 0.0
         self._native_misses = 0
+        # counters are bumped from both the reader and collector threads;
+        # += is a non-atomic read-modify-write, so stats go through a lock
+        import threading
+        self._stats_lock = threading.Lock()
         # a rig with a single matching camera cannot run the fused ≥2-view
         # decode; the staged path's single-camera bypass handles it
         self._bypass = len(pipe.match_idx) <= 1
@@ -154,7 +158,8 @@ class PoseServer:
         rec = {"seq": seq}
         if dropped:
             rec["dropped_low_quality"] = dropped
-            self.dropped_low_quality += dropped
+            with self._stats_lock:
+                self.dropped_low_quality += dropped
         rec["n_persons"] = int(len(poses))
         if ids is not None:
             rec["track_ids"] = ids.tolist()
@@ -163,19 +168,25 @@ class PoseServer:
         rec["poses_m"] = poses.round(4).tolist()
         lat = (time.perf_counter() - t0) * 1e3
         rec["latency_ms"] = round(lat, 3)
-        self.frames_served += 1
-        self._latency_sum_ms += lat
+        with self._stats_lock:
+            self.frames_served += 1
+            self._latency_sum_ms += lat
         return rec
 
+    def _bump_errors(self) -> None:
+        with self._stats_lock:
+            self.errors += 1
+
     def _stats(self) -> dict:
-        n = max(self.frames_served, 1)
-        rec = {"frames": self.frames_served, "errors": self.errors,
-               "mean_latency_ms": round(self._latency_sum_ms / n, 3),
-               "depth": self.depth,
-               "tracking": self.tracker is not None}
-        if self.quality_gate is not None:
-            rec["quality_gate_px"] = self.quality_gate
-            rec["dropped_low_quality"] = self.dropped_low_quality
+        with self._stats_lock:
+            n = max(self.frames_served, 1)
+            rec = {"frames": self.frames_served, "errors": self.errors,
+                   "mean_latency_ms": round(self._latency_sum_ms / n, 3),
+                   "depth": self.depth,
+                   "tracking": self.tracker is not None}
+            if self.quality_gate is not None:
+                rec["quality_gate_px"] = self.quality_gate
+                rec["dropped_low_quality"] = self.dropped_low_quality
         return rec
 
     # ------------------------------------------------------------------
@@ -197,11 +208,21 @@ class PoseServer:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         wlock = threading.Lock()
+        dead = threading.Event()   # client write side gone
         seq = 0
 
         def emit(rec):
-            with wlock:
-                write(json.dumps(rec) + "\n")
+            if dead.is_set():
+                return
+            try:
+                with wlock:
+                    write(json.dumps(rec) + "\n")
+            except Exception:
+                # client disconnected mid-stream (BrokenPipe on TCP,
+                # closed stdout).  The collector must survive: a dead
+                # collector would leave queued items un-task_done()d and
+                # the final drain()/q.join() would deadlock the server.
+                dead.set()
 
         def collector():
             while True:
@@ -213,7 +234,7 @@ class PoseServer:
                     try:
                         emit(self._collect(s, t0, ticket))
                     except Exception as e:   # device/readback failure:
-                        self.errors += 1     # report, keep serving
+                        self._bump_errors()  # report, keep serving
                         emit({"seq": s,
                               "error": f"{type(e).__name__}: {e}"})
                 finally:
@@ -227,6 +248,8 @@ class PoseServer:
 
         try:
             for line in lines:
+                if dead.is_set():
+                    break          # client gone: stop parsing/submitting
                 line = line.strip()
                 if not line:
                     continue
@@ -242,7 +265,7 @@ class PoseServer:
                         ticket = self._submit(line)
                     except Exception as e:  # malformed frame payloads
                         drain()
-                        self.errors += 1
+                        self._bump_errors()
                         emit({"seq": seq,
                               "error": f"{type(e).__name__}: {e}"})
                         seq += 1
@@ -254,7 +277,7 @@ class PoseServer:
                     obj = json.loads(line)
                 except ValueError as e:
                     drain()
-                    self.errors += 1
+                    self._bump_errors()
                     emit({"seq": seq, "error": f"bad json: {e}"})
                     seq += 1
                     continue
@@ -269,7 +292,7 @@ class PoseServer:
                         emit({"closed": True, **self._stats()})
                         return
                     else:
-                        self.errors += 1
+                        self._bump_errors()
                         emit({"error": f"unknown cmd: {cmd}"})
                     continue
                 if isinstance(obj, dict):
@@ -280,7 +303,7 @@ class PoseServer:
                         ticket = self._submit(obj)
                     except Exception as e:
                         drain()
-                        self.errors += 1
+                        self._bump_errors()
                         emit({"seq": seq,
                               "error": f"{type(e).__name__}: {e}"})
                         seq += 1
@@ -289,7 +312,7 @@ class PoseServer:
                     seq += 1
                     continue
                 drain()
-                self.errors += 1
+                self._bump_errors()
                 emit({"seq": seq, "error": "frame must be a JSON object"})
                 seq += 1
         finally:

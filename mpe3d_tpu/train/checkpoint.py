@@ -145,30 +145,63 @@ def _flat_leaves(tree, prefix: str) -> Dict[str, Any]:
     return {f"{prefix}.leaf_{i:05d}": l for i, l in enumerate(leaves)}
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _path_lock(path: str):
+    """Cross-PROCESS (flock) + cross-thread exclusive lock for one
+    checkpoint path.  The finalize swap (rmtree + rename) is not atomic:
+    a trainer's saver thread and an eval process calling read_meta can
+    otherwise interleave and delete a freshly swapped-in checkpoint."""
+    import fcntl
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path + ".lock", "a+") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+
+
 def _finalize_orbax(path: str) -> None:
     """Swap a COMMITTED staging save into place: `<path>.orbax.next/` →
-    `<path>.orbax/` and `<path>.json.next` → `<path>.json`.  The staging
-    dir only ever exists fully written (orbax renames its own tmp dir into
-    it), so this is safe to call at any time, including after a crash."""
+    `<path>.orbax/`, WITH its meta (`<path>.json.next` → `<path>.json`).
+    The staging dir only ever exists fully written (orbax renames its own
+    tmp dir into it) and its meta sidecar is written BEFORE the arrays
+    commit (_save_orbax), so arrays and meta always swap as a pair — safe
+    to call at any time, including after a crash."""
     import shutil
 
     staging, dest = path + ".orbax.next", path + ".orbax"
-    if os.path.isdir(staging):
-        if os.path.isdir(dest):
-            shutil.rmtree(dest)
-        os.rename(staging, dest)
-    if os.path.exists(path + ".json.next"):
-        os.replace(path + ".json.next", path + ".json")
+    if not (os.path.isdir(staging) or os.path.exists(path + ".json.next")):
+        return                      # fast path: nothing to adopt, no lock
+    with _path_lock(path):
+        if os.path.isdir(staging):
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.rename(staging, dest)
+            if os.path.exists(path + ".json.next"):
+                os.replace(path + ".json.next", path + ".json")
+        # a bare .json.next without staging = a save that died between
+        # meta write and array commit: stale, ignored (next save rewrites
+        # it); never pair new meta with old arrays
 
 
 def _remove_orbax_artifacts(path: str) -> None:
     import shutil
 
-    for d in (path + ".orbax", path + ".orbax.next"):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-    if os.path.exists(path + ".json.next"):
-        os.remove(path + ".json.next")
+    if not (os.path.isdir(path + ".orbax")
+            or os.path.isdir(path + ".orbax.next")
+            or os.path.exists(path + ".json.next")):
+        return
+    with _path_lock(path):
+        for d in (path + ".orbax", path + ".orbax.next"):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        if os.path.exists(path + ".json.next"):
+            os.remove(path + ".json.next")
 
 
 def _save_orbax(path: str, params, opt_state=None,
@@ -189,16 +222,18 @@ def _save_orbax(path: str, params, opt_state=None,
     def task():
         ckptr = _orbax_checkpointer()
         _finalize_orbax(abspath)          # adopt any committed predecessor
+        # meta is written to `<path>.json.next` BEFORE the arrays commit:
+        # the staging dir appears atomically (orbax tmp+rename) and any
+        # concurrent finalize swaps arrays+meta as a pair — there is no
+        # window where new arrays could pair with old meta
+        _write_meta_at(abspath + ".json.next", meta)
         ckptr.save(abspath + ".orbax.next",
                    args=ocp.args.StandardSave(flat), force=True)
-        # meta goes to `<path>.json.next` so the sidecar swaps in WITH its
-        # arrays (a crash between array commit and meta write must not
-        # pair new meta with old arrays)
-        _write_meta_at(abspath + ".json.next", meta)
         _finalize_orbax(abspath)
-        if os.path.exists(abspath + ".npz"):
-            os.remove(abspath + ".npz")   # the npz twin would shadow this
-            # save for loaders on the both-present path
+        with _path_lock(abspath):
+            if os.path.exists(abspath + ".npz"):
+                os.remove(abspath + ".npz")   # the npz twin would shadow
+                # this save for loaders on the both-present path
 
     if wait:
         task()

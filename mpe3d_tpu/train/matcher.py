@@ -278,66 +278,70 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     rng = np.random.default_rng(tcfg.seed)
     best, patience = float("inf"), 0
     t0 = time.time()
-    for epoch in range(tcfg.epochs):
-        # keep losses on device until epoch end (readbacks are expensive
-        # through remote-TPU relays; see pipeline.py)
-        if tcfg.scan_epoch and k_batches > 0:
-            epoch_key, k = jax.random.split(epoch_key)
-            params, opt_state, losses_d = epoch_step(
-                params, opt_state, scenes_res, k, k_batches=k_batches,
-                batch_size=bs, batch_sharding=batch_sharding)
-            train_loss = float(jnp.mean(losses_d))
-        else:
-            losses = []
-            for batch in batches(train_scenes, rng):
-                dk = None
-                if dropout_on:
-                    epoch_key, dk = jax.random.split(epoch_key)
-                params, opt_state, loss = step(params, opt_state, batch, dk)
-                losses.append(loss)
-            host = jax.device_get(losses)
-            train_loss = sum(host) / max(len(host), 1)
+    try:
+        for epoch in range(tcfg.epochs):
+            # keep losses on device until epoch end (readbacks are expensive
+            # through remote-TPU relays; see pipeline.py)
+            if tcfg.scan_epoch and k_batches > 0:
+                epoch_key, k = jax.random.split(epoch_key)
+                params, opt_state, losses_d = epoch_step(
+                    params, opt_state, scenes_res, k, k_batches=k_batches,
+                    batch_size=bs, batch_sharding=batch_sharding)
+                train_loss = float(jnp.mean(losses_d))
+            else:
+                losses = []
+                for batch in batches(train_scenes, rng):
+                    dk = None
+                    if dropout_on:
+                        epoch_key, dk = jax.random.split(epoch_key)
+                    params, opt_state, loss = step(params, opt_state, batch, dk)
+                    losses.append(loss)
+                host = jax.device_get(losses)
+                train_loss = sum(host) / max(len(host), 1)
 
-        if epoch % tcfg.eval_every == 0:
-            if dev_res is not None:
-                val_loss = float(eval_epoch(params, dev_res, k_batches=k_dev,
-                                            batch_size=bs,
-                                            batch_sharding=batch_sharding))
-            else:
-                vlosses = [eval_step(params, batch)
-                           for batch in batches(dev_scenes,
-                                                np.random.default_rng(0))]
-                vhost = jax.device_get(vlosses)
-                val_loss = sum(vhost) / max(len(vhost), 1)
-            result.history.append({"epoch": epoch, "train_loss": train_loss,
-                                   "val_loss": val_loss,
-                                   "elapsed_s": time.time() - t0})
-            log(f"epoch {epoch:5d} | loss {train_loss:.6f} | "
-                f"val {val_loss:.6f} | patience {patience}")
-            if val_loss < best:
-                best = val_loss
-                patience = 0
-                result.params = jax.device_get(params)
-                result.best_val_loss = best
-                if checkpoint_path:
-                    # orbax backend: async commit on a background thread
-                    # (matcher trees are small, but the relay round trip
-                    # isn't); npz: synchronous, as before
-                    save_checkpoint(checkpoint_path, result.params,
-                                    opt_state=jax.device_get(opt_state),
-                                    meta={"epoch": epoch,
-                                          "val_loss": val_loss,
-                                          "matcher_config": cfg,
-                                          "train_config": tcfg,
-                                          "n_slots": topo.n_slots},
-                                    backend=tcfg.checkpoint_backend,
-                                    wait=False)
-            else:
-                patience += 1
-                if patience >= tcfg.patience:
-                    break
-        result.epochs_run = epoch + 1
-    if not result.history:
-        result.params = jax.device_get(params)
-    wait_for_async_saves()               # in-loop orbax saves must commit
+            if epoch % tcfg.eval_every == 0:
+                if dev_res is not None:
+                    val_loss = float(eval_epoch(params, dev_res, k_batches=k_dev,
+                                                batch_size=bs,
+                                                batch_sharding=batch_sharding))
+                else:
+                    vlosses = [eval_step(params, batch)
+                               for batch in batches(dev_scenes,
+                                                    np.random.default_rng(0))]
+                    vhost = jax.device_get(vlosses)
+                    val_loss = sum(vhost) / max(len(vhost), 1)
+                result.history.append({"epoch": epoch, "train_loss": train_loss,
+                                       "val_loss": val_loss,
+                                       "elapsed_s": time.time() - t0})
+                log(f"epoch {epoch:5d} | loss {train_loss:.6f} | "
+                    f"val {val_loss:.6f} | patience {patience}")
+                if val_loss < best:
+                    best = val_loss
+                    patience = 0
+                    result.params = jax.device_get(params)
+                    result.best_val_loss = best
+                    if checkpoint_path:
+                        # orbax backend: async commit on a background thread
+                        # (matcher trees are small, but the relay round trip
+                        # isn't); npz: synchronous, as before
+                        save_checkpoint(checkpoint_path, result.params,
+                                        opt_state=jax.device_get(opt_state),
+                                        meta={"epoch": epoch,
+                                              "val_loss": val_loss,
+                                              "matcher_config": cfg,
+                                              "train_config": tcfg,
+                                              "n_slots": topo.n_slots},
+                                        backend=tcfg.checkpoint_backend,
+                                        wait=False)
+                else:
+                    patience += 1
+                    if patience >= tcfg.patience:
+                        break
+            result.epochs_run = epoch + 1
+        if not result.history:
+            result.params = jax.device_get(params)
+    finally:
+        # an interrupted run (Ctrl-C / relay drop — routine on
+        # multi-hour legs) must still surface async save failures
+        wait_for_async_saves()
     return result

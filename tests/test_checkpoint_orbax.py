@@ -185,6 +185,47 @@ def test_orbax_sharded_save_restores_sharded(tmp_path):
     _tree_allclose(tree, loaded)
 
 
+def test_concurrent_readers_during_async_saves(tmp_path):
+    """read_meta/checkpoint_exists from another thread while async saves
+    finalize: the flock'd swap must never crash a reader or destroy the
+    just-committed checkpoint (the unlocked rmtree+rename interleave
+    could)."""
+    import threading
+
+    from mpe3d_tpu.train.checkpoint import read_meta
+
+    cfg = LifterConfig(widths=(16,))
+    trees = [init_lifter(jax.random.PRNGKey(i), cfg) for i in range(6)]
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, trees[0], meta={"i": 0}, backend="orbax")
+    stop, reader_errs = threading.Event(), []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                assert checkpoint_exists(path)
+                m = read_meta(path)
+                assert "i" in m
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                reader_errs.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for i, tree in enumerate(trees[1:], start=1):
+        save_checkpoint(path, tree, meta={"i": i}, backend="orbax",
+                        wait=False)
+    wait_for_async_saves()
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not reader_errs, reader_errs
+    loaded, _, meta = load_checkpoint(path, trees[0])
+    _tree_allclose(trees[-1], loaded)
+    assert meta["i"] == len(trees) - 1
+
+
 def test_load_checkpoint_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_checkpoint(str(tmp_path / "nope"),

@@ -242,6 +242,28 @@ def test_control_cmd_anywhere_in_object(pipe, wire_frames):
     assert server.frames_served == 1
 
 
+def test_client_disconnect_mid_stream_does_not_wedge(pipe, wire_frames):
+    """A write failure (client gone: BrokenPipe on TCP, closed stdout)
+    must not kill the collector thread — a dead collector would leave
+    queued frames un-task_done()d and the final drain()/q.join() would
+    deadlock the server forever."""
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2)
+    wrote = []
+
+    def write(s):
+        if wrote:
+            raise BrokenPipeError("client went away")
+        wrote.append(s)
+
+    lines = [json.dumps(f) for f in wire_frames] * 3   # > depth frames
+    t = threading.Thread(target=server.handle_stream,
+                         args=(iter(lines), write), daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "handle_stream wedged after client disconnect"
+    assert len(wrote) == 1                 # served until the pipe broke
+
+
 def test_frame_containing_cmd_substring_is_served(pipe, wire_frames):
     """Classification sends any line containing '"cmd"' down the slow
     path; a real frame that merely CONTAINS the substring (no top-level
