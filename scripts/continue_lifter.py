@@ -26,6 +26,9 @@ def main():
                     "MATCH the original training spread or the model snaps "
                     "back to the narrow distribution")
     ap.add_argument("--min-cam-dist", type=float, default=0.0)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="Polyak/EMA averaging decay (0 = off; see "
+                    "LifterTrainConfig.ema_decay)")
     args = ap.parse_args()
     sp_parts = [float(x) for x in args.spread.split(",")]
     if len(sp_parts) > 2:
@@ -90,7 +93,8 @@ def main():
 
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
-                             lr=args.lr)
+                             lr=args.lr,
+                             ema_decay=args.ema)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
                        tcfg, params=params,
                        checkpoint_path=os.path.join(args.models,
