@@ -297,7 +297,8 @@ def _pose_metrics(args, backend: str):
     report = run_pose_metrics(_load_eval_files(args.testfiles, rig_config),
                               rig_config, pipe, datastep=args.datastep,
                               dataset_T_wc1=dataset_T, fused=args.fused,
-                              stream=getattr(args, "stream", 0))
+                              stream=getattr(args, "stream", 0),
+                              dedup_gt=getattr(args, "dedup_gt", False))
     _print_report(report)
 
 
@@ -719,6 +720,11 @@ def make_parser() -> argparse.ArgumentParser:
                        help="pipelined inference with N frames in flight")
         p.add_argument("--device-decode", action="store_true",
                        help="staged path: fuse greedy decode into stage 1")
+        p.add_argument("--dedup-gt", action="store_true",
+                       help="drop duplicated GT rows before scoring (wire-"
+                       "protocol artifact on dense scenes; data/frames.py::"
+                       "dedup_ground_truth).  Default = the reference's "
+                       "raw protocol.")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("sm-metrics-without-gt")

@@ -59,6 +59,28 @@ class FrameGroundTruth(NamedTuple):
     camera: str            # camera whose GT list was used
 
 
+def dedup_ground_truth(gt: "FrameGroundTruth") -> "FrameGroundTruth":
+    """Drop duplicated GT rows (file order kept, first occurrence wins).
+
+    Wire-protocol artifact: a ghost detection appends its SOURCE person's
+    GT entry again (the conversor associates every detection to its
+    nearest GT projection, so two detections of one person yield two
+    identical GT rows), and ``parse_frame_gt`` picks the camera with the
+    most entries — selection-biased toward duplicates.  A duplicate can
+    never be matched by a second proposal, so it deflates recall/mAP as a
+    pure protocol artifact (measured: dense synthetic 76.6 → 99.3 mAP
+    with decode at the oracle; scripts/diag_recall.py).  Opt-in via
+    ``run_pose_metrics(dedup_gt=True)`` / CLI ``--dedup-gt`` — the
+    default keeps the reference's raw protocol for parity."""
+    key = np.round(gt.gt3d.reshape(len(gt.gt3d), -1), 6)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    idx = np.sort(idx)
+    if len(idx) == len(gt.gt3d):
+        return gt
+    return FrameGroundTruth(gt.gt3d[idx], gt.gt_valid[idx],
+                            gt.person_valid[idx], gt.camera)
+
+
 def parse_frame(frame: Dict, rig: RigConfig, max_skeletons: int = 10,
                 cameras: Optional[Sequence[str]] = None) -> FrameArrays:
     """Parse one wire-format frame dict into FrameArrays.

@@ -41,7 +41,7 @@ def run_pose_metrics(frames, rig_config: RigConfig,
                      pipeline: PoseEstimationPipeline, datastep: int = 12,
                      dataset_T_wc1: Optional[np.ndarray] = None,
                      max_skeletons: int = 10, fused: bool = False,
-                     stream: int = 0) -> Dict:
+                     stream: int = 0, dedup_gt: bool = False) -> Dict:
     """Full-pipeline 3D accuracy + timing (≙ metrics_from_model.py:104-390).
 
     ``frames``: raw wire dicts (List[Dict], parsed per frame in python) OR
@@ -55,6 +55,10 @@ def run_pose_metrics(frames, rig_config: RigConfig,
     ``stream>0`` (implies fused) keeps that many frames in flight via
     ``infer_stream`` — dispatch/readback round trips overlap, and t_e2e_ms
     becomes steady-state wall-clock per frame.
+    ``dedup_gt=True`` drops duplicated GT rows before scoring (a wire-
+    protocol artifact that deflates recall on dense scenes; see
+    ``data.frames.dedup_ground_truth``).  Default False = the reference's
+    raw protocol, bit-for-bit.
     """
     acc = PoseEvalAccumulator(rig_config.used_joints)
     timing = TimingAccumulator()
@@ -62,10 +66,14 @@ def run_pose_metrics(frames, rig_config: RigConfig,
         if pipeline.rig.n_cameras > 1 else np.eye(4)
 
     selected = []            # (FrameArrays, gt3d, gt)
+    if dedup_gt:
+        from mpe3d_tpu.data.frames import dedup_ground_truth
     if isinstance(frames, tuple):
         for i, (fa, gt) in enumerate(zip(*frames)):
             if i % datastep != 0 or gt is None:
                 continue
+            if dedup_gt:
+                gt = dedup_ground_truth(gt)
             gt3d = gt.gt3d
             if dataset_T_wc1 is not None:
                 gt3d = transform_gt_to_world(gt3d, dataset_T_wc1,
@@ -78,6 +86,8 @@ def run_pose_metrics(frames, rig_config: RigConfig,
             gt = parse_frame_gt(frame, rig_config)
             if gt is None:
                 continue
+            if dedup_gt:
+                gt = dedup_ground_truth(gt)
             gt3d = gt.gt3d
             if dataset_T_wc1 is not None:
                 gt3d = transform_gt_to_world(gt3d, dataset_T_wc1,

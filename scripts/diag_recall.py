@@ -108,18 +108,7 @@ def main():
     oracle_pipe = pipes["baseline"]
     match_idx = np.asarray(rig_config.matching_camera_indices())
 
-    def dedup_gt(gt):
-        """Drop duplicated GT rows (a ghost detection appends its source
-        person's GT entry AGAIN — synthetic.py:367-374 — and parse_frame_gt
-        picks the camera with the MOST entries, selection-biased toward
-        duplicates; a duplicate can never be matched by a second proposal,
-        so it deflates recall as a pure protocol artifact)."""
-        from mpe3d_tpu.data.frames import FrameGroundTruth
-        key = np.round(gt.gt3d.reshape(len(gt.gt3d), -1), 6)
-        _, idx = np.unique(key, axis=0, return_index=True)
-        idx = np.sort(idx)
-        return FrameGroundTruth(gt.gt3d[idx], gt.gt_valid[idx],
-                                gt.person_valid[idx], gt.camera)
+    from mpe3d_tpu.data.frames import dedup_ground_truth as dedup_gt
 
     accs = {tag: PoseEvalAccumulator(rig_config.used_joints)
             for tag in list(variants) + ["oracle"]}

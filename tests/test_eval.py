@@ -110,3 +110,29 @@ def test_best_permutation_hungarian_matches_exhaustive():
     perm = best_permutation(t12)
     assert time.perf_counter() - t0 < 0.1
     assert sorted(perm) == list(range(12))
+
+
+def test_dedup_ground_truth():
+    """data/frames.py::dedup_ground_truth — duplicated GT rows (the wire
+    GT-duplication artifact) are dropped, first occurrence in file order
+    wins; already-unique GT passes through unchanged (same object)."""
+    from mpe3d_tpu.data.frames import FrameGroundTruth, dedup_ground_truth
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(18, 3)).astype(np.float32)
+    b = rng.normal(size=(18, 3)).astype(np.float32)
+    gt3d = np.stack([a, b, a])               # row 2 duplicates row 0
+    gt = FrameGroundTruth(gt3d,
+                          np.ones((3, 18), bool),
+                          np.array([True, True, False]),
+                          "trackera")
+    out = dedup_ground_truth(gt)
+    assert out.gt3d.shape[0] == 2
+    np.testing.assert_array_equal(out.gt3d[0], a)
+    np.testing.assert_array_equal(out.gt3d[1], b)
+    assert out.person_valid.tolist() == [True, True]   # first wins
+    assert out.camera == "trackera"
+
+    unique = FrameGroundTruth(np.stack([a, b]), np.ones((2, 18), bool),
+                              np.ones(2, bool), "trackera")
+    assert dedup_ground_truth(unique) is unique
