@@ -358,15 +358,24 @@ def cmd_infer(args):
     fas = []
     for p in args.testfiles:
         fas.extend(parse_frames_file(p, rig_config, args.max_skeletons))
-    if len(pipe.match_idx) <= 1:
-        # single matching camera: the fused decode needs ≥2 views — use the
-        # staged path's bypass (one proposal per present skeleton), like
-        # __call__ / run_pose_metrics do
-        outs = [pipe(fa) for fa in fas]
-    elif args.batch:
-        outs = pipe.infer_batch(fas)
-    else:
-        outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
+    from contextlib import nullcontext
+
+    trace_ctx = nullcontext()
+    if getattr(args, "profile_trace", None):
+        # TensorBoard-compatible device trace of the whole inference loop
+        # (utils/logging.py::profiler_trace; SURVEY §5 tracing plan)
+        from mpe3d_tpu.utils.logging import profiler_trace
+        trace_ctx = profiler_trace(args.profile_trace)
+    with trace_ctx:
+        if len(pipe.match_idx) <= 1:
+            # single matching camera: the fused decode needs ≥2 views — use
+            # the staged path's bypass (one proposal per present skeleton),
+            # like __call__ / run_pose_metrics do
+            outs = [pipe(fa) for fa in fas]
+        elif args.batch:
+            outs = pipe.infer_batch(fas)
+        else:
+            outs = list(pipe.infer_stream(fas, depth=max(args.stream, 1)))
     from mpe3d_tpu.serve import gate_and_track
 
     tracker = _make_tracker(args)
@@ -753,6 +762,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="one batched dispatch instead of streaming")
     p.add_argument("--stream", type=int, default=3,
                    help="streaming depth (frames in flight)")
+    p.add_argument("--profile-trace", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the inference "
+                   "loop to DIR (TensorBoard-compatible)")
     _add_track_flags(p)
     p.set_defaults(fn=cmd_infer)
 
