@@ -731,3 +731,40 @@ def test_gt_clusters_reference_edge_semantics(panoptic_rig):
     # frame (a) really exercises the '-1'-in-distance rule: one person
     matching_gt, flat, _ = gt_clusters(fa, ref_params, np, copy, 0)
     assert flat[0] == flat[1], flat
+
+
+def test_project_points_panoptic_matches_reference_panutils():
+    """convert/panoptic.py::project_points_panoptic == the reference's
+    panoptic_conversor/panutils.projectPoints run in-process (reference:
+    panutils.py:4-27), including the toolbox's in-place aliasing (the y
+    tangential term and the K row-1 term read already-updated x) and the
+    K skew path.  The reference caller passes np.matrix R/t/K
+    (get_joints_from_panoptic_model.py), where `*` is matmul."""
+    import importlib.util
+
+    from mpe3d_tpu.convert.panoptic import project_points_panoptic
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_panutils", os.path.join(REF, "panoptic_conversor",
+                                     "panutils.py"))
+    ref_panutils = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_panutils)
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        # random rotation via QR, points in front of the camera
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        R = q * np.sign(np.linalg.det(q))
+        t = rng.normal(size=(3, 1)) * 10.0
+        X = rng.normal(size=(3, 40)) * 100.0
+        X[2] = np.abs(X[2]) + 50.0
+        X = R.T @ (X - t)                       # guarantees depth > 0
+        K = np.array([[1400.0, 0.7, 960.0],     # skew exercised
+                      [0.0, 1410.0, 540.0],
+                      [0.0, 0.0, 1.0]])
+        Kd = np.array([-0.22, 0.15, 1e-3, -8e-4, 0.03])
+        ref = np.asarray(ref_panutils.projectPoints(
+            np.matrix(X), np.matrix(K), np.matrix(R), np.matrix(t), Kd))
+        ours = project_points_panoptic(np.asarray(X), K, np.asarray(R),
+                                       np.asarray(t), Kd)
+        np.testing.assert_allclose(ours, ref[0:2], rtol=0, atol=1e-9)
