@@ -180,6 +180,16 @@ def test_lifter_training_tensor_parallel(single_person_files, panoptic_rig):
         assert abs(htp["val_loss"] - hdp["val_loss"]) \
             <= 1e-3 * max(abs(hdp["val_loss"]), 1.0)
 
+    # EMA composes with the tp layout (averaged tree inherits the
+    # shardings through the scan; eval/checkpoint read the EMA copy)
+    tcfg_ema = LifterTrainConfig(epochs=4, batch_size=32, eval_every=2,
+                                 patience=10, lr=1e-3, ema_decay=0.9)
+    res_ema = train_lifter(net, err, net_dev, err_dev, PANOPTIC,
+                           panoptic_rig, cfg, tcfg_ema, mesh=mesh_tp,
+                           log=lambda s: None)
+    assert np.isfinite(res_ema.best_val_loss)
+    assert res_ema.params is not None
+
     # layout sanity: alternating column/row-parallel, output head replicated
     sh = lifter_tp_shardings(mesh_tp, res_tp.params and
                              {"layers": [{"w": np.zeros((1260, 256)),
