@@ -1,0 +1,144 @@
+#!/bin/bash
+# Relay-recovery orchestrator (round 2, post-outage rebuild).
+#
+# The axon relay went down on Aug 17 and the workspace was recreated from
+# git, losing every untracked checkpoint under runs/ (the pan_res residual
+# lifter, full_r2, arp_res, dataset caches).  This chain rebuilds them the
+# moment the relay returns, folding in every improvement validated since
+# leg 1 (prior-dropout augmentation, EMA 0.999), then reruns the on-chip
+# eval/bench suite.  Idempotent: each stage is skipped when its sentinel in
+# runs/.chain/ exists, so the script can be relaunched after a host restart.
+# Dataset-cache builds are serialised by an flock (one CPU core; also
+# prevents two builders racing on the same npz).
+#
+# Usage: nohup bash scripts/relay_chain.sh >> /tmp/chain.log 2>&1 &
+set -u
+cd /root/repo
+SENT=runs/.chain
+mkdir -p $SENT runs/cache reports
+log() { echo "[$(date -u '+%m-%d %H:%M:%S')] $*"; }
+
+CACHE_LOCK=/tmp/mpe3d_cache.lock
+PAN2_CACHE="runs/cache/PANOPTIC_sb2000_3x20000_sp0.8,2.0_mc1.2_prmedian_pd0.15_or0.0"
+LIFTER_KNOBS="--residual-prior --prior median --loss huber --spread 0.8,2.0 --min-cam-dist 1.2"
+
+stage() {  # stage <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -e "$SENT/$name.done" ]; then log "skip $name (done)"; return 0; fi
+  log "start $name: $*"
+  if timeout "$tmo" "$@" > "/tmp/chain_$name.log" 2>&1; then
+    touch "$SENT/$name.done"; log "done $name"
+  else
+    log "FAIL $name (rc=$?, log /tmp/chain_$name.log) — continuing"
+    return 1
+  fi
+}
+
+# ---- stage 0: CPU dataset caches (usable while the relay is down) -------
+# Re-running a build when its cache npz already exists is cheap (the
+# builder loads the cache and returns), so these double as existence checks.
+stage cache_pan1 21600 flock $CACHE_LOCK python scripts/train_lifter_big.py \
+  --out runs/pan_res --cpu --build-cache-only --cache-dir runs/cache \
+  $LIFTER_KNOBS --prior-dropout 0.15 --seed-base 1000
+stage cache_arp 21600 flock $CACHE_LOCK python scripts/train_lifter_big.py \
+  --out runs/arp_res --cpu --build-cache-only --cache-dir runs/cache \
+  --env ARPLAB $LIFTER_KNOBS --seed-base 1000
+
+# ---- stage 1: wait for the relay ----------------------------------------
+PROBE='import jax, jax.numpy as jnp; print("RELAY_OK", float((jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))'
+until timeout 240 python -c "$PROBE" 2>/dev/null | grep -q RELAY_OK; do
+  log "relay still down; sleeping 240s"
+  sleep 240
+done
+log "RELAY UP"
+
+# leg-2 cache builds on the now-idle CPU while the TPU trains leg 1
+if [ ! -e "$SENT/cache_pan2.done" ]; then
+  ( flock $CACHE_LOCK timeout 21600 python scripts/train_lifter_big.py \
+      --out runs/pan_res --cpu --build-cache-only --cache-dir runs/cache \
+      $LIFTER_KNOBS --prior-dropout 0.15 --seed-base 2000 \
+      > /tmp/chain_cache_pan2.log 2>&1 && touch $SENT/cache_pan2.done ) &
+fi
+
+# ---- stage 2: Panoptic residual lifter, consolidated leg 1 --------------
+stage pan_leg1 16200 python scripts/train_lifter_big.py --out runs/pan_res \
+  --cache-dir runs/cache $LIFTER_KNOBS --prior-dropout 0.15 --ema 0.999 \
+  --seed-base 1000
+
+# ---- stage 3: Panoptic evals (dense / wide / diagnosis / int8) ----------
+if [ -e runs/pan_res/pose_estimator.npz ]; then
+  mkdir -p runs/eval_res
+  cp models_demo/widefield/skeleton_matching.* runs/eval_res/
+  cp runs/pan_res/pose_estimator.* runs/eval_res/
+  stage eval_dense 3600 python scripts/eval_synthetic.py --models runs/eval_res \
+    --seed 30 --spread 1.2 --out reports/panoptic_residual_dense_r2b.json
+  stage eval_wide 3600 python scripts/eval_synthetic.py --models runs/eval_res \
+    --seed 30 --spread 1.8 --out reports/panoptic_residual_wide_r2b.json
+  stage diag_prior 2400 python scripts/diag_lifter_prior.py \
+    --env PANOPTIC --lifter runs/pan_res/pose_estimator \
+    --out reports/panoptic_residual_prior_diag_r2b.json
+  stage eval_int8 3600 python scripts/eval_serve_int8.py --models runs/eval_res \
+    --cpu --out reports/serve_int8_residual_r2b.json
+fi
+
+# ---- stage 4: ARPLAB residual lifter + its published-protocol eval ------
+stage arp_leg1 16200 python scripts/train_lifter_big.py --out runs/arp_res \
+  --cache-dir runs/cache --env ARPLAB $LIFTER_KNOBS --ema 0.999 --seed-base 1000
+if [ -e runs/arp_res/pose_estimator.npz ]; then
+  stage eval_arp 3600 python scripts/eval_arplab.py \
+    --matcher models_demo/arplab --lifter runs/arp_res \
+    --out reports/arplab_residual_clean_r2b.json
+fi
+
+# ---- stage 5: serve-dtype on-chip benches (one process per dtype) -------
+stage int8_check 1800 python scripts/check_int8_onchip.py
+stage serve_fp32 1800 python scripts/bench_serve_dtype.py --dtype fp32
+stage serve_bf16 1800 python scripts/bench_serve_dtype.py --dtype bf16
+stage serve_int8 1800 python scripts/bench_serve_dtype.py --dtype int8
+stage depth_sweep 1800 python scripts/bench_stream_depth.py
+
+# ---- stage 6: serving replay bench through a spawned server -------------
+if [ ! -e "$SENT/serve_replay.done" ]; then
+  stage replay_rec 1800 python -m mpe3d_tpu generate-synthetic \
+    --output runs/replay_recording.json --frames 120 --seed 5 \
+    --tm /root/reference/tm_panoptic.pickle
+  if timeout 2400 python scripts/serve_replay.py --spawn \
+      "--modelsdir models_demo/widefield --backend triangulation --warmup --tm /root/reference/tm_panoptic.pickle" \
+      runs/replay_recording.json > runs/serve_replay_tpu.json 2> /tmp/chain_serve_replay.log; then
+    touch $SENT/serve_replay.done; log "done serve_replay"
+  else
+    log "FAIL serve_replay (log /tmp/chain_serve_replay.log)"
+  fi
+fi
+
+# ---- stage 7: matcher ablation variants (VERDICT item 4 table) ----------
+for v in drop residual bce; do
+  case $v in
+    drop)     FLAGS="--feat-drop 0.1 --attn-drop 0.1";;
+    residual) FLAGS="--residual";;
+    bce)      FLAGS="--bce";;
+  esac
+  stage matcher_$v 10800 python scripts/train_matcher_big.py \
+    --out runs/matcher_$v --limit 20000 --epochs 160 $FLAGS
+done
+MATCHERS="models_demo"
+for v in drop residual bce; do
+  [ -e runs/matcher_$v/skeleton_matching.npz ] && MATCHERS="$MATCHERS runs/matcher_$v"
+done
+stage matcher_variants 7200 python scripts/eval_matcher_composite.py \
+  --matchers $MATCHERS --out runs/matcher_variants.json
+
+# ---- stage 8: Panoptic leg 2 on fresh frames (quality headroom) ---------
+wait  # pan2 cache build, if still running
+stage pan_leg2 16200 python scripts/train_lifter_big.py --out runs/pan_res \
+  --cache-dir runs/cache $LIFTER_KNOBS --prior-dropout 0.15 --ema 0.999 \
+  --seed-base 2000 --resume
+if [ -e "$SENT/pan_leg2.done" ]; then
+  cp runs/pan_res/pose_estimator.* runs/eval_res/
+  stage eval_dense2 3600 python scripts/eval_synthetic.py --models runs/eval_res \
+    --seed 30 --spread 1.2 --out reports/panoptic_residual_dense_r2c.json
+  stage eval_wide2 3600 python scripts/eval_synthetic.py --models runs/eval_res \
+    --seed 30 --spread 1.8 --out reports/panoptic_residual_wide_r2c.json
+fi
+
+log "ALL STAGES DONE"
