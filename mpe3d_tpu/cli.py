@@ -455,11 +455,25 @@ def cmd_show_results(args):
         poses.append(p)
         quals.append(q)
         gts.append(gt.gt3d if (args.showgt and gt) else None)
-    path = render_sequence(poses, rig_config, args.out,
-                           gts if args.showgt else None,
-                           frames_track_ids=tids if tracker else None,
-                           frames_quality=quals if args.show_quality
-                           else None)
+    if args.out.endswith(".html"):
+        # interactive single-file viewer (≙ the reference's animated
+        # pyqtgraph window, test/show_results_from_model.py:78-376)
+        from mpe3d_tpu.geometry.camera import cam_centers_world
+        from mpe3d_tpu.viz.html_viewer import write_html_viewer
+        path = write_html_viewer(
+            poses, rig_config, args.out,
+            frames_gt=gts if args.showgt else None,
+            frames_track_ids=tids if tracker else None,
+            frames_quality=quals if args.show_quality else None,
+            camera_centers=np.asarray(cam_centers_world(rig.T_cw)),
+            title=f"mpe3d_tpu {args.backend} · "
+                  f"{os.path.basename(args.testfiles[0])}")
+    else:
+        path = render_sequence(poses, rig_config, args.out,
+                               gts if args.showgt else None,
+                               frames_track_ids=tids if tracker else None,
+                               frames_quality=quals if args.show_quality
+                               else None)
     print(f"wrote {path}")
 
 

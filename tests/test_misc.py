@@ -83,3 +83,57 @@ def test_viewer_track_and_quality_overlay(tmp_path):
                            fps=2)
     import os
     assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_html_viewer_writes_selfcontained_file(tmp_path):
+    """write_html_viewer embeds a parseable JSON payload (poses, GT, ids,
+    quality, cameras) in one dependency-free HTML file — the interactive
+    counterpart of the reference's pyqtgraph window."""
+    import json
+    import re
+
+    import numpy as np
+
+    from mpe3d_tpu.config import PANOPTIC
+    from mpe3d_tpu.viz.html_viewer import write_html_viewer
+    from mpe3d_tpu.viz.viewer import remap_axes
+
+    rng = np.random.default_rng(1)
+    J = PANOPTIC.n_joints
+    frames = [rng.normal(size=(2, J, 3)).astype(np.float32)
+              for _ in range(3)]
+    gts = [rng.normal(size=(2, J, 3)).astype(np.float32) for _ in range(3)]
+    ids = [np.array([4, 7])] * 3
+    quals = [np.array([1.25, -1.0])] * 3
+    cams = rng.normal(size=(5, 3))
+    out = str(tmp_path / "viewer.html")
+    path = write_html_viewer(frames, PANOPTIC, out, frames_gt=gts,
+                             frames_track_ids=ids, frames_quality=quals,
+                             camera_centers=cams, fps=4)
+    text = open(path).read()
+    assert "<canvas" in text and "requestAnimationFrame" in text
+    m = re.search(r"const D=(\{.*?\});\n", text, re.S)
+    assert m, "payload not found"
+    data = json.loads(m.group(1))
+    assert len(data["frames"]) == 3
+    assert len(data["frames"][0]["p"]) == 2
+    assert len(data["frames"][0]["p"][0]) == J
+    assert data["frames"][0]["id"] == [4, 7]
+    assert data["frames"][0]["q"] == [1.2, -1.0]
+    assert "g" in data["frames"][0] and len(data["cams"]) == 5
+    assert data["axes"] == [lbl for lbl, _ in PANOPTIC.axes_3d]
+    # payload poses are in display space (axis remap applied)
+    want = np.round(remap_axes(frames[1].astype(np.float64), PANOPTIC), 3)
+    np.testing.assert_allclose(np.array(data["frames"][1]["p"]), want)
+
+
+def test_html_viewer_empty_frames(tmp_path):
+    """Frames with zero detected people serialise as empty lists."""
+    import numpy as np
+
+    from mpe3d_tpu.config import PANOPTIC
+    from mpe3d_tpu.viz.html_viewer import write_html_viewer
+
+    out = write_html_viewer([np.zeros((0, 18, 3))], PANOPTIC,
+                            str(tmp_path / "empty.html"))
+    assert '"p":[]' in open(out).read()
