@@ -75,7 +75,7 @@ if [ -e runs/pan_res/pose_estimator.npz ]; then
   stage eval_wide 3600 python scripts/eval_synthetic.py --models runs/eval_res \
     --seed 30 --spread 1.8 --out reports/panoptic_residual_wide_r2b.json
   stage diag_prior 2400 python scripts/diag_lifter_prior.py \
-    --env PANOPTIC --lifter runs/pan_res/pose_estimator \
+    --env PANOPTIC --lifter runs/pan_res \
     --out reports/panoptic_residual_prior_diag_r2b.json
   stage eval_int8 3600 python scripts/eval_serve_int8.py --models runs/eval_res \
     --cpu --out reports/serve_int8_residual_r2b.json
