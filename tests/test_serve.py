@@ -381,3 +381,36 @@ def test_serve_protocol_fuzz(pipe, wire_frames):
     errored = [r for r in recs if "error" in r]
     assert len(served) == expect_frames == server.frames_served
     assert len(errored) == expect_errors == server.errors
+
+
+def test_serve_dtype_auto_policy():
+    """serve's --serve-dtype auto resolves to int8 only for residual-prior
+    checkpoints on a TPU backend at default matmul precision
+    (cli.resolve_auto_serve_dtype; measured −0.03 mm,
+    reports/serve_int8_residual_r2b.json)."""
+    from mpe3d_tpu.cli import resolve_auto_serve_dtype
+    from mpe3d_tpu.config import LifterConfig
+
+    res = LifterConfig(residual_prior=True)
+    absol = LifterConfig(residual_prior=False)
+    assert resolve_auto_serve_dtype(res, "tpu", None) == "int8"
+    assert resolve_auto_serve_dtype(res, "tpu", "default") == "int8"
+    # absolute-head checkpoints: int8 is a real accuracy change — stays off
+    assert resolve_auto_serve_dtype(absol, "tpu", None) is None
+    # off-TPU, or when the user globally forced a higher matmul precision,
+    # nothing lossy is auto-selected
+    assert resolve_auto_serve_dtype(res, "cpu", None) is None
+    assert resolve_auto_serve_dtype(res, "tpu", "highest") is None
+
+
+def test_serve_subcommand_opts_into_auto_int8():
+    """Only the serve subcommand carries the serve_auto_int8 default —
+    eval/infer keep the bit-identical pipeline default under 'auto'."""
+    from mpe3d_tpu.cli import make_parser
+
+    ap = make_parser()
+    serve_args = ap.parse_args(["serve", "--modelsdir", "x"])
+    assert getattr(serve_args, "serve_auto_int8", False) is True
+    infer_args = ap.parse_args(["infer", "--modelsdir", "x",
+                                "--testfiles", "y", "--out", "z"])
+    assert getattr(infer_args, "serve_auto_int8", False) is False
