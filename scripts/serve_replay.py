@@ -41,6 +41,16 @@ def replay(rfile, wfile, frames, limit):
     frames = frames[:limit]
     sent = len(frames)
 
+    # readiness gate: the server answers a ping only once its serve loop is
+    # live — i.e. after imports, model load, and --warmup compiles.  Without
+    # this, spawn-mode wall time charges ~a minute of cold-start to the
+    # first frames (a TCP client connecting to a warm server never sees it).
+    wfile.write('{"cmd": "ping"}\n')
+    wfile.flush()
+    for line in rfile:
+        if "pong" in json.loads(line):
+            break
+
     def feed():
         for f in frames:
             wfile.write(json.dumps(f) + "\n")
