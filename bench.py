@@ -120,11 +120,13 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1000.0)
 
-    # pipelined streaming latency (depth-8 in-flight: dispatch/readback
-    # round trips overlap — steady-state per-frame wall clock)
-    list(pipe.infer_stream(frames, depth=8))   # warm
+    # pipelined streaming latency (depth-16 in-flight: dispatch/readback
+    # round trips overlap — steady-state per-frame wall clock; depth 16
+    # measured fastest through the relay, scripts/bench_stream_depth.py:
+    # 8.4/4.7/3.3/3.5 ms at depth 4/8/16/32)
+    list(pipe.infer_stream(frames, depth=16))   # warm
     t0 = time.perf_counter()
-    outs = list(pipe.infer_stream(frames, depth=8))
+    outs = list(pipe.infer_stream(frames, depth=16))
     stream_ms = (time.perf_counter() - t0) / max(len(outs), 1) * 1e3
 
     # serving front-end loopback: the full `serve` path per frame — wire
@@ -135,11 +137,11 @@ def main() -> int:
     lines = [json.dumps(w) for w in wire]
     sink = []
     PoseServer(pipe, rig_config, max_skeletons=4,
-               depth=8).handle_stream(lines, sink.append)      # warm
+               depth=16).handle_stream(lines, sink.append)      # warm
     sink = []
     t0 = time.perf_counter()
     PoseServer(pipe, rig_config, max_skeletons=4,
-               depth=8).handle_stream(lines, sink.append)
+               depth=16).handle_stream(lines, sink.append)
     serve_ms = (time.perf_counter() - t0) / max(len(sink), 1) * 1e3
 
     # batched offline-eval throughput (one dispatch per batch)

@@ -93,11 +93,22 @@ def decode_person_proposals_device(
     linked0 = jax.nn.one_hot(jnp.arange(H) // S, C, dtype=bool)  # own camera
     ccams0 = jnp.zeros((H, C), bool)
 
+    # The loop body is the latency-critical serial section: every update is
+    # a DENSE masked op on the tiny [H]/[C]/[H,C] state (iota-compare
+    # one-hots + where/or), never a scatter — dynamic-index scatters are
+    # the slowest op class on TPU and an earlier scatter-based body
+    # measured ~20 µs/iteration (3.4 ms/frame at E=160, the whole fused
+    # frame's budget).  Semantics are identical (tests/test_decode_device.py
+    # asserts host≡device over randomized fields either way).
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+
     def body(i, state):
         cluster, linked, ccams = state
         k = order[i]
         a, b = e1[k], e2[k]
-        ca, cb = cam1[k], cam2[k]
+        oa, ob = iota_h == a, iota_h == b          # [H] head one-hots
+        oca, ocb = iota_c == cam1[k], iota_c == cam2[k]  # [C] camera one-hots
         live = i < n_live
 
         ka, kb = cluster[a], cluster[b]
@@ -106,20 +117,19 @@ def decode_person_proposals_device(
         ccams_a = ccams[jnp.maximum(ka, 0)]
         ccams_b = ccams[jnp.maximum(kb, 0)]
 
-        reject = (linked[b, ca] | linked[a, cb]
-                  | (a_has & ccams_a[cb])
-                  | (b_has & ccams_b[ca])
+        reject = (jnp.any(linked[b] & oca) | jnp.any(linked[a] & ocb)
+                  | (a_has & jnp.any(ccams_a & ocb))
+                  | (b_has & jnp.any(ccams_b & oca))
                   | (a_has & b_has & jnp.any(ccams_a & ccams_b)))
         do = live & ~reject
 
         # surviving root: a's cluster if any, else b's cluster, else head a
         root = jnp.where(a_has, ka, jnp.where(b_has, kb, a))
-        # merge case relabels kb's members to root
-        relabel_from = jnp.where(a_has & b_has, kb, jnp.asarray(-2, jnp.int32))
-        new_cluster = jnp.where(
-            do & (cluster == relabel_from), root, cluster)
-        new_cluster = jnp.where(do, new_cluster.at[a].set(root)
-                                .at[b].set(root), cluster)
+        oroot = iota_h == root                     # [H] root-row one-hot
+        merge = a_has & b_has
+        # merge case relabels kb's members to root; a and b always join it
+        relabel = (merge & (cluster == kb)) | oa | ob
+        new_cluster = jnp.where(do & relabel, root, cluster)
 
         # camera set of the surviving root (matching/decode.py semantics):
         # new pair → {ca, cb}; extension → ONLY the other endpoint's camera
@@ -127,26 +137,24 @@ def decode_person_proposals_device(
         # quirk merge and must STAY forgotten — reference
         # skeleton_matching_utils.py:85-99); cluster-cluster merge adds
         # NOTHING under the quirk (:100-104), b's whole set when corrected
-        merge = a_has & b_has
-        add_a = jnp.zeros((C,), bool).at[ca].set(True)
-        add_b = jnp.zeros((C,), bool).at[cb].set(True)
         if reference_merge_quirk:
-            add = jnp.where(~a_has & ~b_has, add_a | add_b,
+            add = jnp.where(~a_has & ~b_has, oca | ocb,
                   jnp.where(merge, jnp.zeros((C,), bool),
-                  jnp.where(a_has, add_b, add_a)))
+                  jnp.where(a_has, ocb, oca)))
         else:
-            add = add_a | add_b | jnp.where(merge, ccams_b, False)
+            add = oca | ocb | jnp.where(merge, ccams_b, False)
         add = add | jnp.where(a_has, ccams_a, False) \
                   | jnp.where(b_has & ~merge, ccams_b, False)
-        new_ccams = jnp.where(do, ccams.at[root].set(ccams[root] | add),
-                              ccams)
-        # clear the absorbed root so later pairs don't see stale sets
-        clear = do & a_has & b_has & (kb != root)
-        new_ccams = jnp.where(clear, new_ccams.at[jnp.maximum(kb, 0)]
-                              .set(jnp.zeros((C,), bool)), new_ccams)
+        # OR `add` into the root's row; zero the absorbed root's row so
+        # later pairs don't see stale sets (clear ⇒ kb ≠ root, so the two
+        # row updates commute)
+        okb = iota_h == jnp.maximum(kb, 0)
+        clear = do & merge & (kb != root)
+        new_ccams = ((ccams | ((do & oroot)[:, None] & add[None, :]))
+                     & ~(clear & okb)[:, None])
 
-        new_linked = jnp.where(do, linked.at[a, cb].set(True)
-                               .at[b, ca].set(True), linked)
+        new_linked = linked | (do & ((oa[:, None] & ocb[None, :])
+                                     | (ob[:, None] & oca[None, :])))
         return new_cluster, new_linked, new_ccams
 
     cluster, _, _ = jax.lax.fori_loop(0, K, body,

@@ -37,6 +37,14 @@ def main():
                     help="legacy alias: --bf16 1 == --dtype bf16")
     ap.add_argument("--k", type=int, default=120,
                     help="long-chain length (short chain is 20)")
+    ap.add_argument("--decode-top-k", type=int, default=0,
+                    help="device decode candidate cap (0 = exact/uncapped "
+                    "— the decode-stress configuration; 64 = the "
+                    "pipeline's serving default)")
+    ap.add_argument("--threshold", type=float, default=0.05,
+                    help="decode eligibility threshold (0.05 makes the "
+                    "untrained matcher merge nearly every pair — decode "
+                    "worst case; 0.5 = serving default)")
     args = ap.parse_args()
     dtype = args.dtype or ("bf16" if args.bf16 in (None, 1) else "fp32")
 
@@ -65,9 +73,10 @@ def main():
         rig_config, rig,
         init_matcher(jax.random.PRNGKey(0), mcfg), mcfg, lp, lcfg,
         slot_buckets=(4,), person_buckets=(8,),
-        # low threshold: the untrained matcher must decode real persons so
-        # the |Δpose| check compares actual lifter outputs, not zero masks
-        threshold=0.05, decode_top_k=0,
+        # default low threshold: the untrained matcher must decode real
+        # persons so the |Δpose| check compares actual lifter outputs, not
+        # zero masks
+        threshold=args.threshold, decode_top_k=args.decode_top_k,
         serve_dtype={"fp32": False, "bf16": jnp.bfloat16,
                      "int8": "int8"}[dtype])
 
@@ -109,6 +118,7 @@ def main():
     ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
 
     out = {"dtype": dtype, "backend": jax.default_backend(),
+           "decode_top_k": args.decode_top_k, "threshold": args.threshold,
            "ondevice_frame_us": round(ondevice_us, 1)}
     if dtype != "int8":
         # numerical check vs the OTHER fp dtype on the same frame (same
