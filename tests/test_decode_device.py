@@ -105,3 +105,26 @@ def test_device_decode_quirk_forgotten_camera_stays_forgotten():
     # the final edge really was accepted: camera 2 ends at the SECOND head
     # (slot 1, last-writer-wins over ascending head ids)
     assert len(host) == 1 and host[0][2] == 1, host
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_device_decode_matches_host_panoptic_dense(seed):
+    """Panoptic-shaped topology (5 cams x 6 slots, 360 pairs) at a low
+    threshold — nearly every pair is eligible, so the greedy loop performs
+    the maximum number of merges/rejections.  This is the configuration
+    the dense one-hot loop body is optimised for; equivalence with the
+    host decoder must hold through the rewrite."""
+    topo = build_topology(5, 6)
+    rng = np.random.default_rng(1000 + seed)
+    scores = rng.uniform(0, 1, topo.n_pairs).astype(np.float32)
+    present = rng.random((5, 6)) < 0.9
+    pm = (present.reshape(-1)[topo.e1]
+          & present.reshape(-1)[topo.e2]).astype(np.float32)
+
+    host = decode_person_proposals(scores, pm, topo, min_views=2,
+                                   threshold=0.05)
+    dev_p, dev_m = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2,
+        threshold=0.05)
+    dev = np.asarray(dev_p)[np.asarray(dev_m)]
+    assert _person_sets(host) == _person_sets(dev)
