@@ -70,6 +70,13 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mpe3d_format_result.restype = ctypes.c_int64
+        lib.mpe3d_format_result.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            f32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_char_p, ctypes.c_int64,
+        ]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure → python fallback
         print(f"[mpe3d.native] build/load failed ({type(e).__name__}: {e}); "
@@ -87,6 +94,38 @@ def count_frames_native(text: bytes) -> Optional[int]:
         text = text.encode()
     n = lib.mpe3d_count_frames(text, len(text))
     return None if n < 0 else int(n)
+
+
+def format_result_native(seq: int, poses: np.ndarray,
+                         quality: Optional[np.ndarray] = None,
+                         track_ids: Optional[np.ndarray] = None,
+                         dropped: int = 0,
+                         latency_ms: float = 0.0) -> Optional[str]:
+    """Serve-response line via the C++ serializer (serve.py::_collect's
+    dict layout: poses 4 decimals, quality 2, latency 3).  Returns the
+    full line incl. trailing newline, or None when the library is
+    unavailable or any value is non-finite (caller falls back to
+    json.dumps)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    poses = np.ascontiguousarray(poses, np.float32)
+    P = int(poses.shape[0])
+    J = int(poses.shape[1]) if poses.ndim == 3 else 0
+    q_buf = (np.ascontiguousarray(quality, np.float32)
+             if quality is not None else None)
+    t_buf = (np.ascontiguousarray(track_ids, np.int32)
+             if track_ids is not None else None)
+    cap = 128 + P * 48 + P * J * 3 * 16
+    out = ctypes.create_string_buffer(cap)
+    n = lib.mpe3d_format_result(
+        seq, dropped, poses, P, J,
+        q_buf.ctypes.data if q_buf is not None else None,
+        t_buf.ctypes.data if t_buf is not None else None,
+        float(latency_ms), out, cap)
+    if n <= 0:
+        return None
+    return out.raw[:n].decode()
 
 
 def parse_frames_native(text: bytes, camera_names: Sequence[str],

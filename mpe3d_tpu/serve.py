@@ -150,27 +150,40 @@ class PoseServer:
             return t0, self.pipe(fa)          # synchronous staged path
         return t0, self.pipe.submit_fused(fa)
 
-    def _collect(self, seq: int, t0: float, ticket) -> dict:
+    def _collect(self, seq: int, t0: float, ticket):
+        """Returns the response as a preformatted line (str, C++ fast
+        path — json.dumps of the poses measured ~140 µs/frame, on par
+        with the whole on-device frame time) or as a dict (python
+        fallback; ``emit`` serialises it)."""
         out = ticket if self._bypass else self.pipe.collect_fused(ticket)
         poses, quality, _, ids, dropped = gate_and_track(
             out.poses, out.quality, gate=self.quality_gate,
             tracker=self.tracker)
+        if dropped:
+            with self._stats_lock:
+                self.dropped_low_quality += dropped
+        lat = (time.perf_counter() - t0) * 1e3
+        with self._stats_lock:
+            self.frames_served += 1
+            self._latency_sum_ms += lat
+
+        from mpe3d_tpu.native import format_result_native
+        line = format_result_native(seq, poses, quality=quality,
+                                    track_ids=ids, dropped=dropped,
+                                    latency_ms=lat)
+        if line is not None:
+            return line
+
         rec = {"seq": seq}
         if dropped:
             rec["dropped_low_quality"] = dropped
-            with self._stats_lock:
-                self.dropped_low_quality += dropped
         rec["n_persons"] = int(len(poses))
         if ids is not None:
             rec["track_ids"] = ids.tolist()
         if quality is not None:
             rec["quality_px"] = quality.round(2).tolist()
         rec["poses_m"] = poses.round(4).tolist()
-        lat = (time.perf_counter() - t0) * 1e3
         rec["latency_ms"] = round(lat, 3)
-        with self._stats_lock:
-            self.frames_served += 1
-            self._latency_sum_ms += lat
         return rec
 
     def _bump_errors(self) -> None:
@@ -216,7 +229,8 @@ class PoseServer:
                 return
             try:
                 with wlock:
-                    write(json.dumps(rec) + "\n")
+                    write(rec if isinstance(rec, str)
+                          else json.dumps(rec) + "\n")
             except Exception:
                 # client disconnected mid-stream (BrokenPipe on TCP,
                 # closed stdout).  The collector must survive: a dead

@@ -300,3 +300,50 @@ def test_native_differential_fuzz():
             assert gts_native[f].camera == ref_gt.camera, f
             assert np.allclose(gts_native[f].gt3d, ref_gt.gt3d[:P],
                                atol=1e-5), f
+
+
+def test_format_result_native_matches_python():
+    """The C++ response serializer emits the same record as serve.py's
+    python dict path: identical keys/order, ints exact, floats equal to
+    their rounded-decimal counterparts (poses 4 dp, quality 2 dp,
+    latency 3 dp)."""
+    import json
+
+    import numpy as np
+
+    from mpe3d_tpu.native import format_result_native, load_library
+
+    if load_library() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    poses = (rng.standard_normal((3, 18, 3)) * 2).astype(np.float32)
+    quality = (rng.random(3) * 40).astype(np.float32)
+    ids = np.array([5, 2, 9], np.int32)
+
+    line = format_result_native(7, poses, quality=quality, track_ids=ids,
+                                dropped=2, latency_ms=1.23456)
+    assert line is not None and line.endswith("\n")
+    rec = json.loads(line)
+    py = {"seq": 7, "dropped_low_quality": 2, "n_persons": 3,
+          "track_ids": ids.tolist(), "quality_px": quality.round(2).tolist(),
+          "poses_m": poses.round(4).tolist(), "latency_ms": round(1.23456, 3)}
+    assert list(rec.keys()) == list(py.keys())
+    assert rec["seq"] == 7 and rec["n_persons"] == 3
+    assert rec["track_ids"] == py["track_ids"]
+    assert rec["dropped_low_quality"] == 2
+    np.testing.assert_allclose(rec["quality_px"], py["quality_px"], atol=1e-6)
+    np.testing.assert_allclose(rec["poses_m"], py["poses_m"], atol=1e-6)
+    assert abs(rec["latency_ms"] - py["latency_ms"]) < 1e-6
+
+    # minimal record: no ids/quality/drops; empty poses
+    line0 = format_result_native(0, np.zeros((0, 18, 3), np.float32))
+    rec0 = json.loads(line0)
+    assert rec0 == {"seq": 0, "n_persons": 0, "poses_m": [],
+                    "latency_ms": 0.0}
+
+    # non-finite values refuse (python fallback handles them)
+    bad = poses.copy()
+    bad[0, 0, 0] = np.nan
+    assert format_result_native(1, bad) is None
