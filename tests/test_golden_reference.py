@@ -768,3 +768,87 @@ def test_project_points_panoptic_matches_reference_panutils():
         ours = project_points_panoptic(np.asarray(X), K, np.asarray(R),
                                        np.asarray(t), Kd)
         np.testing.assert_allclose(ours, ref[0:2], rtol=0, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def ref_decode_module():
+    """Import the reference's decoder (utils/skeleton_matching_utils.py) —
+    pure networkx + parameters, no DGL needed: the DGL subgraph argument is
+    duck-typed below (only ``.edges()`` is called)."""
+    added = []
+    for p in (REF, os.path.join(REF, "utils")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+            added.append(p)
+    try:
+        import skeleton_matching_utils as ref_smu
+        yield ref_smu
+    finally:
+        for p in added:
+            sys.path.remove(p)
+
+
+@pytest.mark.parametrize("seed,discrete", [(0, False), (1, False),
+                                           (2, False), (3, False),
+                                           (4, True), (5, True)])
+def test_host_decode_matches_reference_decoder(ref_decode_module, seed,
+                                               discrete):
+    """GOLDEN: decode_person_proposals == the reference's own
+    get_person_proposal_from_network_output run in-process (reference
+    utils/skeleton_matching_utils.py:12-132) on the Panoptic test-graph
+    layout (5 cameras, graph_generator.py:813-875: per cross-camera pair
+    one edge-node with links head1→X, X→head1, head2→X, X→head2, X→X).
+    ``discrete`` seeds include tied scores — exercising the stable
+    score-sort and the CPython set-iteration endpoint order the merge
+    quirk depends on."""
+    import torch as th
+
+    from mpe3d_tpu.matching.decode import decode_person_proposals
+    from mpe3d_tpu.matching.features import build_topology
+
+    smu = ref_decode_module
+    from parameters import parameters as ref_prm
+
+    cams = ref_prm.used_cameras_skeleton_matching
+    C, S = len(cams), 3
+    topo = build_topology(C, S)
+    H, E = topo.n_heads, topo.n_pairs
+
+    rng = np.random.default_rng(7000 + seed)
+    if discrete:
+        scores = rng.choice([0.1, 0.49, 0.51, 0.7, 0.7, 0.9, 0.9],
+                            E).astype(np.float32)
+    else:
+        scores = rng.uniform(0, 1, E).astype(np.float32)
+
+    # reference-style graph: edge-node k is node H + k, link edges in the
+    # exact add_edge_node_to_graph order (graph_generator.py:627-651)
+    src, dst, outputs = [], [], [0.0] * (H + E)
+    for k in range(E):
+        X = H + k
+        h1, h2 = int(topo.e1[k]), int(topo.e2[k])
+        src += [h1, X, h2, X, X]
+        dst += [X, h1, X, h2, X]
+        outputs[X] = float(scores[k])
+
+    class FakeSubgraph:  # duck-typed DGL graph
+        def edges(self):
+            return th.tensor(src), th.tensor(dst)
+
+    nodes_camera = [cams[h // S] for h in range(H)] + [""] * E
+    indices = set(range(H, H + E))
+    ref_out = smu.get_person_proposal_from_network_output(
+        outputs, FakeSubgraph(), indices, nodes_camera,
+        CLASSIFICATION_THRESHOLD=0.5)
+    ref_sets = {
+        frozenset((cams.index(c), n % S)
+                  for c, n in person.items() if n is not None)
+        for person in ref_out}
+
+    ours = decode_person_proposals(scores, np.ones(E, np.float32), topo,
+                                   min_views=ref_prm.min_number_of_views,
+                                   threshold=0.5)
+    our_sets = {
+        frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0)
+        for p in ours}
+    assert ref_sets == our_sets
