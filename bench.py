@@ -97,9 +97,29 @@ def main() -> int:
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
+    # the TRAINED demo matcher when available: a random-init matcher's
+    # ~0.5 sigmoid scores mark half of all candidate pairs eligible, so
+    # the decode's dynamic trip count always hits the K cap — worst-case,
+    # not the serving regime the reference's 51.32 ms was measured in.
+    # Compute cost is otherwise weight-value-independent.
+    import os as _os
+    mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
+    _demo = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "models_demo", "widefield", "skeleton_matching")
+    try:
+        from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                                load_checkpoint,
+                                                matcher_config_from_meta,
+                                                read_meta)
+        if checkpoint_exists(_demo):
+            mcfg = matcher_config_from_meta(read_meta(_demo), mcfg)
+            mparams, _, _ = load_checkpoint(
+                _demo, init_matcher(jax.random.PRNGKey(0), mcfg))
+    except Exception:
+        pass                      # random init keeps the bench contract
     pipe = PoseEstimationPipeline(
         rig_config, rig,
-        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        mparams, mcfg,
         init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
         slot_buckets=(4,), person_buckets=(8,))
 
