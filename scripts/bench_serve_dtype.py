@@ -45,6 +45,11 @@ def main():
                     help="decode eligibility threshold (0.05 makes the "
                     "untrained matcher merge nearly every pair — decode "
                     "worst case; 0.5 = serving default)")
+    ap.add_argument("--modelsdir", default=None,
+                    help="load a trained matcher checkpoint (dir with "
+                    "skeleton_matching.npz) — with the dynamic-trip-count "
+                    "decode, trained scores at threshold 0.5 give the "
+                    "serving-regime trip count instead of the K cap")
     args = ap.parse_args()
     dtype = args.dtype or ("bf16" if args.bf16 in (None, 1) else "fp32")
 
@@ -69,9 +74,18 @@ def main():
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    if args.modelsdir:
+        from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+                                                matcher_config_from_meta,
+                                                read_meta)
+        stem = os.path.join(args.modelsdir, "skeleton_matching")
+        mcfg = matcher_config_from_meta(read_meta(stem), mcfg)
+        mp, _, _ = load_checkpoint(stem,
+                                   init_matcher(jax.random.PRNGKey(0), mcfg))
     pipe = PoseEstimationPipeline(
         rig_config, rig,
-        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg, lp, lcfg,
+        mp, mcfg, lp, lcfg,
         slot_buckets=(4,), person_buckets=(8,),
         # default low threshold: the untrained matcher must decode real
         # persons so the |Δpose| check compares actual lifter outputs, not
