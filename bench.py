@@ -187,32 +187,11 @@ def main() -> int:
                   jnp.asarray(fa0.in_view[:, :4]),
                   jnp.asarray(fa0.present[:, :4])]
 
-    def make_chain(K):
-        # params are ARGUMENTS, not closure captures — captured device
-        # arrays ride the relay's hidden-parameter slow path (CLAUDE.md)
-        @jax.jit
-        def chain(mparams, lparams, kp, valid, prob, obs, present):
-            def body(i, kp):
-                poses, *_ = core(mparams, lparams,
-                                      kp, valid, prob, obs, present)
-                return kp + 1e-9 * jnp.sum(poses)
-            return jnp.sum(jax.lax.fori_loop(0, K, body, kp))
-        return chain
+    from mpe3d_tpu.benchutil import chained_frame_us
 
     K1, K2 = (2, 6) if smoke else (20, 120)
-    c1, c2 = make_chain(K1), make_chain(K2)
     model_args = (pipe.matcher_params, pipe.lifter_params)
-    float(c1(*model_args, *chain_args))
-    float(c2(*model_args, *chain_args))
-    t1s, t2s = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(c1(*model_args, *chain_args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(c2(*model_args, *chain_args))
-        t2s.append(time.perf_counter() - t0)
-    ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
+    ondevice_us = chained_frame_us(core, model_args, chain_args, K1, K2)
 
     # ---- training throughput / MFU (scan-epoch lifter trainer) ----------
     # Reference batch 2096 (train_pose_estimator.py:6).  The dataset is

@@ -158,8 +158,10 @@ def decode_person_proposals_device(
                   jnp.where(a_has, ocb, oca)))
         else:
             add = oca | ocb | jnp.where(merge, ccams_b, False)
-        add = add | jnp.where(a_has, ccams_a, False) \
-                  | jnp.where(b_has & ~merge, ccams_b, False)
+        # (No need to re-OR the root's own row into `add`: when a_has the
+        # root IS ka so ccams_a is already the destination row, and
+        # b_has & ~merge implies root == kb likewise — the OR below keeps
+        # every existing bit.  Two fewer ops on the serial critical path.)
         # OR `add` into the root's row; zero the absorbed root's row so
         # later pairs don't see stale sets (clear ⇒ kb ≠ root, so the two
         # row updates commute)

@@ -51,9 +51,19 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         lib_path = os.path.join(d, _LIB_NAME)
         if rebuild or not os.path.exists(lib_path) or (
                 os.path.getmtime(lib_path) < os.path.getmtime(_SRC)):
+            # Build to a per-process temp name and os.replace() into place:
+            # concurrent cold-start processes (the relay_chain orchestrators
+            # spawn several) must never CDLL a half-written .so.
+            tmp_path = f"{lib_path}.tmp.{os.getpid()}"
             cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                   _SRC, "-o", lib_path]
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+                   _SRC, "-o", tmp_path]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                os.replace(tmp_path, lib_path)
+            finally:
+                if os.path.exists(tmp_path):
+                    os.unlink(tmp_path)
         lib = ctypes.CDLL(lib_path)
         lib.mpe3d_count_frames.restype = ctypes.c_int64
         lib.mpe3d_count_frames.argtypes = [ctypes.c_char_p, ctypes.c_int64]

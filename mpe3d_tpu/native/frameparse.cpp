@@ -109,7 +109,11 @@ bool parse_number(Cursor& c, double* v) {
 }
 
 // Skip any JSON value (used for GT payloads and unknown fields).
-bool skip_value(Cursor& c) {
+// Depth-bounded: a hostile line of nested brackets must fail the parse
+// (rc != 0 → python fallback) instead of overflowing the C stack and
+// killing the long-lived serving process.
+bool skip_value(Cursor& c, int depth = 0) {
+  if (depth > 512) return (c.ok = false);
   c.skip_ws();
   if (c.p >= c.end) return (c.ok = false);
   char ch = *c.p;
@@ -124,7 +128,7 @@ bool skip_value(Cursor& c) {
       std::string key;
       if (!parse_string(c, key)) return false;
       if (!c.expect(':')) return false;
-      if (!skip_value(c)) return false;
+      if (!skip_value(c, depth + 1)) return false;
       c.skip_ws();
       if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
       return c.expect('}');
@@ -135,7 +139,7 @@ bool skip_value(Cursor& c) {
     ++c.p;
     if (c.peek_is(']')) { ++c.p; return true; }
     while (c.ok) {
-      if (!skip_value(c)) return false;
+      if (!skip_value(c, depth + 1)) return false;
       c.skip_ws();
       if (c.p < c.end && *c.p == ',') { ++c.p; continue; }
       return c.expect(']');

@@ -106,30 +106,11 @@ def main():
                   jnp.asarray(fa.in_view[:, :4]),
                   jnp.asarray(fa.present[:, :4])]
 
-    def make_chain(K):
-        @jax.jit
-        def chain(mparams, lparams, kp, valid, prob, obs, present):
-            def body(i, kp):
-                poses, *_ = core(mparams, lparams,
-                                      kp, valid, prob, obs, present)
-                return kp + 1e-9 * jnp.sum(poses)
-            return jnp.sum(jax.lax.fori_loop(0, K, body, kp))
-        return chain
+    from mpe3d_tpu.benchutil import chained_frame_us
 
     K1, K2 = 20, args.k
-    c1, c2 = make_chain(K1), make_chain(K2)
     margs = (pipe.matcher_params, pipe.lifter_params)
-    float(c1(*margs, *chain_args))
-    float(c2(*margs, *chain_args))
-    t1s, t2s = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(c1(*margs, *chain_args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(c2(*margs, *chain_args))
-        t2s.append(time.perf_counter() - t0)
-    ondevice_us = (min(t2s) - min(t1s)) / (K2 - K1) * 1e6
+    ondevice_us = chained_frame_us(core, margs, chain_args, K1, K2)
 
     out = {"dtype": dtype, "backend": jax.default_backend(),
            "decode_top_k": args.decode_top_k, "threshold": args.threshold,

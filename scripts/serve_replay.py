@@ -102,8 +102,11 @@ def main():
     if args.connect:
         host, port = args.connect.rsplit(":", 1)
         with socket.create_connection((host, int(port)), timeout=600) as s:
-            f = s.makefile("rw")
-            out = replay(f, f, frames, args.limit)
+            # Separate reader/writer objects: the feed thread writes while
+            # the main thread blocks in readline(), and a single shared
+            # TextIOWrapper is not safe under that concurrency.
+            rf, wf = s.makefile("r"), s.makefile("w")
+            out = replay(rf, wf, frames, args.limit)
     elif args.spawn is not None:
         cmd = [sys.executable, "-m", "mpe3d_tpu", "serve"] + args.spawn.split()
         proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
