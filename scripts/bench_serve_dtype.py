@@ -45,6 +45,9 @@ def main():
                     help="decode eligibility threshold (0.05 makes the "
                     "untrained matcher merge nearly every pair — decode "
                     "worst case; 0.5 = serving default)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (methodology smoke "
+                    "test; roofline pct is only meaningful on the chip)")
     ap.add_argument("--modelsdir", default=None,
                     help="load a trained matcher checkpoint (dir with "
                     "skeleton_matching.npz) — with the dynamic-trip-count "
@@ -54,6 +57,9 @@ def main():
     dtype = args.dtype or ("bf16" if args.bf16 in (None, 1) else "fp32")
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -112,9 +118,25 @@ def main():
     margs = (pipe.matcher_params, pipe.lifter_params)
     ondevice_us = chained_frame_us(core, margs, chain_args, K1, K2)
 
+    # ---- HBM roofline -----------------------------------------------------
+    # The fused frame is weight-streaming-bound: arithmetic intensity of the
+    # lifter matmuls is ~P_max=8 FLOP/byte, far under the v5e ridge
+    # (197 TF/s bf16 ÷ 819 GB/s ≈ 240), so light speed is the served
+    # parameter bytes over HBM bandwidth.  pipe.{matcher,lifter}_params are
+    # the post-cast/quantized trees — their bytes ARE the per-frame traffic.
+    def tree_bytes(t):
+        return sum(np.size(x) * np.dtype(jnp.asarray(x).dtype).itemsize
+                   for x in jax.tree_util.tree_leaves(t))
+    wbytes = tree_bytes(margs)
+    hbm_gbps = 819.0  # TPU v5e HBM bandwidth
+    floor_us = wbytes / (hbm_gbps * 1e9) * 1e6
+
     out = {"dtype": dtype, "backend": jax.default_backend(),
            "decode_top_k": args.decode_top_k, "threshold": args.threshold,
-           "ondevice_frame_us": round(ondevice_us, 1)}
+           "ondevice_frame_us": round(ondevice_us, 1),
+           "served_weight_mb": round(wbytes / 2**20, 2),
+           "hbm_floor_us_v5e": round(floor_us, 1),
+           "hbm_roofline_pct": round(100.0 * floor_us / ondevice_us, 1)}
     if dtype != "int8":
         # numerical check vs the OTHER fp dtype on the same frame (same
         # pytree structure, so the traced program is reusable); int8's
