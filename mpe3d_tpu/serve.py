@@ -289,7 +289,9 @@ class PoseServer:
                     continue
                 try:
                     obj = json.loads(line)
-                except ValueError as e:
+                except (ValueError, RecursionError) as e:
+                    # RecursionError: hostile deeply-nested JSON — the
+                    # long-lived server must answer and keep serving
                     drain()
                     self._bump_errors()
                     emit({"seq": seq, "error": f"bad json: {e}"})

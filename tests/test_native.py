@@ -347,3 +347,16 @@ def test_format_result_native_matches_python():
     bad = poses.copy()
     bad[0, 0, 0] = np.nan
     assert format_result_native(1, bad) is None
+
+
+def test_native_hostile_nesting_fails_cleanly():
+    """A deeply-nested JSON value must fail the native parse (rc != 0 →
+    python fallback), NOT overflow the C stack: skip_value is
+    depth-bounded at 512 (native/frameparse.cpp)."""
+    from mpe3d_tpu.native import load_library, parse_frames_native
+    if load_library() is None:
+        pytest.skip("native library unavailable")
+    depth = 5000
+    bad = ('[{"trackera": ["[]", 0.0, "no_image", []], "junk": '
+           + "[" * depth + "]" * depth + "}]").encode()
+    assert parse_frames_native(bad, ["trackera"], 4, 18) is None

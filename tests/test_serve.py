@@ -414,3 +414,25 @@ def test_serve_subcommand_opts_into_auto_int8():
     infer_args = ap.parse_args(["infer", "--modelsdir", "x",
                                 "--testfiles", "y", "--out", "z"])
     assert getattr(infer_args, "serve_auto_int8", False) is False
+
+
+def test_hostile_nested_lines_answered_not_fatal(pipe, wire_frames):
+    """Deeply-nested JSON (native parser depth-bounds it; python json
+    raises RecursionError) must produce an error RESPONSE on both the
+    frame path and the control path — never kill the reader thread."""
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2)
+    # deep enough that python json.loads raises RecursionError (measured
+    # threshold ~2e4); the native parser depth-bounds at 512 either way
+    deep = "[" * 200_000 + "]" * 200_000
+    lines = [
+        f'{{"x": {deep}}}',                       # frame-shaped hostile line
+        json.dumps(wire_frames[0]),
+        f'{{"cmd": "ping", "x": {deep}}}',        # control-shaped hostile line
+        json.dumps(wire_frames[1]),
+    ]
+    recs = run_lines(server, lines)
+    assert "error" in recs[0]
+    assert recs[1]["n_persons"] >= 1            # still serving after error
+    assert "error" in recs[2]
+    assert recs[3]["n_persons"] >= 1
+    assert server.frames_served == 2
