@@ -193,6 +193,14 @@ def main() -> int:
     model_args = (pipe.matcher_params, pipe.lifter_params)
     ondevice_us = chained_frame_us(core, model_args, chain_args, K1, K2)
 
+    # HBM roofline: the fused frame is weight-streaming-bound (arithmetic
+    # intensity ≈ P_max=8 FLOP/byte ≪ the v5e ridge ~240), so light speed
+    # is served-parameter bytes over the chip's 819 GB/s HBM bandwidth.
+    import numpy as _np
+    wbytes = sum(_np.size(x) * _np.dtype(jnp.asarray(x).dtype).itemsize
+                 for x in jax.tree_util.tree_leaves(model_args))
+    hbm_floor_us = wbytes / 819e9 * 1e6
+
     # ---- training throughput / MFU (scan-epoch lifter trainer) ----------
     # Reference batch 2096 (train_pose_estimator.py:6).  The dataset is
     # GENERATED ON DEVICE (no host upload); one lax.scan dispatch per epoch.
@@ -268,6 +276,8 @@ def main() -> int:
         "serve_frame_ms": round(serve_ms, 3),
         "batched_throughput_fps": round(fps, 1),
         "ondevice_frame_us": round(ondevice_us, 1),
+        "served_weight_mb": round(wbytes / 2**20, 2),
+        "hbm_roofline_pct": round(100.0 * hbm_floor_us / ondevice_us, 1),
         "train_samples_per_s": round(sps, 1),
         "train_tflops": round(train_tflops, 2),
         "train_mfu_pct_bf16peak": round(mfu, 2),
