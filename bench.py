@@ -201,6 +201,16 @@ def main() -> int:
                  for x in jax.tree_util.tree_leaves(model_args))
     hbm_floor_us = wbytes / 819e9 * 1e6
 
+    # batched on-device per-frame time: infer_batch's core amortizes the
+    # weight stream over B frames (the offline-eval throughput mode), so
+    # its per-frame time should land far below the single-frame figure.
+    BB = 4 if smoke else 32
+    batch_core = pipe._fused_batch_fn(4, 8)
+    batch_args = [jnp.asarray(_np.repeat(_np.asarray(a)[None], BB, 0))
+                  for a in chain_args]
+    ondevice_batched_us = chained_frame_us(
+        batch_core, model_args, batch_args, K1, K2) / BB
+
     # ---- training throughput / MFU (scan-epoch lifter trainer) ----------
     # Reference batch 2096 (train_pose_estimator.py:6).  The dataset is
     # GENERATED ON DEVICE (no host upload); one lax.scan dispatch per epoch.
@@ -278,6 +288,7 @@ def main() -> int:
         "ondevice_frame_us": round(ondevice_us, 1),
         "served_weight_mb": round(wbytes / 2**20, 2),
         "hbm_roofline_pct": round(100.0 * hbm_floor_us / ondevice_us, 1),
+        "ondevice_batched_frame_us": round(ondevice_batched_us, 1),
         "train_samples_per_s": round(sps, 1),
         "train_tflops": round(train_tflops, 2),
         "train_mfu_pct_bf16peak": round(mfu, 2),
