@@ -199,6 +199,20 @@ class PoseEstimationPipeline:
                            float(rig_config.image_height))
         self._topos: Dict[int, PairTopology] = {}
 
+        # Per-INSTANCE jit caches: functools.lru_cache on a method keys on
+        # (self, …) in a class-level cache, which would pin discarded
+        # pipelines — including their ~116 MB lifter trees and compiled
+        # executables — alive until LRU eviction in long-lived processes
+        # that rebuild pipelines (serve checkpoint reloads, test suites).
+        # Wrapping the BOUND methods here keeps each cache on the instance,
+        # so dropping the pipeline frees everything.
+        for _m, _size in (("_score_core", 16), ("_match_fn", 16),
+                          ("_match_decode_impl", 16), ("_lift_fn", 16),
+                          ("_fused_impl", 16), ("_fused_batch_impl", 8),
+                          ("_host_geo_impl", 16)):
+            setattr(self, _m,
+                    functools.lru_cache(maxsize=_size)(getattr(self, _m)))
+
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
         for b in self.slot_buckets:
@@ -212,6 +226,15 @@ class PoseEstimationPipeline:
                 return b
         return self.person_buckets[-1]
 
+    def _p_max(self, S: int) -> int:
+        """Decode person-slot cap for a slot bucket: every head could in
+        principle found a ≥min_views cluster, capped by the largest person
+        bucket.  ONE definition shared by the fused, streaming, batched,
+        and staged-device paths — they must agree or decodes diverge."""
+        return min(self.person_buckets[-1],
+                   max(len(self.match_idx) * S
+                       // max(self.rig_config.min_number_of_views, 1), 1))
+
     def topology(self, slots: int) -> PairTopology:
         if slots not in self._topos:
             self._topos[slots] = build_topology(len(self.match_idx), slots)
@@ -222,7 +245,6 @@ class PoseEstimationPipeline:
     # capturing device arrays in a jit closure routes every call through the
     # axon tunnel's slow hidden-parameter path (measured ~27 ms/call).
     # Calibration/topology are host-numpy and inline as HLO literals.
-    @functools.lru_cache(maxsize=16)
     def _score_core(self, slots: int):
         """Traced (params, kp, valid, prob, observed, present) → (scores,
         pair_mask) for the configured graph alternative — shared by the
@@ -309,14 +331,12 @@ class PoseEstimationPipeline:
                 d / self.geo_scale, 0.0, 1.0)
         return eff, order
 
-    @functools.lru_cache(maxsize=16)
     def _match_fn(self, slots: int):
         return jax.jit(self._score_core(slots))
 
     def _match_decode_fn(self, slots: int, p_max: int):
         return self._match_decode_impl(slots, p_max, self._geo_key)
 
-    @functools.lru_cache(maxsize=16)
     def _match_decode_impl(self, slots: int, p_max: int, geo_key):
         """Staged path, stage 1 with the greedy decode fused in: features +
         GAT + on-device union-find decode in ONE dispatch, so the stage-1
@@ -342,7 +362,6 @@ class PoseEstimationPipeline:
 
         return run
 
-    @functools.lru_cache(maxsize=16)
     def _lift_fn(self, n_persons: int):
         if self.backend == "triangulation":
             @jax.jit
@@ -381,7 +400,6 @@ class PoseEstimationPipeline:
     def _fused_fn(self, slots: int, p_max: int):
         return self._fused_impl(slots, p_max, self._geo_key)
 
-    @functools.lru_cache(maxsize=16)
     def _fused_impl(self, slots: int, p_max: int, geo_key):
         """ONE compiled program: features + GAT + on-device greedy decode +
         per-person gather + 3D backend.  Single dispatch + single readback
@@ -456,7 +474,6 @@ class PoseEstimationPipeline:
     def _fused_batch_fn(self, slots: int, p_max: int):
         return self._fused_batch_impl(slots, p_max, self._geo_key)
 
-    @functools.lru_cache(maxsize=8)
     def _fused_batch_impl(self, slots: int, p_max: int, geo_key):
         """vmap of the fused program over a frame batch — offline-eval
         throughput mode (the whole test set in a handful of dispatches)."""
@@ -485,9 +502,7 @@ class PoseEstimationPipeline:
             return []
         S = slots or self._bucket(max(1, max(
             int(f.present.sum(axis=1).max()) for f in frames)))
-        p_max = min(self.person_buckets[-1],
-                    max(len(self.match_idx) * S
-                        // max(self.rig_config.min_number_of_views, 1), 1))
+        p_max = self._p_max(S)
         names = ("kp", "valid", "prob", "in_view", "present")
         stacked = [np.stack([_slot_view(getattr(f, n), S) for f in frames])
                    for n in names]
@@ -547,10 +562,7 @@ class PoseEstimationPipeline:
 
         mi_all = frame.present.sum(axis=1).max()
         S = self._bucket(max(1, int(mi_all)))
-        p_max = min(self.person_buckets[-1],
-                    max(len(self.match_idx) * S
-                        // max(self.rig_config.min_number_of_views, 1),
-                        1))
+        p_max = self._p_max(S)
         mparams, lparams = self.matcher_params, self.lifter_params
         args = (_slot_view(frame.kp, S), _slot_view(frame.valid, S),
                 _slot_view(frame.prob, S), _slot_view(frame.in_view, S),
@@ -617,9 +629,7 @@ class PoseEstimationPipeline:
         mi = np.asarray(self.match_idx)
         S = self._bucket(max(1, int(frame.present[mi].sum(axis=1).max())))
         topo = self.topology(S)
-        p_max = min(self.person_buckets[-1],
-                    max(len(self.match_idx) * S
-                        // max(self.rig_config.min_number_of_views, 1), 1))
+        p_max = self._p_max(S)
         scores, pm, persons, person_mask = jax.device_get(
             self._match_decode_fn(S, p_max)(
                 self.matcher_params,
@@ -634,7 +644,6 @@ class PoseEstimationPipeline:
     def _host_geo_fn(self, slots: int):
         return self._host_geo_impl(slots, self._geo_key)
 
-    @functools.lru_cache(maxsize=16)
     def _host_geo_impl(self, slots: int, geo_key):
         topo = self.topology(slots)
 
@@ -653,11 +662,16 @@ class PoseEstimationPipeline:
         if not self._geo_active():
             return scores, None
         mi = np.asarray(self.match_idx)
+        # _slot_view, not [:slots]: a frame parsed with fewer skeleton
+        # slots than the bucket must PAD up to S — a short buffer would
+        # make pair_ray_distances index past its rows (clipped gathers
+        # silently aliasing the last slot) and diverge from the fused /
+        # device-decode paths, which pad correctly
         out = self._host_geo_fn(slots)(
             jnp.asarray(scores),
-            jnp.asarray(frame.kp[mi, :slots]),
-            jnp.asarray(frame.valid[mi, :slots]),
-            jnp.asarray(frame.in_view[mi, :slots]))
+            jnp.asarray(_slot_view(frame.kp[mi], slots)),
+            jnp.asarray(_slot_view(frame.valid[mi], slots)),
+            jnp.asarray(_slot_view(frame.in_view[mi], slots)))
         eff, order = out                       # jit preserves the None leaf
         return (np.asarray(eff),
                 None if order is None else np.asarray(order))

@@ -165,25 +165,47 @@ def _path_lock(path: str):
             fcntl.flock(lockf, fcntl.LOCK_UN)
 
 
+def _sidecar_stale(path: str) -> bool:
+    """True when `<path>.orbax/_mpe3d_meta.json` (the meta embedded with
+    the arrays) is newer than the `<path>.json` sidecar — i.e. a finalize
+    crashed between the array swap and the sidecar refresh."""
+    emb = os.path.join(path + ".orbax", "_mpe3d_meta.json")
+    if not os.path.exists(emb):
+        return False
+    side = path + ".json"
+    return (not os.path.exists(side)
+            or os.path.getmtime(side) < os.path.getmtime(emb))
+
+
 def _finalize_orbax(path: str) -> None:
     """Swap a COMMITTED staging save into place: `<path>.orbax.next/` →
-    `<path>.orbax/`, WITH its meta (`<path>.json.next` → `<path>.json`).
-    The staging dir only ever exists fully written (orbax renames its own
-    tmp dir into it) and its meta sidecar is written BEFORE the arrays
-    commit (_save_orbax), so arrays and meta always swap as a pair — safe
-    to call at any time, including after a crash."""
+    `<path>.orbax/`, WITH its meta.  The meta travels INSIDE the staging
+    dir (`_mpe3d_meta.json`, moved in from `<path>.json.next` under the
+    lock) so one directory rename commits arrays+meta atomically; the
+    `<path>.json` sidecar is then refreshed from the embedded copy — and
+    re-healed here if a crash separated the two steps.  The staging dir
+    only ever exists fully written (orbax renames its own tmp dir into
+    it), so this is safe to call at any time, including after a crash."""
     import shutil
 
     staging, dest = path + ".orbax.next", path + ".orbax"
-    if not (os.path.isdir(staging) or os.path.exists(path + ".json.next")):
+    if not (os.path.isdir(staging) or os.path.exists(path + ".json.next")
+            or _sidecar_stale(path)):
         return                      # fast path: nothing to adopt, no lock
     with _path_lock(path):
         if os.path.isdir(staging):
+            if os.path.exists(path + ".json.next"):
+                os.replace(path + ".json.next",
+                           os.path.join(staging, "_mpe3d_meta.json"))
             if os.path.isdir(dest):
                 shutil.rmtree(dest)
             os.rename(staging, dest)
-            if os.path.exists(path + ".json.next"):
-                os.replace(path + ".json.next", path + ".json")
+        # refresh/heal the sidecar from the meta embedded with the arrays
+        # (orbax ignores the extra file; verified on 0.11)
+        emb = os.path.join(dest, "_mpe3d_meta.json")
+        if os.path.isdir(dest) and os.path.exists(emb) and _sidecar_stale(path):
+            shutil.copyfile(emb, path + ".json.tmp")
+            os.replace(path + ".json.tmp", path + ".json")
         # a bare .json.next without staging = a save that died between
         # meta write and array commit: stale, ignored (next save rewrites
         # it); never pair new meta with old arrays
@@ -235,10 +257,17 @@ def _save_orbax(path: str, params, opt_state=None,
                 os.remove(abspath + ".npz")   # the npz twin would shadow
                 # this save for loaders on the both-present path
 
+    # ALL saves go through the single-worker executor so saves of the same
+    # path serialise: a wait=True save in the caller's thread could
+    # otherwise race a still-queued wait=False save (two threads in
+    # _write_meta_at / ckptr.save force=True on the same staging paths,
+    # and the queued OLDER snapshot could commit after — and clobber —
+    # the final tracked-best save)
+    fut = _save_executor().submit(task)
     if wait:
-        task()
+        fut.result()
     else:
-        _PENDING_SAVES.append(_save_executor().submit(task))
+        _PENDING_SAVES.append(fut)
 
 
 def wait_for_async_saves() -> None:
@@ -389,4 +418,15 @@ def _load_orbax_flat(path: str, params_template, opt_state_template):
     if missing:
         raise ValueError(f"checkpoint {full} lacks template leaves "
                          f"{sorted(missing)[:4]}…")
+    if saved_keys - set(tmpl):
+        # on-disk extras (e.g. opt_state under a params-only load):
+        # StandardRestore rejects structure mismatches, and padding the
+        # template would read the unwanted bytes — partial-restore only
+        # the requested leaves (verified against StandardSave layouts)
+        loader = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        try:
+            return loader.restore(full, args=ocp.args.PyTreeRestore(
+                item=tmpl, partial_restore=True))
+        finally:
+            loader.close()
     return ckptr.restore(full, args=ocp.args.StandardRestore(tmpl))

@@ -259,3 +259,43 @@ def test_lifter_trainer_orbax_backend_end_to_end(tmp_path, panoptic_rig):
     _tree_allclose(res.params, loaded)
     assert meta["train_config"]["checkpoint_backend"] == "orbax"
     assert meta["val_loss"] == res.best_val_loss
+
+def test_orbax_params_only_load_with_saved_opt_state(tmp_path):
+    """The serving/eval path (cli.load_models) passes no opt_state
+    template; an orbax checkpoint that also stores opt_state must still
+    load params-only (partial restore) instead of raising a structure
+    mismatch — the npz backend's behavior."""
+    cfg = LifterConfig(widths=(16,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    opt_state = optax.adam(1e-3).init(params)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, opt_state=opt_state,
+                    meta={"epoch": 3}, backend="orbax")
+    loaded, opt_loaded, meta = load_checkpoint(
+        path, init_lifter(jax.random.PRNGKey(1), cfg))
+    _tree_allclose(params, loaded)
+    assert opt_loaded is None
+    assert meta["epoch"] == 3
+
+
+def test_orbax_sidecar_heals_after_partial_finalize(tmp_path):
+    """Crash-window repair: if a finalize dies between the array-dir
+    rename and the sidecar refresh, the meta embedded in the arrays dir
+    must win on the next read (arrays+meta commit as a pair)."""
+    import json
+    import os
+
+    cfg = LifterConfig(widths=(16,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params, meta={"epoch": 1}, backend="orbax")
+    save_checkpoint(path, params, meta={"epoch": 2}, backend="orbax")
+    # simulate the crash: regress the sidecar to the OLD meta with an
+    # mtime older than the embedded copy
+    emb = os.path.join(path + ".orbax", "_mpe3d_meta.json")
+    assert os.path.exists(emb)
+    with open(path + ".json", "w") as f:
+        json.dump({"epoch": 1}, f)
+    os.utime(path + ".json", (0, 0))
+    _, _, meta = load_checkpoint(path, init_lifter(jax.random.PRNGKey(1), cfg))
+    assert meta["epoch"] == 2

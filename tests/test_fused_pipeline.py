@@ -208,3 +208,30 @@ def test_serve_dtype_bf16_pipeline(panoptic_rig):
             assert np.allclose(a.poses, b.poses, atol=0.02)
             checked += 1
     assert checked > 0
+
+
+def test_geo_paths_agree_undersized_slot_parse(panoptic_rig):
+    """Same four-path agreement when frames were PARSED with fewer
+    skeleton slots than the bucket (max_skeletons=3 vs S=4): the host
+    geo path must zero-pad up to the bucket (pipeline.host_decode_scores
+    uses _slot_view) — a bare [:S] slice would alias the last slot in
+    pair_ray_distances' gathers and silently diverge."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    kw = dict(slot_buckets=(4,), person_buckets=(8,),
+              backend="triangulation", threshold=0.05, decode_top_k=0,
+              geo_rerank=0.3, geo_rescue=0.001, geo_rescue_dist=0.05)
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    host = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, **kw)
+    dev = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg,
+                                 decode_on_device=True, **kw)
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 4, n_people=(2, 3),
+                             seed=13, noise=noise, with_gt=False)
+    fas = [parse_frame(f, PANOPTIC, max_skeletons=3) for f in frames]
+    for fa in fas:
+        assert fa.kp.shape[1] == 3          # parsed under the bucket
+        ph = _person_sets(host(fa).persons)
+        pf = _person_sets(dev.infer_fused(fa).persons)
+        assert ph == pf
