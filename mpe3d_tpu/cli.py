@@ -138,6 +138,16 @@ def build_pipeline(args, backend: str):
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
 
     rig_config, rig = load_rig(args)
+    refined = (os.path.join(args.modelsdir, "refined_rig.npz")
+               if getattr(args, "modelsdir", None) else None)
+    if refined and os.path.exists(refined):
+        # the checkpoint was trained with --optimise-matrices: pair it with
+        # the co-adapted calibration, not the original --tm rig
+        from mpe3d_tpu.geometry.camera import load_rig_npz
+        rig = load_rig_npz(refined)
+        print(f"[mpe3d] using refined calibration {refined} "
+              "(trained with --optimise-matrices; overrides --tm)",
+              file=sys.stderr)
     mparams, mcfg, lparams, lcfg, lifter_prior = load_models(
         args.modelsdir, rig_config)
     # forward only the geo flags this subcommand defines — the pipeline
@@ -321,6 +331,13 @@ def cmd_train_lifter(args):
                        extra_meta={"prior": args.prior})
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
           f"epochs → {out} [{tcfg.checkpoint_backend}]")
+    if res.rig is not None:
+        # optimise_matrices: the MLP co-adapted to the refined calibration —
+        # ship it next to the checkpoint; build_pipeline auto-loads it
+        from mpe3d_tpu.geometry.camera import save_rig_npz
+        rig_path = os.path.join(args.modelsdir, "refined_rig.npz")
+        save_rig_npz(rig_path, res.rig)
+        print(f"refined calibration (--optimise-matrices) → {rig_path}")
 
 
 def _pose_metrics(args, backend: str):

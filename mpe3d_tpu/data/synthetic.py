@@ -267,8 +267,8 @@ def sample_person(rng: np.random.Generator, rig_config: RigConfig,
     offset_local = np.array([rng.uniform(-radius, radius),
                              rng.uniform(-radius, radius), 0.0], np.float32)
     idx, sign = up_axis(rig_config)
+    # feet land ~0.9 below the scene center along the rig's up axis
     base = center.copy()
-    base[idx] = center[idx]  # keep the rig's natural height for the center
     return (local + offset_local) @ R_up.T + base - sign * 0.9 * np.eye(3)[idx]
 
 

@@ -198,6 +198,17 @@ def _gt_clusters_from_frame(frame: Dict, rig_config: RigConfig,
     return labels
 
 
+def _head_to_person(persons) -> Dict:
+    """{(matching-camera index, slot): person index} for decoded persons —
+    the head-labeling convention shared by both sm-metrics runners."""
+    out = {}
+    for pi, person in enumerate(persons):
+        for mi, s in enumerate(person):
+            if s >= 0:
+                out[(mi, s)] = pi
+    return out
+
+
 def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
                    pipeline: PoseEstimationPipeline, datastep: int = 12,
                    max_skeletons: int = 10) -> Dict:
@@ -224,11 +235,7 @@ def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
         # per-head labels in (matching camera, slot) order, present heads
         # whose GT slot exists; unassigned heads share one label (reference
         # sm_metrics.py:211-218 leaves them at len(final_output))
-        head_to_person = {}
-        for pi, person in enumerate(persons):
-            for mi, s in enumerate(person):
-                if s >= 0:
-                    head_to_person[(mi, s)] = pi
+        head_to_person = _head_to_person(persons)
         mi_idx = np.asarray(pipeline.match_idx)
         true_l, pred_l = [], []
         for (mi, s), gl in sorted(gt_labels.items()):
@@ -262,29 +269,39 @@ def run_sm_metrics_without_gt(inputs: List[List[Dict]],
     sums = {"ari": 0.0, "homogeneity": 0.0, "completeness": 0.0,
             "v_measure": 0.0}
     n = 0
-    fn = pipeline._match_fn(S)
+    import jax
     import jax.numpy as jnp
+
+    # batched matcher forward: one dispatch + one readback per chunk of
+    # scenes, not one per scene — through the axon relay every dispatch
+    # after the first readback costs a ~25 ms round trip (CLAUDE.md), so a
+    # per-scene loop at limit=1000 would add ~half a minute of pure RTT
+    core = pipeline._score_core(S)
+    batched = jax.jit(jax.vmap(core, in_axes=(None, 0, 0, 0, 0, 0)))
+    CHUNK = 256
+    all_scores, all_pm = [], []
+    for c0 in range(0, len(scenes), CHUNK):
+        sc = scenes.select(slice(c0, c0 + CHUNK))
+        s_dev, pm_dev = batched(
+            pipeline.matcher_params, jnp.asarray(sc.kp),
+            jnp.asarray(sc.valid), jnp.asarray(sc.prob),
+            jnp.asarray(sc.observed), jnp.asarray(sc.present))
+        all_scores.append(np.asarray(s_dev))
+        all_pm.append(np.asarray(pm_dev))
+    scores_all = np.concatenate(all_scores) if all_scores else np.zeros((0,))
+    pm_all = np.concatenate(all_pm) if all_pm else np.zeros((0,))
+
     for k in range(len(scenes)):
         sc = scenes.select(k)
-        scores, pm = fn(pipeline.matcher_params, jnp.asarray(sc.kp),
-                        jnp.asarray(sc.valid), jnp.asarray(sc.prob),
-                        jnp.asarray(sc.observed), jnp.asarray(sc.present))
         persons_model = decode_person_proposals(
-            np.asarray(scores), np.asarray(pm), topo,
+            scores_all[k], pm_all[k], topo,
             rig_config.min_number_of_views, pipeline.threshold)
         persons_label = decode_person_proposals(
             sc.labels, (sc.pair_weight > 0).astype(np.float32), topo,
             rig_config.min_number_of_views, pipeline.threshold)
 
-        def head_labels(persons):
-            out = {}
-            for pi, person in enumerate(persons):
-                for mi, s in enumerate(person):
-                    if s >= 0:
-                        out[(mi, s)] = pi
-            return out
-
-        lm, ll = head_labels(persons_model), head_labels(persons_label)
+        lm = _head_to_person(persons_model)
+        ll = _head_to_person(persons_label)
         true_l, pred_l = [], []
         for mi in range(topo.n_cameras):
             for s in range(S):

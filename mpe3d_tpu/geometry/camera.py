@@ -236,3 +236,19 @@ def undistorted_rays_world(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
     v = jnp.concatenate([xn, ones], axis=-1)
     return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v,
                       precision="highest")
+
+
+def save_rig_npz(path: str, rig: CameraRig) -> None:
+    """Persist a CameraRig as a flat npz — used for the calibration refined
+    by ``optimise_matrices`` training (reference train_pose_estimator.py:8,
+    148-154 refines the transforms but never persists them; here the
+    co-adapted rig ships next to the checkpoint so inference can pair the
+    MLP with the calibration it was trained against)."""
+    np.savez(path, **{f: np.asarray(getattr(rig, f))
+                      for f in CameraRig._fields})
+
+
+def load_rig_npz(path: str) -> CameraRig:
+    """Inverse of :func:`save_rig_npz`."""
+    with np.load(path) as d:
+        return CameraRig(**{f: d[f] for f in CameraRig._fields})

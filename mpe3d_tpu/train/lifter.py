@@ -41,6 +41,11 @@ class LifterTrainResult:
     history: List[Dict] = field(default_factory=list)
     best_val_loss: float = float("inf")
     epochs_run: int = 0
+    # the gradient-refined calibration when optimise_matrices was on —
+    # the MLP co-adapts to it, so inference must use THIS rig, not the
+    # original (the reference trains the refinement but never persists
+    # it, silently discarding the co-adaptation)
+    rig: Optional[CameraRig] = None
 
 
 def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
@@ -306,6 +311,8 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
             # refresh when the tracked best is newer than the last save)
             if best < last_saved or result.params is None:
                 result.params = jax.device_get(best_device)["model"]
+            if "rig" in best_device:      # optimise_matrices: surface the
+                result.rig = jax.device_get(best_device["rig"])  # refined rig
             if best < last_saved and checkpoint_path:
                 save_checkpoint(checkpoint_path, result.params,
                                 meta=best_meta,

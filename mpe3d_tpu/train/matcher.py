@@ -323,9 +323,17 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
                     if checkpoint_path:
                         # orbax backend: async commit on a background thread
                         # (matcher trees are small, but the relay round trip
-                        # isn't); npz: synchronous, as before
+                        # isn't); npz: synchronous, as before.  opt_state
+                        # passes as an ON-DEVICE snapshot (x + 0 — the live
+                        # tree is donated into the next epoch_step and would
+                        # dangle) so the saver thread does the D2H pull; a
+                        # device_get here would block the training loop on
+                        # the relay round trip the backend exists to hide
+                        opt_snap = jax.tree_util.tree_map(
+                            lambda x: x + 0 if hasattr(x, "dtype") else x,
+                            opt_state)
                         save_checkpoint(checkpoint_path, result.params,
-                                        opt_state=jax.device_get(opt_state),
+                                        opt_state=opt_snap,
                                         meta={"epoch": epoch,
                                               "val_loss": val_loss,
                                               "matcher_config": cfg,
@@ -336,6 +344,7 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
                 else:
                     patience += 1
                     if patience >= tcfg.patience:
+                        result.epochs_run = epoch + 1  # the epoch DID run
                         break
             result.epochs_run = epoch + 1
         if not result.history:

@@ -52,3 +52,39 @@ def test_train_lifter_optimise_matrices_smoke(panoptic_rig):
     losses = [h["train_loss"] for h in res.history]
     assert all(np.isfinite(l) for l in losses), losses
     assert min(losses) < losses[0]
+
+def test_refined_rig_surfaced_and_roundtrips(panoptic_rig, tmp_path):
+    """optimise_matrices must SURFACE the refined calibration (the MLP
+    co-adapts to it; the reference trains the refinement but discards it)
+    and the npz persistence must roundtrip exactly."""
+    from mpe3d_tpu.geometry.camera import load_rig_npz, save_rig_npz
+    from mpe3d_tpu.train.lifter import train_lifter
+
+    rng = np.random.default_rng(2)
+    net = rng.normal(size=(64, PANOPTIC.lifter_input_dim)).astype(np.float32)
+    err = np.zeros((64, 360), np.float32)
+    err[:, 0::4] = 1.0
+    err[:, 1::4] = rng.uniform(100, 900, (64, 90))
+    err[:, 2::4] = rng.uniform(100, 500, (64, 90))
+    cfg = LifterConfig(widths=(32,))
+    tcfg = LifterTrainConfig(epochs=4, batch_size=32, eval_every=2,
+                             patience=10, optimise_matrices=True, lr=1e-3)
+    res = train_lifter(net, err, net[:16], err[:16], PANOPTIC, panoptic_rig,
+                       cfg, tcfg, log=lambda s: None)
+    assert res.rig is not None
+    # training moved the calibration away from the input rig
+    assert not np.allclose(np.asarray(res.rig.T_wc),
+                           np.asarray(panoptic_rig.T_wc))
+    p = str(tmp_path / "refined_rig.npz")
+    save_rig_npz(p, res.rig)
+    loaded = load_rig_npz(p)
+    for f in type(res.rig)._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(res.rig, f)),
+                                      np.asarray(getattr(loaded, f)))
+
+    # a lifter trained WITHOUT the flag must not surface a rig
+    tcfg2 = LifterTrainConfig(epochs=2, batch_size=32, eval_every=2,
+                              patience=10, lr=1e-3)
+    res2 = train_lifter(net, err, net[:16], err[:16], PANOPTIC, panoptic_rig,
+                        cfg, tcfg2, log=lambda s: None)
+    assert res2.rig is None
