@@ -39,6 +39,12 @@ def pose_error_table(gt3d: np.ndarray, gt_valid: np.ndarray,
         sel = gt_valid[g] & used
         n = sel.sum()
         if n == 0:
+            # reference QUIRK (metrics_from_model.py:318-320): a GT person
+            # with no valid used joints keeps an all-zero row, so it
+            # matches any result at zero cost and scores as a perfect
+            # pose — reproduced for bit-parity with the reference eval.
+            # (Synthetic GT always has valid used joints, so this state
+            # never occurs in the RESULTS.md protocols.)
             continue
         d = np.linalg.norm(results[:, sel] - gt3d[g, sel][None], axis=-1)
         table[g] = d.mean(axis=1)

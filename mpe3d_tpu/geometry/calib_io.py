@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import pickle
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -49,34 +49,46 @@ class TransformSet:
     def __init__(self, transforms: Dict[Tuple[str, str], np.ndarray]):
         self.transforms = {k: np.asarray(v, np.float64) for k, v in transforms.items()}
 
-    def get_transform(self, from_frame: str, to_frame: str) -> np.ndarray:
+    def get_transform(self, from_frame: str, to_frame: str,
+                      _visited: Optional[frozenset] = None) -> np.ndarray:
         if (from_frame, to_frame) in self.transforms:
             return self.transforms[(from_frame, to_frame)]
         if (to_frame, from_frame) in self.transforms:
             return np.linalg.inv(self.transforms[(to_frame, from_frame)])
-        # one-hop composition through a shared frame (root)
+        # multi-hop composition through shared frames; the visited set
+        # bounds the recursion — without it an unreachable (mistyped)
+        # frame or a cyclic graph recurses forever instead of KeyError
+        visited = (_visited or frozenset()) | {from_frame}
         for (a, b), T_ab in self.transforms.items():
-            if a == from_frame:
+            if a == from_frame and b not in visited:
                 try:
-                    return self.get_transform(b, to_frame) @ T_ab
+                    return self.get_transform(b, to_frame, visited) @ T_ab
                 except KeyError:
                     continue
-            if b == from_frame:
+            if b == from_frame and a not in visited:
                 try:
-                    return self.get_transform(a, to_frame) @ np.linalg.inv(T_ab)
+                    return (self.get_transform(a, to_frame, visited)
+                            @ np.linalg.inv(T_ab))
                 except KeyError:
                     continue
         raise KeyError(f"No transform {from_frame} -> {to_frame}")
 
     # ---- serialisation -------------------------------------------------
     def to_json(self) -> str:
-        return json.dumps({f"{a} {b}": T.tolist()
-                           for (a, b), T in self.transforms.items()})
+        # list-based pairs: frame names may contain spaces (the legacy
+        # '"a b"' dict keys could not round-trip those)
+        return json.dumps({"transforms": [[a, b, T.tolist()]
+                           for (a, b), T in self.transforms.items()]})
 
     @classmethod
     def from_json(cls, text: str) -> "TransformSet":
         raw = json.loads(text)
-        return cls({tuple(k.split(" ")): np.array(v) for k, v in raw.items()})
+        if isinstance(raw, dict) and "transforms" in raw:
+            return cls({(a, b): np.array(T)
+                        for a, b, T in raw["transforms"]})
+        # legacy format: {"a b": T} — only valid for space-free names
+        return cls({tuple(k.split(" ")): np.array(v)
+                    for k, v in raw.items()})
 
 
 def load_transform_manager(path: str) -> TransformSet:

@@ -72,7 +72,10 @@ def write_html_viewer(frames_poses: List[np.ndarray], rig_config: RigConfig,
     tids = frames_track_ids if frames_track_ids else [None] * n
     quals = frames_quality if frames_quality else [None] * n
 
-    frames = [_frame_payload(display[i], gts[i],
+    # all overlay lists are length-guarded: callers may collect GT/ids/
+    # quality only for a prefix of the frames
+    frames = [_frame_payload(display[i],
+                             gts[i] if i < len(gts) else None,
                              tids[i] if i < len(tids) else None,
                              quals[i] if i < len(quals) else None)
               for i in range(n)]
@@ -89,10 +92,14 @@ def write_html_viewer(frames_poses: List[np.ndarray], rig_config: RigConfig,
         "axes": [lbl for lbl, _ in rig_config.axes_3d],
         "title": title,
     }
+    # escape the title for the markup, and '</' in the inline JSON: a
+    # title like 'a</script>b.json' (it comes from a file name) would
+    # otherwise terminate the <script> block mid-payload
+    import html as _html
+    data = json.dumps(payload, separators=(",", ":")).replace("</", "<\\/")
     html = (_TEMPLATE
-            .replace("__TITLE__", title)
-            .replace("__DATA__", json.dumps(payload,
-                                            separators=(",", ":"))))
+            .replace("__TITLE__", _html.escape(title))
+            .replace("__DATA__", data))
     with open(out_path, "w") as f:
         f.write(html)
     return out_path

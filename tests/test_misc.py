@@ -137,3 +137,48 @@ def test_html_viewer_empty_frames(tmp_path):
     out = write_html_viewer([np.zeros((0, 18, 3))], PANOPTIC,
                             str(tmp_path / "empty.html"))
     assert '"p":[]' in open(out).read()
+
+
+def test_transformset_unreachable_frame_keyerror_not_recursion():
+    """A mistyped/unreachable frame must raise KeyError — the multi-hop
+    composition is visited-set bounded (an unbounded mutual recursion
+    previously RecursionError'd, uncatchable by the KeyError handlers)."""
+    from mpe3d_tpu.geometry.calib_io import TransformSet
+
+    I = np.eye(4)
+    ts = TransformSet({("root", "c1"): I, ("root", "c2"): I})
+    with pytest.raises(KeyError):
+        ts.get_transform("root", "typo_cam")
+    # multi-hop still composes: c1 -> c2 through root
+    np.testing.assert_allclose(ts.get_transform("c1", "c2"), I)
+
+
+def test_transformset_json_roundtrip_spaces_and_legacy():
+    from mpe3d_tpu.geometry.calib_io import TransformSet
+
+    T = np.diag([1.0, 2.0, 3.0, 1.0])
+    ts = TransformSet({("root", "cam 1"): T})      # name WITH a space
+    rt = TransformSet.from_json(ts.to_json())
+    np.testing.assert_allclose(rt.get_transform("root", "cam 1"), T)
+    # legacy dict format still loads
+    legacy = json.dumps({"root trackera": np.eye(4).tolist()})
+    old = TransformSet.from_json(legacy)
+    np.testing.assert_allclose(old.get_transform("root", "trackera"),
+                               np.eye(4))
+
+
+def test_html_viewer_hostile_title_and_short_gt(tmp_path):
+    """A '</script>' in the title must not break the payload, and a GT
+    list shorter than the frame list must not crash the export."""
+    from mpe3d_tpu.config import PANOPTIC
+    from mpe3d_tpu.viz.html_viewer import write_html_viewer
+
+    frames = [np.random.default_rng(0).normal(size=(1, 18, 3)),
+              np.random.default_rng(1).normal(size=(1, 18, 3))]
+    out = str(tmp_path / "v.html")
+    write_html_viewer(frames, PANOPTIC, out,
+                      frames_gt=[frames[0]],              # shorter than frames
+                      title="a</script><b>&.json")
+    text = open(out).read()
+    assert "</script><b>" not in text      # escaped in markup AND payload
+    assert text.count("</script>") == text.count("<script")
