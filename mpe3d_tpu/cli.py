@@ -41,6 +41,11 @@ def load_rig(args):
     tm = args.tm or rig_config.transformations_path
     if tm and os.path.exists(tm):
         return rig_config, rig_from_files(rig_config, tm)
+    if args.tm:
+        # an EXPLICIT --tm that doesn't resolve must fail loudly — a typo
+        # silently evaluated against a synthetic ring rig produces
+        # plausible-looking garbage metrics
+        sys.exit(f"--tm {args.tm}: file not found")
     print(f"[mpe3d] calibration '{tm}' not found — using a synthetic ring "
           "rig", file=sys.stderr)
     return rig_config, synthetic_ring_rig(rig_config)
@@ -256,20 +261,28 @@ def cmd_train_matcher(args):
                                     rig_config, topo, limit=tcfg.limit,
                                     seed=tcfg.seed + 2)
         from mpe3d_tpu.train.matcher import make_matcher_step
+        import jax
         import jax.numpy as jnp
         import optax
         match_rig = rig.select(np.asarray(rig_config.matching_camera_indices()))
         _, eval_step, _, _, _ = make_matcher_step(
             match_rig, rig_config, topo, cfg,
             optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay))
-        losses = []
+        # device losses accumulate; ONE readback at the end (per-batch
+        # float() would pay a ~25 ms relay RTT each — CLAUDE.md), and the
+        # mean is batch-size weighted so a partial final batch doesn't
+        # skew the headline number
+        losses, sizes = [], []
         for i in range(0, len(test), tcfg.batch_size):
             s = test.select(slice(i, i + tcfg.batch_size))
-            losses.append(float(eval_step(res.params, tuple(
+            losses.append(eval_step(res.params, tuple(
                 jnp.asarray(b) for b in (s.kp, s.valid, s.prob, s.observed,
                                          s.present, s.labels,
-                                         s.pair_weight)))))
-        print(f"MSE for the test set {np.mean(losses):.6f}")
+                                         s.pair_weight))))
+            sizes.append(len(s.kp))
+        lh = jax.device_get(losses)
+        mse = float(np.average(lh, weights=sizes)) if sizes else float("nan")
+        print(f"MSE for the test set {mse:.6f}")
 
 
 def cmd_train_lifter(args):
@@ -285,6 +298,7 @@ def cmd_train_lifter(args):
                              ema_decay=args.ema)
     from mpe3d_tpu.train.checkpoint import checkpoint_exists
     ckpt_path = os.path.join(args.modelsdir, "pose_estimator")
+    refined_rig_path = os.path.join(args.modelsdir, "refined_rig.npz")
     if getattr(args, "resume", False):
         # checked BEFORE the (expensive) dataset build: a missing
         # checkpoint must fail in milliseconds, not minutes
@@ -299,12 +313,20 @@ def cmd_train_lifter(args):
         if ck_prior != args.prior:
             sys.exit(f"{ckpt_path} was trained with prior={ck_prior}; "
                      f"pass --prior {ck_prior} or use a fresh --modelsdir")
+        if os.path.exists(refined_rig_path):
+            # the loaded weights co-adapted to the refined calibration —
+            # the resumed leg must pack data and compute its loss against
+            # THAT rig, not the original --tm one
+            from mpe3d_tpu.geometry.camera import load_rig_npz
+            rig = load_rig_npz(refined_rig_path)
+            print(f"[mpe3d] resuming with refined calibration "
+                  f"{refined_rig_path}", file=sys.stderr)
     net_t, err_t = build_lifter_dataset_from_files(
         args.trainset, rig_config, rig, cache=args.cache, prior=args.prior)
     net_d, err_d = build_lifter_dataset_from_files(
         args.devset, rig_config, rig, cache=args.cache, prior=args.prior)
     print(f"dataset length: {len(net_t)} (dev {len(net_d)})")
-    out = os.path.join(args.modelsdir, "pose_estimator")
+    out = ckpt_path
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3,
                         residual_prior=getattr(args, "residual_prior", False))
@@ -335,9 +357,16 @@ def cmd_train_lifter(args):
         # optimise_matrices: the MLP co-adapted to the refined calibration —
         # ship it next to the checkpoint; build_pipeline auto-loads it
         from mpe3d_tpu.geometry.camera import save_rig_npz
-        rig_path = os.path.join(args.modelsdir, "refined_rig.npz")
-        save_rig_npz(rig_path, res.rig)
-        print(f"refined calibration (--optimise-matrices) → {rig_path}")
+        save_rig_npz(refined_rig_path, res.rig)
+        print(f"refined calibration (--optimise-matrices) → {refined_rig_path}")
+    elif not getattr(args, "resume", False) \
+            and os.path.exists(refined_rig_path):
+        # a FRESH run trained against the original rig: a leftover refined
+        # calibration from a previous occupant of this modelsdir would be
+        # mispaired with the new checkpoint at inference
+        os.remove(refined_rig_path)
+        print(f"[mpe3d] removed stale {refined_rig_path} (this run did not "
+              "refine the calibration)", file=sys.stderr)
 
 
 def _pose_metrics(args, backend: str):

@@ -127,11 +127,10 @@ def parse_frame(frame: Dict, rig: RigConfig, max_skeletons: int = 10,
             if n > 0:
                 present[ci, slot] = True
                 slot += 1
-            else:
-                kp[ci, slot] = 0
-                valid[ci, slot] = 0
-                prob[ci, slot] = 0
-                in_view[ci, slot] = False
+            # n == 0 (a zero-joint skeleton, dropped like the reference):
+            # nothing was written to the slot — every write in the loop
+            # above also increments n — so the buffers stay zeroed and the
+            # slot is simply reused by the next skeleton
     return FrameArrays(kp, valid, prob, in_view, present, ts)
 
 
