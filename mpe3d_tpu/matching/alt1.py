@@ -37,6 +37,10 @@ import numpy as np
 
 from mpe3d_tpu.config import JOINT_NAMES_BY_FORMAT, MatcherConfig
 from mpe3d_tpu.matching.features import PairTopology
+# same 'edge_node' one-hot layout as alt-3 — one definition, re-exported
+# under the alt-1 name
+from mpe3d_tpu.matching.features import \
+    edge_node_features as alt1_edge_node_features  # noqa: F401
 
 # reference graph_generator.py:100-106 (verbatim vocabulary, incl. the
 # left_ear → 're' aliasing quirk)
@@ -281,12 +285,6 @@ def alt1_node_features(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
     return feats_hj, live
 
 
-def alt1_edge_node_features(n_pairs: int, feat_dim: int,
-                            dtype=np.float32) -> np.ndarray:
-    """'edge_node' one-hot rows (host constant → HLO literal)."""
-    f = np.zeros((n_pairs, feat_dim), dtype)
-    f[:, 1] = 1.0
-    return f
 
 
 def apply_matcher_alt1(params: Dict, feats: jnp.ndarray, node_live: jnp.ndarray,

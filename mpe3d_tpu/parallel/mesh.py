@@ -29,8 +29,18 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     workload (grad psum rides ICI all-reduce).
     """
     devices = list(devices if devices is not None else jax.devices())
+    if n_model < 1 or n_model > len(devices):
+        raise ValueError(f"n_model={n_model} needs 1..{len(devices)} "
+                         f"devices (have {len(devices)})")
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1:
+        raise ValueError(f"mesh {n_data}x{n_model} is empty for "
+                         f"{len(devices)} devices")
+    if n_data * n_model < len(devices):
+        import sys
+        print(f"[mpe3d] mesh {n_data}x{n_model} uses {n_data * n_model} of "
+              f"{len(devices)} devices", file=sys.stderr)
     devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
 

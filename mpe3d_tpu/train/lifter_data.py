@@ -57,16 +57,24 @@ def random_camera_subsets(flags: np.ndarray, max_count: int,
     n = len(avail)
     if n <= 1:
         return out
-    # enumerate strict non-empty subsets of available cameras
-    subsets = []
-    for bits in range(1, 2 ** n - 1):
+    # uniform WITHOUT replacement over the 2^n − 2 strict non-empty
+    # subsets — the reference's distribution (it materialises and
+    # shuffles them all, utils/data_augmentation.py:36-45; sampling
+    # bitmask integers directly is O(max_count) instead of O(2^n·n),
+    # which matters in the dataset-build hot loop and for large rigs)
+    total = 2 ** n - 2
+    k = min(max_count - 1, total)
+    if total <= 4096:
+        bit_sel = rng.choice(total, size=k, replace=False) + 1
+    else:
+        chosen = set()
+        while len(chosen) < k:
+            chosen.add(int(rng.integers(1, total + 1)))
+        bit_sel = np.fromiter(chosen, dtype=np.int64)
+    for bits in bit_sel:
         m = np.zeros(len(flags), np.float32)
-        for i in range(n):
-            if bits >> i & 1:
-                m[avail[i]] = 1.0
-        subsets.append(m)
-    rng.shuffle(subsets)
-    out.extend(subsets[: max_count - 1])
+        m[avail[(int(bits) >> np.arange(n)) & 1 == 1]] = 1.0
+        out.append(m)
     return out
 
 
@@ -189,12 +197,20 @@ def build_lifter_dataset_from_files(paths: Sequence[str],
         # C++ fast path; FrameArrays feed build_lifter_dataset directly
         frames.extend(parse_frames_file(p, rig_config))
     cache = kw.pop("cache", False)
-    # key the cache on EVERY packing knob that changes the arrays
-    prior = kw.get("prior", "mean")
-    pdrop = kw.get("prior_dropout", 0.0)
-    suffix = "" if prior == "mean" else f".{prior}"
-    if pdrop:
-        suffix += f".pd{pdrop}"
-    cache_path = f"{paths[-1]}.mpe3d{suffix}.npz" if cache else None
+    # key the cache on EVERY packing knob that changes the arrays AND on
+    # the full input-path list (the reference's <lastfile>.pytorch cache
+    # keys on nothing — a silent-staleness trap we do not reproduce)
+    cache_path = None
+    if cache:
+        import hashlib
+        prior = kw.get("prior", "mean")
+        pdrop = kw.get("prior_dropout", 0.0)
+        augment = kw.get("augment", True)
+        maxc = kw.get("max_combinations", 5)
+        seed = kw.get("seed", 0)
+        tag = hashlib.sha1("|".join(os.path.abspath(p)
+                                    for p in paths).encode()).hexdigest()[:8]
+        suffix = f".{prior}.a{int(augment)}x{maxc}.s{seed}.pd{pdrop}.{tag}"
+        cache_path = f"{paths[-1]}.mpe3d{suffix}.npz"
     return build_lifter_dataset(frames, rig_config, rig,
                                 cache_path=cache_path, **kw)

@@ -236,8 +236,12 @@ def build_matcher_scenes(inputs: List[List[Dict]], rig_config: RigConfig,
                            np.stack(N_o), np.stack(N_pr),
                            np.stack(N_lab), np.stack(N_w))
     if cache_path:
-        np.savez(cache_path, kp=scenes.kp, valid=scenes.valid,
+        # atomic publish (same race as lifter_data: a training run must
+        # never np.load a half-written cache from a concurrent pre-build)
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, kp=scenes.kp, valid=scenes.valid,
                  prob=scenes.prob, observed=scenes.observed,
                  present=scenes.present, labels=scenes.labels,
                  pair_weight=scenes.pair_weight)
+        os.replace(tmp, cache_path)
     return scenes
