@@ -157,8 +157,12 @@ class Detector2D:
         for j19, n in enumerate(counts):
             if j19 == BODY_CENTER or j19 >= 19:
                 continue
-            # the backbone is trained on the 19-joint panoptic order minus
-            # bodyCenter → its channel order IS the reference's j loop order
+            # channel j IS COCO-19 joint j for j in 0..17 (the reference
+            # enumerates peaks the same way and skips j==2/bodyCenter,
+            # get_joints_from_panoptic_model.py:239-243).  QUIRK shared
+            # with the reference: the 18-channel backbone has no channel
+            # for COCO-19 joint 18 (right ear), so that joint is never
+            # detected by either implementation.
             j18 = COCO19_TO_COCO18.get(j19)
             if j18 is None:
                 continue
@@ -248,10 +252,18 @@ def convert_sequence(seq_dir: str, detector: Detector2D,
 
     imgs_root = os.path.join(seq_dir, "hdImgs")
     skel_root = os.path.join(seq_dir, "hdPose3d_stage1_coco19")
-    cam_dirs = sorted(d for d in os.listdir(imgs_root)
-                      if os.path.isdir(os.path.join(imgs_root, d)))
-    name_of_node = {int(d.split("_")[-1]): f"tracker{chr(ord('a') + i)}"
-                    for i, d in enumerate(cam_dirs)}
+    # camera names MUST follow the `nodes` order — the same mapping
+    # write_transform_set used above — and dirs outside `nodes` are
+    # skipped: a full 31-camera hdImgs download (or a custom node order)
+    # would otherwise label node-0 detections 'trackera' while the
+    # transform set says 'trackera' is nodes[0] (reference :105-111
+    # hardcodes the pairing the same way)
+    node_order = {n: i for i, n in enumerate(nodes)}
+    cam_dirs = [d for d in sorted(os.listdir(imgs_root))
+                if os.path.isdir(os.path.join(imgs_root, d))
+                and int(d.split("_")[-1]) in node_order]
+    name_of_node = {n: f"tracker{chr(ord('a') + i)}"
+                    for n, i in node_order.items()}
 
     frames_index: Dict[str, Dict[int, str]] = {}
     for d in cam_dirs:

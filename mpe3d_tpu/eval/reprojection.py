@@ -8,7 +8,7 @@ against the observed 2D joints.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np
@@ -17,8 +17,7 @@ from mpe3d_tpu.geometry.camera import CameraRig, project_points
 
 
 def reprojection_pixel_errors(poses: np.ndarray, kp: np.ndarray,
-                              observed: np.ndarray, rig: CameraRig,
-                              cam_of_person: Optional[np.ndarray] = None
+                              observed: np.ndarray, rig: CameraRig
                               ) -> List[List[float]]:
     """Per-camera pixel errors of projected poses vs observations.
 

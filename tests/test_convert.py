@@ -249,3 +249,46 @@ def test_convert_sequence_wire_format(fake_sequence, tmp_path, monkeypatch):
         sp = json.load(f)
     assert len(sp) == 2              # one entry per (person, frame)
     assert all(len(e[next(iter(e))]) == 3 for e in sp)   # no GT element
+
+
+def test_convert_sequence_extra_dirs_and_node_order(fake_sequence, tmp_path):
+    """Camera dirs OUTSIDE `nodes` must be skipped, and tracker names must
+    follow the `nodes` order (the same mapping the transform set uses) —
+    a full 31-camera hdImgs download previously shifted every name."""
+    import itertools
+
+    from mpe3d_tpu.convert import panoptic as pano
+
+    # distractor dir not in nodes, sorted FIRST — would previously steal
+    # the 'trackera' name
+    os.makedirs(os.path.join(fake_sequence, "hdImgs", "00_01"))
+
+    cams = pano.load_calibration(fake_sequence)
+    with open(os.path.join(fake_sequence, "hdPose3d_stage1_coco19",
+                           "body3DScene_00000100.json")) as f:
+        bodies = json.load(f)["bodies"]
+
+    class StubDetector:
+        def __init__(self):
+            self._nodes = itertools.cycle([3, 6])
+
+        def __call__(self, image, resolution):
+            cam = cams[(0, next(self._nodes))]
+            projected, _ = pano.project_gt_people(bodies, cam)
+            return {j: [[v[1], v[2]]] for kps in projected.values()
+                    for j, v in kps.items()}
+
+    # REVERSED node order: trackera must be node 6 in BOTH the frames and
+    # the transform set
+    out = pano.convert_sequence(fake_sequence, StubDetector(),
+                                nodes=(6, 3), multi=True,
+                                out_dir=str(tmp_path))
+    with open(out) as f:
+        frames = json.load(f)
+    assert set(frames[0].keys()) == {"trackera", "trackerb"}
+
+    from mpe3d_tpu.geometry.calib_io import load_transform_manager
+    ts = load_transform_manager(str(tmp_path / "tm_160906_fake1.pickle"))
+    T_a = ts.get_transform("root", "trackera")
+    R6 = np.asarray(cams[(0, 6)]["R"])
+    np.testing.assert_allclose(T_a[:3, :3], R6, atol=1e-12)
