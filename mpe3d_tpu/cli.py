@@ -115,25 +115,23 @@ def resolve_auto_serve_dtype(lifter_cfg, backend: str,
                              matmul_precision) -> Optional[str]:
     """The serving front-end's ``--serve-dtype auto`` policy.
 
-    Library/eval paths keep the pipeline default (bf16 on TPU — a
-    bit-identical cast under default matmul precision, pipeline.py:158).
-    Serving additionally auto-selects **int8** for residual-prior
-    checkpoints: their fp32 triangulated prior rides outside the quantised
-    stack, so weight rounding only perturbs the learned correction —
-    measured −0.03 mm dense MPJPE, mAP/mR unchanged
-    (reports/serve_int8_residual_r2b.json) for another 2× cut in HBM
-    weight traffic.  Absolute-head checkpoints stay bf16 (int8 is a real
-    +1.4 mm accuracy change there — remains opt-in), as does any session
-    that globally forced a non-default matmul precision (the bf16
-    "bit-identical" argument no longer holds, so neither lossy step is
-    taken silently).
+    Everything (serve included) keeps the pipeline default: bf16 on TPU —
+    a bit-identical cast under default matmul precision (pipeline.py:158).
+    int8 weight-only serving stays OPT-IN (`--serve-dtype int8`): although
+    it halves HBM weight bytes again and is accuracy-free for
+    residual-prior checkpoints (−0.03 mm, the fp32 prior rides outside
+    the quantised stack; reports/serve_int8_residual_r2b.json), the
+    measured v5e frame-time ladder at serving shapes is fp32 629 µs /
+    bf16 268 µs / int8 499 µs (reports/chain4_logs/dec_def_*.log): the
+    pallas dequant kernel's per-invocation overhead (~26 µs × 9 layers)
+    exceeds the bandwidth it saves, so auto-selecting it would COST
+    latency.  int8's remaining use case is HBM capacity (many models
+    resident per chip), not speed — a deliberate deployment choice.
 
-    Returns ``"int8"`` or ``None`` (= keep the pipeline's own default).
+    Returns ``None`` (= keep the pipeline's own default); kept as the
+    single policy hook should a faster dequant path change the call.
     """
-    if (backend == "tpu"
-            and matmul_precision in (None, "default", "bfloat16")
-            and getattr(lifter_cfg, "residual_prior", False)):
-        return "int8"
+    del lifter_cfg, backend, matmul_precision
     return None
 
 
@@ -735,13 +733,13 @@ def _add_common(p, models=True):
         p.add_argument("--serve-dtype", default="auto",
                        choices=["auto", "fp32", "bf16", "int8"],
                        help="lifter weight serving: auto = bf16 on TPU "
-                       "(bit-identical there) / fp32 elsewhere — and, for "
-                       "the serve subcommand only, int8 when the "
-                       "checkpoint is residual-prior (measured −0.03 mm; "
-                       "reports/serve_int8_residual_r2b.json); int8 = "
-                       "two-sided weight-only quantisation (halves HBM "
-                       "traffic again; accuracy deltas measured in "
-                       "reports/serve_int8_*.json)")
+                       "(bit-identical there) / fp32 elsewhere.  int8 = "
+                       "opt-in two-sided weight-only quantisation: halves "
+                       "HBM weight bytes (accuracy deltas in "
+                       "reports/serve_int8_*.json; free for residual-prior "
+                       "checkpoints) but measured SLOWER than bf16 at "
+                       "serving shapes (RESULTS.md dtype ladder) — an "
+                       "HBM-capacity tool, not a latency one")
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -888,8 +886,9 @@ def make_parser() -> argparse.ArgumentParser:
                    "(params replicated, no collectives; streaming "
                    "throughput ~= one frame per RTT per chip)")
     _add_track_flags(p)
-    # serving (and only serving) auto-selects int8 for residual-prior
-    # checkpoints under --serve-dtype auto (resolve_auto_serve_dtype)
+    # serve routes --serve-dtype auto through resolve_auto_serve_dtype —
+    # currently a no-op policy hook (int8 measured slower than bf16 at
+    # serving shapes; see the function docstring)
     p.set_defaults(fn=cmd_serve, serve_auto_int8=True)
 
     p = sub.add_parser("show-results")
