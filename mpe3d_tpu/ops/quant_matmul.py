@@ -128,12 +128,26 @@ def int8_weight_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
     M = x2.shape[0]
     Mp, Kp, Npad = _round_up(max(M, 1), M_TILE), _round_up(K, 128), \
         _round_up(N, 128)
-    xp = jnp.zeros((Mp, Kp), jnp.bfloat16).at[:M, :K].set(
-        x2.astype(jnp.bfloat16))
-    wqp = jnp.zeros((Kp, Npad), jnp.int8).at[:K, :N].set(wq)
-    sp = jnp.zeros((1, Npad), jnp.float32).at[0, :N].set(scale)
-    bp = jnp.zeros((1, Npad), jnp.float32)
-    if b is not None:
-        bp = bp.at[0, :N].set(b)
+    # pad ONLY when a dim is misaligned: `zeros().at[].set()` on the
+    # weight matrix is a full HBM copy of the (multi-MB) operand inside
+    # the per-frame program — measured as the bulk of the int8 path's
+    # overhead vs bf16 when applied unconditionally (the lifter's hidden
+    # layers are all 128-aligned; only layer 0's K=1260 needs the pad).
+    # The tiny activation pad (rows to the 16-sublane minimum) is kept.
+    xp = x2.astype(jnp.bfloat16)
+    if (Mp, Kp) != (M, K):
+        xp = jnp.zeros((Mp, Kp), jnp.bfloat16).at[:M, :K].set(xp)
+    wqp = wq
+    if (Kp, Npad) != (K, N):
+        wqp = jnp.zeros((Kp, Npad), jnp.int8).at[:K, :N].set(wq)
+    sp = scale.astype(jnp.float32).reshape(1, N)
+    if Npad != N:
+        sp = jnp.zeros((1, Npad), jnp.float32).at[0, :N].set(scale)
+    if b is not None and Npad == N:
+        bp = b.astype(jnp.float32).reshape(1, N)
+    else:
+        bp = jnp.zeros((1, Npad), jnp.float32)
+        if b is not None:
+            bp = bp.at[0, :N].set(b)
     out = _pallas_int8_matmul(xp, wqp, sp, bp, alpha, interpret)
     return out[:M, :N].reshape(*lead, N)
