@@ -133,6 +133,17 @@ def main() -> int:
     for f in frames[:5]:                       # warm the fused e2e path
         pipe.infer_fused(f)
 
+    # relay round-trip reference: the dispatch→readback time of a trivial
+    # program.  Relay sessions vary ~5× (measured 32-160 ms single
+    # dispatch across sessions); this anchors every latency field in the
+    # line to the session it was measured in.
+    import jax.numpy as _jnp
+    float(_jnp.ones(()) + 0)                   # warm
+    _t0 = time.perf_counter()
+    for _ in range(3):
+        float(_jnp.ones(()) + 0)
+    rtt_ms = (time.perf_counter() - _t0) / 3 * 1e3
+
     times = []
     for f in frames:
         t0 = time.perf_counter()
@@ -282,6 +293,7 @@ def main() -> int:
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / stream_ms, 2),
         "backend": backend,
+        "relay_rtt_ms": round(rtt_ms, 2),
         "single_dispatch_ms": round(ms, 3),
         "serve_frame_ms": round(serve_ms, 3),
         "batched_throughput_fps": round(fps, 1),
