@@ -45,12 +45,22 @@ def chained_frame_us(core, model_args: Sequence, chain_args: Sequence,
     c1, c2 = make_chain(k1), make_chain(k2)
     float(c1(*model_args, *chain_args))            # compile both
     float(c2(*model_args, *chain_args))
-    t1s, t2s = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(c1(*model_args, *chain_args))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(c2(*model_args, *chain_args))
-        t2s.append(time.perf_counter() - t0)
-    return (min(t2s) - min(t1s)) / (k2 - k1) * 1e6
+
+    def measure(n):
+        t1s, t2s = [], []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(c1(*model_args, *chain_args))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(c2(*model_args, *chain_args))
+            t2s.append(time.perf_counter() - t0)
+        return (min(t2s) - min(t1s)) / (k2 - k1) * 1e6
+
+    us = measure(reps)
+    if us <= 0:
+        # a host stall (e.g. CPU contention) inflated every short-chain
+        # rep: the differential is meaningless.  One retry with more reps
+        # — min() needs only a single clean pair to recover.
+        us = measure(2 * reps)
+    return us

@@ -175,5 +175,13 @@ def quantize_lifter_weights(params: Params, keep_last_fp: bool = True,
     return {"layers": out}
 
 
+def lifter_is_quantized(params: Params) -> bool:
+    """True if any layer carries int8-quantised weights (key ``wq``).
+
+    Such trees are serving-only: there is no fp32 master copy to train or
+    re-cast, so the pipeline must route them through the int8 path."""
+    return any("wq" in layer for layer in params["layers"])
+
+
 def lifter_num_params(params: Params) -> int:
     return sum(int(v.size) for layer in params["layers"] for v in layer.values())

@@ -163,6 +163,15 @@ class PoseEstimationPipeline:
         # full-precision, so casting WOULD change results off-TPU).  The
         # identity argument only holds under DEFAULT matmul precision — a
         # user who globally forced a higher precision gets fp32 weights.
+        if self.lifter_params is not None:
+            from mpe3d_tpu.models.mlp import lifter_is_quantized
+            if lifter_is_quantized(self.lifter_params):
+                # stored-int8 servable checkpoint (CLI `export-servable`):
+                # there is no fp32 master copy, so the int8 path is the only
+                # one that can serve it — any requested serve_dtype is
+                # overridden (quantize_lifter_weights below is a no-op on
+                # already-quantised layers).
+                serve_dtype = "int8"
         if serve_dtype is None:
             prec = jax.config.jax_default_matmul_precision
             serve_dtype = (jnp.bfloat16
