@@ -88,6 +88,24 @@ def apply_lifter(params: Params, x: jnp.ndarray, cfg: LifterConfig,
     """
     from mpe3d_tpu.ops.quant_matmul import int8_weight_matmul
 
+    if "fused_flat" in params:
+        # whole-network pallas serving kernel (ops/fused_mlp.py): one
+        # launch, weights streamed HBM→VMEM double-buffered, activations
+        # VMEM-resident.  Packed trees come from pack_lifter_serving —
+        # serving only (no gradient path).
+        from mpe3d_tpu.ops.fused_mlp import fused_mlp_forward
+        flat = params["fused_flat"]
+        kinds, dims = _parse_fused_flat(flat)
+        lead = x.shape[:-1]
+        h = fused_mlp_forward(
+            x.reshape(-1, x.shape[-1]), flat, kinds, dims,
+            cfg.negative_slope, cfg.out_dim,
+            interpret=jax.default_backend() != "tpu")
+        h = h.reshape(*lead, cfg.out_dim)
+        if cfg.residual_prior:
+            h = h + extract_prior(x, cfg)
+        return h
+
     layers = params["layers"]
     h = x
     n = len(layers)
@@ -111,6 +129,33 @@ def apply_lifter(params: Params, x: jnp.ndarray, cfg: LifterConfig,
     if cfg.residual_prior:
         h = h + extract_prior(x, cfg)
     return h
+
+
+def _parse_fused_flat(flat):
+    """Recover (kinds, dims) statically from a packed flat list: an int8
+    leading array marks a quantised layer (wq, scale, rscale, b), anything
+    else a plain one (w, b).  Shapes/dtypes are static even on tracers."""
+    kinds, dims, i = [], [], 0
+    while i < len(flat):
+        w = flat[i]
+        if w.dtype == jnp.int8:
+            kinds.append("q")
+            i += 4
+        else:
+            kinds.append("w")
+            i += 2
+        dims.append(tuple(w.shape))
+    return tuple(kinds), tuple(dims)
+
+
+def pack_lifter_serving(params: Params) -> Params:
+    """Pack a serving tree (fp32/bf16 ``w`` or quantised ``wq`` layers) for
+    the whole-network pallas kernel (ops/fused_mlp.py).  Host-side, once
+    per pipeline — never inside a per-frame program.  The packed tree is
+    serving-only (plain weights are cast to bf16; no gradient path)."""
+    from mpe3d_tpu.ops.fused_mlp import pack_fused_layers
+    flat, _, _ = pack_fused_layers(params["layers"])
+    return {"fused_flat": list(flat)}
 
 
 def cast_lifter_weights(params: Params, dtype) -> Params:

@@ -113,7 +113,8 @@ class PoseEstimationPipeline:
                  geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
                  use_pallas_proj: Optional[bool] = None,
                  lifter_prior: str = "mean",
-                 serve_dtype=None):
+                 serve_dtype=None,
+                 use_fused_mlp: Optional[bool] = None):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -199,6 +200,26 @@ class PoseEstimationPipeline:
                                                          self.serve_dtype)
                 if self.compute_dtype is None:
                     self.compute_dtype = self.serve_dtype
+
+        # Whole-network pallas serving kernel (ops/fused_mlp.py): the full
+        # MLP in ONE launch, weights streamed HBM→VMEM double-buffered —
+        # removes both the per-layer XLA fusion overhead (bf16 lift
+        # measured ~3× its HBM floor) and the 9× pallas launch cost that
+        # made per-layer int8 slower than bf16.  Applies to the
+        # single-frame serving paths only (submit_fused / lift / warmup);
+        # the batch path amortizes weights across frames and keeps XLA.
+        # Default OFF until the on-chip A/B lands (scripts/
+        # bench_fused_mlp.py, chain8d); opt-in via use_fused_mlp=True.
+        from mpe3d_tpu.ops.fused_mlp import M_TILE as _FUSED_ROWS
+        self.use_fused_mlp = bool(
+            use_fused_mlp
+            and self.lifter_params is not None
+            and self.backend != "triangulation"
+            and max(person_buckets) <= _FUSED_ROWS)
+        self.lifter_params_serve = self.lifter_params
+        if self.use_fused_mlp:
+            from mpe3d_tpu.models.mlp import pack_lifter_serving
+            self.lifter_params_serve = pack_lifter_serving(self.lifter_params)
 
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
@@ -555,7 +576,7 @@ class PoseEstimationPipeline:
         self._serve_devices = devices
         self._serve_params = tuple(
             (jax.device_put(self.matcher_params, d),
-             jax.device_put(self.lifter_params, d)) for d in devices)
+             jax.device_put(self.lifter_params_serve, d)) for d in devices)
         self._serve_rr = 0
         return len(devices)
 
@@ -572,7 +593,7 @@ class PoseEstimationPipeline:
         mi_all = frame.present.sum(axis=1).max()
         S = self._bucket(max(1, int(mi_all)))
         p_max = self._p_max(S)
-        mparams, lparams = self.matcher_params, self.lifter_params
+        mparams, lparams = self.matcher_params, self.lifter_params_serve
         args = (_slot_view(frame.kp, S), _slot_view(frame.valid, S),
                 _slot_view(frame.prob, S), _slot_view(frame.in_view, S),
                 _slot_view(frame.present, S))
@@ -732,7 +753,7 @@ class PoseEstimationPipeline:
         pmask = np.zeros(PB, np.float32)
         pmask[:P] = 1.0
         poses, ok, quality = self._lift_fn(PB)(
-            self.lifter_params, jnp.asarray(kp), jnp.asarray(valid),
+            self.lifter_params_serve, jnp.asarray(kp), jnp.asarray(valid),
             jnp.asarray(prob), jnp.asarray(observed), jnp.asarray(pmask))
         if with_quality:
             return np.asarray(poses)[:P], np.asarray(quality)[:P]
@@ -775,7 +796,8 @@ class PoseEstimationPipeline:
                               jnp.zeros((C, S), bool))
         for PB in ([persons] if persons else self.person_buckets):
             Cu = len(self.used_idx)
-            self._lift_fn(PB)(self.lifter_params, jnp.zeros((PB, Cu, J, 2)),
+            self._lift_fn(PB)(self.lifter_params_serve,
+                              jnp.zeros((PB, Cu, J, 2)),
                               jnp.zeros((PB, Cu, J)), jnp.zeros((PB, Cu, J)),
                               jnp.zeros((PB, Cu, J), bool), jnp.zeros(PB))
         if fused:
