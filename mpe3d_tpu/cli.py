@@ -185,6 +185,10 @@ def build_pipeline(args, backend: str):
                   "(residual-prior checkpoint; measured −0.03 mm)",
                   file=sys.stderr)
             geo_kw["serve_dtype"] = sd
+    if getattr(args, "fused_mlp", False):
+        # whole-network pallas serving kernel (ops/fused_mlp.py); opt-in
+        # until the on-chip A/B flips the TPU default
+        geo_kw["use_fused_mlp"] = True
     pipe = PoseEstimationPipeline(
         rig_config, rig, mparams, mcfg, lparams, lcfg, backend=backend,
         lifter_prior=lifter_prior, **geo_kw)
@@ -849,6 +853,11 @@ def _add_common(p, models=True):
                        "checkpoints) but measured SLOWER than bf16 at "
                        "serving shapes (RESULTS.md dtype ladder) — an "
                        "HBM-capacity tool, not a latency one")
+        p.add_argument("--fused-mlp", action="store_true",
+                       help="serve the lifter through the whole-network "
+                       "pallas kernel (ops/fused_mlp.py): one launch, "
+                       "weights streamed HBM→VMEM — opt-in pending the "
+                       "on-chip A/B (scripts/bench_fused_mlp.py)")
 
 
 def make_parser() -> argparse.ArgumentParser:
