@@ -160,15 +160,26 @@ def pack_fused_layers(layers: Sequence[dict]):
 
     Returns (flat arrays, kinds, padded dims).  Hidden-layer boundaries
     must agree un-padded (layer i's N == layer i+1's K) — true for any
-    standard MLP; only the first K and last N gain padding.
+    standard MLP.  BOTH K and N pad to 128 multiples, so the padded
+    boundary dims agree too (padded output columns are written as exact
+    zeros: zero weight columns, zero bias → leaky(0) = 0 — the next
+    layer's padded-K read is defined and contributes nothing).  The
+    K-tile size adapts per layer (`_ktile`: 256 when it divides, else
+    128), so widths like 384 or 640 work, not just 256 multiples.
     """
     flat, kinds, dims = [], [], []
+    prev_np = None
     for layer in layers:
         quant = "wq" in layer
         w = layer["wq"] if quant else layer["w"]
         K, N = w.shape
-        Kp = _round_up(K, KT_MAX if K >= KT_MAX else 128)
+        Kp = _round_up(K, 128)
         Np = _round_up(N, 128)
+        if prev_np is not None and Kp != prev_np:
+            raise ValueError(
+                f"layer boundary mismatch: padded K {Kp} != previous "
+                f"padded N {prev_np} (unpadded K={K})")
+        prev_np = Np
         w = jnp.asarray(w)
         if quant and w.dtype != jnp.int8:
             raise ValueError("wq must be int8")
@@ -181,8 +192,14 @@ def pack_fused_layers(layers: Sequence[dict]):
         if quant:
             scale = jnp.zeros((1, Np), jnp.float32).at[0, :N].set(
                 jnp.asarray(layer["scale"], jnp.float32))
-            rscale = jnp.zeros((1, Kp), jnp.float32).at[0, :K].set(
-                jnp.asarray(layer["rscale"], jnp.float32))
+            # one-sided trees (quantize_lifter_weights(row_scale=False))
+            # carry no rscale: synthesize ones so both int8 paths accept
+            # the same input domain (padded K stays zero — those x columns
+            # are already zero)
+            rs = layer.get("rscale")
+            rs = jnp.ones((K,), jnp.float32) if rs is None \
+                else jnp.asarray(rs, jnp.float32)
+            rscale = jnp.zeros((1, Kp), jnp.float32).at[0, :K].set(rs)
             flat += [w, scale, rscale, b]
             kinds.append("q")
         else:

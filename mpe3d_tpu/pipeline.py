@@ -215,7 +215,19 @@ class PoseEstimationPipeline:
             use_fused_mlp
             and self.lifter_params is not None
             and self.backend != "triangulation"
-            and max(person_buckets) <= _FUSED_ROWS)
+            and max(person_buckets) <= _FUSED_ROWS
+            # the kernel's weight formats are bf16/int8; packing an fp32
+            # serving tree would silently cast it — honour an explicit (or
+            # auto-resolved) fp32 request with the XLA path instead
+            and self.serve_dtype is not None)
+        if use_fused_mlp and not self.use_fused_mlp:
+            import sys
+            print("[mpe3d] use_fused_mlp requested but not engaged "
+                  f"(lifter={'yes' if self.lifter_params is not None else 'no'}, "
+                  f"backend={self.backend}, "
+                  f"max_person_bucket={max(person_buckets)}, "
+                  f"serve_dtype={self.serve_dtype}) — serving the XLA path",
+                  file=sys.stderr)
         self.lifter_params_serve = self.lifter_params
         if self.use_fused_mlp:
             from mpe3d_tpu.models.mlp import pack_lifter_serving
@@ -743,6 +755,17 @@ class PoseEstimationPipeline:
             empty = np.zeros((0, self.rig_config.n_joints, 3), np.float32)
             return (empty, np.zeros(0, np.float32)) if with_quality else empty
         PB = self._person_bucket(P)
+        if P > PB:
+            # the HOST decode has no proposal cap (unlike the device
+            # decode's p_max), so a dense frame can exceed the largest
+            # person bucket; truncate to the compiled capacity rather than
+            # crash on a negative pad (greedy decode emits highest-scoring
+            # clusters first, so the tail is the least confident)
+            import sys
+            print(f"[mpe3d] {P} person proposals exceed the largest person "
+                  f"bucket ({PB}); lifting the first {PB}", file=sys.stderr)
+            persons = persons[:PB]
+            P = PB
         kp, valid, prob, observed = self.gather_person_obs(frame, persons)
         pad = PB - P
         if pad:
@@ -773,6 +796,8 @@ class PoseEstimationPipeline:
                 eff, pm, topo, self.rig_config.min_number_of_views,
                 self.threshold, order_scores=order)
         poses, quality = self.lift(frame, persons, with_quality=True)
+        # lift truncates past the largest person bucket — keep rows aligned
+        persons = persons[:len(poses)]
         return PipelineOutput(poses, persons, scores,
                               int(frame.present.sum()), quality)
 

@@ -86,6 +86,9 @@ def main():
             person_buckets=(8,), threshold=args.threshold,
             decode_top_k=args.decode_top_k, serve_dtype=serve_dtype,
             use_fused_mlp=fused)
+        # a silently-demoted kernel would make the A/B compare the base
+        # path against itself — fail loudly instead
+        assert pipe.use_fused_mlp == fused, (serve_dtype, fused)
         lparams = pipe.lifter_params_serve
         wbytes = sum(np.size(x) * np.dtype(jnp.asarray(x).dtype).itemsize
                      for x in jax.tree_util.tree_leaves(

@@ -129,3 +129,80 @@ def test_pipeline_fused_mlp_matches_default(panoptic_rig):
             checked += 1
             np.testing.assert_allclose(b.poses, a.poses, atol=1e-4)
     assert checked > 0
+
+
+@pytest.mark.parametrize("widths", [(384, 1024), (384, 384), (640, 896)])
+def test_odd_128_multiple_widths(widths):
+    """Review regression: padded layer-boundary dims must agree for widths
+    that are odd multiples of 128 (the old 256-rounding of K broke them —
+    NaN poses or trace errors)."""
+    cfg = LifterConfig(in_dim=70, out_dim=12, widths=widths)
+    params = _params(cfg, seed=8)
+    x = _x(cfg, m=4, seed=9)
+    ref = apply_lifter(params, x, cfg, compute_dtype=jnp.bfloat16)
+    packed = pack_lifter_serving(params)
+    out = apply_lifter(packed, x, cfg)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_one_sided_int8_tree():
+    """Review regression: row_scale=False quantised trees (no rscale key)
+    must pack — both int8 paths accept the same input domain."""
+    params = quantize_lifter_weights(_params(), row_scale=False)
+    assert "rscale" not in params["layers"][0]
+    x = _x(m=3)
+    ref = apply_lifter(params, x, CFG, compute_dtype=jnp.bfloat16,
+                       use_pallas_quant=False)
+    packed = pack_lifter_serving(params)
+    out = apply_lifter(packed, x, CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fp32_request_demotes_fused(panoptic_rig, capsys):
+    """Review regression: an fp32 serving tree must NOT be silently cast
+    to bf16 by the kernel packer — the pipeline demotes to XLA."""
+    from mpe3d_tpu.config import PANOPTIC, MatcherConfig
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64,))
+    pipe = PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,),
+        serve_dtype=False, use_fused_mlp=True)
+    assert not pipe.use_fused_mlp
+    assert "not engaged" in capsys.readouterr().err
+
+
+def test_lift_truncates_past_largest_bucket(panoptic_rig):
+    """Review regression: host-decoded proposals beyond the largest person
+    bucket must truncate (with aligned PipelineOutput rows), not crash on
+    a negative pad."""
+    from mpe3d_tpu.config import PANOPTIC, MatcherConfig
+    from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.data.synthetic import generate_frames
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64,))
+    pipe = PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(2,))
+    fa = parse_frame(next(iter(generate_frames(
+        PANOPTIC, panoptic_rig, 1, n_people=(3, 3), seed=3,
+        with_gt=False))), PANOPTIC, max_skeletons=4)
+    persons = np.array([[0, 0, 0, 0, 0], [1, 1, 1, 1, 1], [2, 2, 2, 2, 2],
+                        [0, 1, -1, -1, -1]])  # 4 proposals > bucket 2
+    poses = pipe.lift(fa, persons)
+    assert poses.shape[0] == 2
