@@ -133,15 +133,15 @@ def main() -> int:
     for f in frames[:5]:                       # warm the fused e2e path
         pipe.infer_fused(f)
 
-    # pipelined streaming latency — the PRIMARY metric — measured FIRST,
-    # right after warmup, and best-of-3 like the depth sweep.  Both chain4
-    # and chain8 sessions showed this figure collapsing to ~single-dispatch
-    # time (128.7 / 190 ms) when measured after the 60-readback
-    # single-dispatch loop, while scripts/bench_stream_depth.py minutes
-    # apart in the SAME sessions measured 4.1 ms at the same depth 16 —
-    # so the primary metric runs under the sweep's process conditions and
-    # everything readback-heavy comes after.  (Depth 16 measured fastest:
-    # 8.4/4.7/3.3/3.5 ms at depth 4/8/16/32.)
+    # pipelined streaming latency — the PRIMARY metric — measured first,
+    # best-of-3 like the depth sweep.  History: chain4/chain8 runs of this
+    # bench collapsed to 128.7/190 ms/frame while the sweep measured
+    # 4.1 ms in the same sessions.  Root cause (measured, fixed): the
+    # trained checkpoint loads as a HOST-NUMPY tree, and numpy jit args
+    # re-transfer on EVERY dispatch (~70 MB of weights per frame; a single
+    # 12.5 MB numpy arg measured 360 vs 39 ms/dispatch through the relay).
+    # The sweep used random DEVICE-array init, hence the difference.
+    # PoseEstimationPipeline now device_puts params at construction.
     list(pipe.infer_stream(frames, depth=16))   # warm
     stream_ms = None
     for _ in range(3):

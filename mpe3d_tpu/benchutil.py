@@ -42,6 +42,9 @@ def chained_frame_us(core, model_args: Sequence, chain_args: Sequence,
             return jnp.sum(jax.lax.fori_loop(0, K, body, kp0))
         return chain
 
+    # ensure params are device-resident: a host-numpy tree (checkpoint
+    # loads) would re-upload per call and dominate the differential
+    model_args = jax.device_put(tuple(model_args))
     c1, c2 = make_chain(k1), make_chain(k2)
     float(c1(*model_args, *chain_args))            # compile both
     float(c2(*model_args, *chain_args))

@@ -233,6 +233,23 @@ class PoseEstimationPipeline:
             from mpe3d_tpu.models.mlp import pack_lifter_serving
             self.lifter_params_serve = pack_lifter_serving(self.lifter_params)
 
+        # Serving params must live ON DEVICE: checkpoint loaders return
+        # host-numpy trees (train/checkpoint.py np.load), and numpy jit
+        # ARGUMENTS are re-transferred on every dispatch — measured 9×
+        # per-dispatch cost through the relay for one 12.5 MB arg (360 vs
+        # 39 ms), the root cause of the bench/serve stream collapse
+        # (128-190 ms/frame with trained checkpoints vs 4 ms with
+        # device-resident random init; RESULTS.md).  On direct-attached
+        # chips the re-upload still burns PCIe bandwidth per frame.  One
+        # device_put here makes every downstream dispatch weight-resident.
+        self.matcher_params = jax.device_put(self.matcher_params)
+        if self.lifter_params is not None:
+            serve_aliases = self.lifter_params_serve is self.lifter_params
+            self.lifter_params = jax.device_put(self.lifter_params)
+            self.lifter_params_serve = (
+                self.lifter_params if serve_aliases
+                else jax.device_put(self.lifter_params_serve))
+
         self.match_idx = rig_config.matching_camera_indices()
         self.used_idx = rig_config.used_camera_indices()
         self.match_rig = rig.select(np.asarray(self.match_idx))

@@ -1,5 +1,13 @@
 """Diagnose the bench.py streaming-latency collapse.
 
+RESOLVED (kept as the on-chip regression validation): the cause was axis
+(a) in a sharper form than hypothesised — the TRAINED checkpoint loads as
+a host-numpy tree and numpy jit arguments re-transfer on every dispatch
+(~70 MB/frame; measured 360 vs 39 ms/dispatch for one 12.5 MB numpy arg).
+PoseEstimationPipeline now device_puts params at construction, so all
+phases below should measure alike (~4 ms at depth 16 through the relay).
+
+
 bench.py's primary stream figure has collapsed to ~single-dispatch time in
 every full-bench run since round 1 (reports/chain4_logs/bench_full.log:
 128.7 ms/frame; chain8_logs/bench_full2.log: 190 ms) while the standalone
