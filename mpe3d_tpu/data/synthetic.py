@@ -294,7 +294,10 @@ def project_person(joints_w: np.ndarray, rig: CameraRig, cam_idx: int,
     visible = (z > 0.3) & (pix[:, 0] >= 0) & (pix[:, 0] < w) \
         & (pix[:, 1] >= 0) & (pix[:, 1] < h)
     visible &= rng.random(len(visible)) > noise.joint_dropout
-    return pix.astype(np.float32), visible
+    # behind-camera / near-focal-plane joints project to huge coordinates
+    # (never visible — the in-image check above excludes them) that
+    # overflow the float32 cast with a noisy RuntimeWarning; clamp first
+    return np.clip(pix, -1e9, 1e9).astype(np.float32), visible
 
 
 def _gt_dict(joints_w: np.ndarray, visible_any: np.ndarray) -> Dict[str, list]:
