@@ -530,9 +530,24 @@ def cmd_serve(args):
               f"(depth {depth})", file=sys.stderr)
     if args.warmup:
         pipe.warmup(fused=True)   # compile what serving actually dispatches
+    if args.batch_window > 1 and args.warmup:
+        # compile the padded batch executable per slot bucket up front
+        from mpe3d_tpu.data.frames import FrameArrays
+        import numpy as np
+        C, J = rig_config.n_cameras, rig_config.n_joints
+        for S in pipe.slot_buckets:
+            fa = FrameArrays(np.zeros((C, S, J, 2), np.float32),
+                             np.zeros((C, S, J), np.float32),
+                             np.zeros((C, S, J), np.float32),
+                             np.zeros((C, S, J), bool),
+                             np.zeros((C, S), bool), np.zeros(C))
+            pipe.collect_batch(pipe.submit_batch(
+                [fa], slots=S, pad_to=args.batch_window))
     server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
                         depth=depth, tracker=_make_tracker(args),
-                        quality_gate=args.quality_gate)
+                        quality_gate=args.quality_gate,
+                        batch_window=args.batch_window,
+                        batch_linger_ms=args.batch_linger_ms)
     if args.tcp is not None:
         serve_tcp(server, host=args.host, port=args.tcp)
     else:
@@ -1003,6 +1018,14 @@ def make_parser() -> argparse.ArgumentParser:
                    help="round-robin frames across all local devices "
                    "(params replicated, no collectives; streaming "
                    "throughput ~= one frame per RTT per chip)")
+    p.add_argument("--batch-window", type=int, default=1,
+                   help="micro-batching: group up to N consecutive frames "
+                   "into one batched dispatch (amortizes the lifter "
+                   "weight stream and, on remote links, the round trip); "
+                   "a partial window flushes after --batch-linger-ms")
+    p.add_argument("--batch-linger-ms", type=float, default=5.0,
+                   help="max time a partial batch window may wait for "
+                   "more frames (the batcher's added-latency ceiling)")
     _add_track_flags(p)
     # serve routes --serve-dtype auto through resolve_auto_serve_dtype —
     # currently a no-op policy hook (int8 measured slower than bf16 at

@@ -587,6 +587,53 @@ class PoseEstimationPipeline:
                                       quality[i][:n]))
         return out
 
+    def submit_batch(self, frames, slots: Optional[int] = None,
+                     pad_to: Optional[int] = None):
+        """Dispatch one batched fused program over ``frames`` without
+        waiting (single device; see :meth:`infer_batch` for the mesh
+        offline mode).  ``pad_to`` pads the batch axis with empty frames
+        up to a fixed size so a serving micro-batcher with a varying fill
+        compiles ONE executable per (slots, pad_to) instead of one per
+        batch size.  Returns a ticket for :meth:`collect_batch`.
+
+        Serving micro-batching building block (serve.PoseServer
+        ``batch_window``): B frames per dispatch amortize both the lifter
+        weight stream (the dominant on-device cost, RESULTS.md stage
+        breakdown) and — through remote-relay links — the per-dispatch
+        round trip."""
+        S = slots or self._bucket(max(1, max(
+            int(f.present.sum(axis=1).max()) for f in frames)))
+        p_max = self._p_max(S)
+        names = ("kp", "valid", "prob", "in_view", "present")
+        stacked = [np.stack([_slot_view(getattr(f, n), S) for f in frames])
+                   for n in names]
+        B = len(frames)
+        if pad_to is not None and pad_to > B:
+            # empty pad frames: present all-False → decode yields no
+            # persons (the empty-frame no-op path, tests/test_fused_pipeline)
+            stacked = [np.concatenate(
+                [a, np.zeros((pad_to - B, *a.shape[1:]), a.dtype)])
+                for a in stacked]
+        out = self._fused_batch_fn(S, p_max)(
+            self.matcher_params, self.lifter_params,
+            *[jnp.asarray(a) for a in stacked])
+        for leaf in out:
+            leaf.copy_to_host_async()
+        return frames, out
+
+    def collect_batch(self, ticket):
+        """Block on a :meth:`submit_batch` ticket → list of PipelineOutput
+        (pad frames cropped)."""
+        frames, out = ticket
+        poses, persons, person_mask, scores, quality = jax.device_get(out)
+        res = []
+        for i, f in enumerate(frames):
+            n = int(person_mask[i].sum())
+            res.append(PipelineOutput(poses[i][:n], persons[i][:n],
+                                      scores[i], int(f.present.sum()),
+                                      quality[i][:n]))
+        return res
+
     def enable_multi_device_serving(self, devices=None):
         """Frame-level device parallelism for serving: replicate the params
         once onto each chip and round-robin subsequent ``submit_fused``

@@ -84,11 +84,22 @@ class PoseServer:
 
     def __init__(self, pipe, rig_config, max_skeletons: int = 10,
                  depth: int = 3, tracker=None,
-                 quality_gate: Optional[float] = None):
+                 quality_gate: Optional[float] = None,
+                 batch_window: int = 1, batch_linger_ms: float = 5.0):
         self.pipe = pipe
         self.rig_config = rig_config
         self.max_skeletons = max_skeletons
         self.depth = max(1, int(depth))
+        # Micro-batching (batch_window > 1): consecutive frames group into
+        # ONE batched dispatch (pipeline.submit_batch, padded to the window
+        # so one executable serves every fill level).  B frames per
+        # dispatch amortize the lifter weight stream — the dominant
+        # on-device cost — and, through remote relays, the per-dispatch
+        # round trip.  A partial window flushes after ``batch_linger_ms``
+        # so a paced (e.g. camera-rate) stream is never stalled by the
+        # batcher; the linger is the latency ceiling the batcher may add.
+        self.batch_window = max(1, int(batch_window))
+        self.batch_linger_ms = float(batch_linger_ms)
         self.tracker = tracker
         # drop poses whose quality column (mean reprojection residual, px)
         # exceeds this — ghost/mis-associated proposals score an order of
@@ -139,23 +150,28 @@ class PoseServer:
             raise ValueError("frame must be a JSON object")
         return parse_frame(obj, self.rig_config, self.max_skeletons)
 
-    def _submit(self, frame):
+    def _parse(self, frame):
         """``frame``: a raw wire line (str) or an already-parsed dict."""
-        t0 = time.perf_counter()
         if isinstance(frame, str):
-            fa = self._parse_line(frame)
-        else:
-            fa = parse_frame(frame, self.rig_config, self.max_skeletons)
+            return self._parse_line(frame)
+        return parse_frame(frame, self.rig_config, self.max_skeletons)
+
+    def _submit(self, frame):
+        t0 = time.perf_counter()
+        fa = self._parse(frame)
         if self._bypass:
             return t0, self.pipe(fa)          # synchronous staged path
         return t0, self.pipe.submit_fused(fa)
 
     def _collect(self, seq: int, t0: float, ticket):
+        out = ticket if self._bypass else self.pipe.collect_fused(ticket)
+        return self._finish(seq, t0, out)
+
+    def _finish(self, seq: int, t0: float, out):
         """Returns the response as a preformatted line (str, C++ fast
         path — json.dumps of the poses measured ~140 µs/frame, on par
         with the whole on-device frame time) or as a dict (python
         fallback; ``emit`` serialises it)."""
-        out = ticket if self._bypass else self.pipe.collect_fused(ticket)
         poses, quality, _, ids, dropped = gate_and_track(
             out.poses, out.quality, gate=self.quality_gate,
             tracker=self.tracker)
@@ -197,6 +213,8 @@ class PoseServer:
                    "mean_latency_ms": round(self._latency_sum_ms / n, 3),
                    "depth": self.depth,
                    "tracking": self.tracker is not None}
+            if self.batch_window > 1:
+                rec["batch_window"] = self.batch_window
             if self.quality_gate is not None:
                 rec["quality_gate_px"] = self.quality_gate
                 rec["dropped_low_quality"] = self.dropped_low_quality
@@ -244,6 +262,18 @@ class PoseServer:
                 try:
                     if item is None:
                         return
+                    if item[0] == "batch":
+                        _, items, ticket = item
+                        try:
+                            outs = self.pipe.collect_batch(ticket)
+                            for (s, t0, _), out in zip(items, outs):
+                                emit(self._finish(s, t0, out))
+                        except Exception as e:
+                            self._bump_errors()
+                            for s, _, _ in items:
+                                emit({"seq": s,
+                                      "error": f"{type(e).__name__}: {e}"})
+                        continue
                     s, t0, ticket = item
                     try:
                         emit(self._collect(s, t0, ticket))
@@ -257,7 +287,47 @@ class PoseServer:
         thread = threading.Thread(target=collector, daemon=True)
         thread.start()
 
+        # ---- micro-batcher state (batch_window > 1; see __init__) -------
+        batching = self.batch_window > 1 and not self._bypass
+        pending: list = []            # [(seq, t0, FrameArrays)]
+        plock = threading.Lock()
+        stop_flush = threading.Event()
+
+        def flush_pending(min_age_s: Optional[float] = None):
+            """Submit pending frames as one padded batch.  The q.put stays
+            inside the lock so batch order in the FIFO == seq order."""
+            with plock:
+                if not pending:
+                    return
+                if (min_age_s is not None
+                        and time.perf_counter() - pending[0][1] < min_age_s):
+                    return
+                items = pending[:]
+                pending.clear()
+                try:
+                    ticket = self.pipe.submit_batch(
+                        [fa for _, _, fa in items],
+                        pad_to=self.batch_window)
+                except Exception as e:
+                    self._bump_errors()
+                    for s, _, _ in items:
+                        emit({"seq": s, "error": f"{type(e).__name__}: {e}"})
+                    return
+                q.put(("batch", items, ticket))
+
+        def flusher():
+            # partial windows must not wait for the next frame: flush any
+            # batch older than the linger.  Wakes at linger/2 granularity.
+            while not stop_flush.wait(self.batch_linger_ms / 2e3):
+                flush_pending(min_age_s=self.batch_linger_ms / 1e3)
+
+        if batching:
+            flush_thread = threading.Thread(target=flusher, daemon=True)
+            flush_thread.start()
+
         def drain():
+            if batching:
+                flush_pending()
             q.join()   # every submitted frame collected and written
 
         try:
@@ -276,7 +346,11 @@ class PoseServer:
                 # correctly.
                 if line.startswith("{") and '"cmd"' not in line:
                     try:
-                        ticket = self._submit(line)
+                        if batching:
+                            t0 = time.perf_counter()
+                            fa = self._parse(line)
+                        else:
+                            ticket = self._submit(line)
                     except Exception as e:  # malformed frame payloads
                         drain()
                         self._bump_errors()
@@ -284,7 +358,14 @@ class PoseServer:
                               "error": f"{type(e).__name__}: {e}"})
                         seq += 1
                         continue
-                    q.put((seq, *ticket))  # blocks when the window is full
+                    if batching:
+                        with plock:
+                            pending.append((seq, t0, fa))
+                            full = len(pending) >= self.batch_window
+                        if full:
+                            flush_pending()
+                    else:
+                        q.put((seq, *ticket))  # blocks when window is full
                     seq += 1
                     continue
                 try:
@@ -316,7 +397,11 @@ class PoseServer:
                     # without a top-level "cmd" key: classification sent it
                     # down the slow path — it is still a frame, serve it
                     try:
-                        ticket = self._submit(obj)
+                        if batching:
+                            t0 = time.perf_counter()
+                            fa = self._parse(obj)
+                        else:
+                            ticket = self._submit(obj)
                     except Exception as e:
                         drain()
                         self._bump_errors()
@@ -324,7 +409,14 @@ class PoseServer:
                               "error": f"{type(e).__name__}: {e}"})
                         seq += 1
                         continue
-                    q.put((seq, *ticket))
+                    if batching:
+                        with plock:
+                            pending.append((seq, t0, fa))
+                            full = len(pending) >= self.batch_window
+                        if full:
+                            flush_pending()
+                    else:
+                        q.put((seq, *ticket))
                     seq += 1
                     continue
                 drain()
@@ -333,6 +425,7 @@ class PoseServer:
                 seq += 1
         finally:
             drain()
+            stop_flush.set()
             q.put(None)
             thread.join(timeout=30)
 

@@ -432,3 +432,59 @@ def test_hostile_nested_lines_answered_not_fatal(pipe, wire_frames):
     assert "error" in recs[2]
     assert recs[3]["n_persons"] >= 1
     assert server.frames_served == 2
+
+
+# ---------------------------------------------------------------------------
+# micro-batching (batch_window > 1)
+# ---------------------------------------------------------------------------
+
+def test_serve_batched_matches_unbatched(pipe, wire_frames):
+    lines = [json.dumps(f) for f in wire_frames]
+    base = run_lines(PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2),
+                     list(lines))
+    batched = run_lines(
+        PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                   batch_window=3, batch_linger_ms=50.0), list(lines))
+    assert [r["seq"] for r in batched] == [r["seq"] for r in base]
+    for a, b in zip(base, batched):
+        assert a["n_persons"] == b["n_persons"]
+        np.testing.assert_allclose(a["poses_m"], b["poses_m"], atol=1e-3)
+
+
+def test_serve_batched_linger_flush(pipe, wire_frames):
+    """A partial window must flush after batch_linger_ms, not wait for the
+    window to fill: feed frames through a generator that blocks after the
+    first line until the response for it has arrived."""
+    import queue as _q
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                        batch_window=4, batch_linger_ms=20.0)
+    got = _q.Queue()
+    responses = []
+
+    def write(line):
+        responses.append(json.loads(line))
+        got.put(1)
+
+    def lines():
+        yield json.dumps(wire_frames[0])
+        # block until the linger flush served frame 0 (would deadlock
+        # forever if a partial window waited for more input)
+        got.get(timeout=30)
+        yield json.dumps(wire_frames[1])
+
+    server.handle_stream(lines(), write)
+    assert [r["seq"] for r in responses] == [0, 1]
+    assert all("poses_m" in r for r in responses)
+
+
+def test_serve_batched_control_ordering(pipe, wire_frames):
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                        batch_window=4, batch_linger_ms=10_000.0)
+    lines = [json.dumps(wire_frames[0]), json.dumps(wire_frames[1]),
+             '{"cmd": "stats"}', json.dumps(wire_frames[2])]
+    recs = run_lines(server, lines)
+    # stats must flush the partial window first (strict ordering)
+    assert recs[0]["seq"] == 0 and recs[1]["seq"] == 1
+    assert recs[2]["frames"] == 2 and recs[2]["batch_window"] == 4
+    assert recs[3]["seq"] == 2 and "poses_m" in recs[3]
