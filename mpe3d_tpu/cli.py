@@ -531,18 +531,22 @@ def cmd_serve(args):
     if args.warmup:
         pipe.warmup(fused=True)   # compile what serving actually dispatches
     if args.batch_window > 1 and args.warmup:
-        # compile the padded batch executable per slot bucket up front
+        # compile the padded batch executable per slot bucket up front —
+        # and per serving device (submit_batch round-robins after
+        # enable_multi_device_serving; jit executables cache per device)
         from mpe3d_tpu.data.frames import FrameArrays
         import numpy as np
         C, J = rig_config.n_cameras, rig_config.n_joints
+        n_dev = len(getattr(pipe, "_serve_devices", ()) or (None,))
         for S in pipe.slot_buckets:
             fa = FrameArrays(np.zeros((C, S, J, 2), np.float32),
                              np.zeros((C, S, J), np.float32),
                              np.zeros((C, S, J), np.float32),
                              np.zeros((C, S, J), bool),
                              np.zeros((C, S), bool), np.zeros(C))
-            pipe.collect_batch(pipe.submit_batch(
-                [fa], slots=S, pad_to=args.batch_window))
+            for _ in range(n_dev):
+                pipe.collect_batch(pipe.submit_batch(
+                    [fa], slots=S, pad_to=args.batch_window))
     server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
                         depth=depth, tracker=_make_tracker(args),
                         quality_gate=args.quality_gate,

@@ -600,7 +600,10 @@ class PoseEstimationPipeline:
         ``batch_window``): B frames per dispatch amortize both the lifter
         weight stream (the dominant on-device cost, RESULTS.md stage
         breakdown) and — through remote-relay links — the per-dispatch
-        round trip."""
+        round trip.  After :meth:`enable_multi_device_serving`, successive
+        batch dispatches round-robin across the serving devices just like
+        :meth:`submit_fused` (so ``serve --multi-device --batch-window N``
+        scales throughput with the chip count)."""
         S = slots or self._bucket(max(1, max(
             int(f.present.sum(axis=1).max()) for f in frames)))
         p_max = self._p_max(S)
@@ -614,9 +617,18 @@ class PoseEstimationPipeline:
             stacked = [np.concatenate(
                 [a, np.zeros((pad_to - B, *a.shape[1:]), a.dtype)])
                 for a in stacked]
-        out = self._fused_batch_fn(S, p_max)(
-            self.matcher_params, self.lifter_params,
-            *[jnp.asarray(a) for a in stacked])
+        mparams, lparams = self.matcher_params, self.lifter_params
+        devices = getattr(self, "_serve_devices", None)
+        if devices:
+            i = self._serve_rr % len(devices)
+            d = devices[i]
+            mparams, _, lparams = self._serve_params[i]
+            self._serve_rr += 1
+            args = [jax.device_put(np.ascontiguousarray(a), d)
+                    for a in stacked]
+        else:
+            args = [jnp.asarray(a) for a in stacked]
+        out = self._fused_batch_fn(S, p_max)(mparams, lparams, *args)
         for leaf in out:
             leaf.copy_to_host_async()
         return frames, out
@@ -650,9 +662,17 @@ class PoseEstimationPipeline:
         devices = tuple(devices if devices is not None
                         else jax.local_devices())
         self._serve_devices = devices
-        self._serve_params = tuple(
-            (jax.device_put(self.matcher_params, d),
-             jax.device_put(self.lifter_params_serve, d)) for d in devices)
+        # per-device (matcher, fused-path lifter, batch-path lifter).  The
+        # batch path keeps the unpacked serving tree (XLA layer matmuls —
+        # weights amortize across the window, see submit_batch); when the
+        # fused-MLP packing is off the two alias, replicate once.
+        def _rep(d):
+            m = jax.device_put(self.matcher_params, d)
+            ls = jax.device_put(self.lifter_params_serve, d)
+            lb = (ls if self.lifter_params_serve is self.lifter_params
+                  else jax.device_put(self.lifter_params, d))
+            return m, ls, lb
+        self._serve_params = tuple(_rep(d) for d in devices)
         self._serve_rr = 0
         return len(devices)
 
@@ -676,8 +696,8 @@ class PoseEstimationPipeline:
         devices = getattr(self, "_serve_devices", None)
         if devices:
             d = devices[self._serve_rr % len(devices)]
-            mparams, lparams = self._serve_params[self._serve_rr
-                                                  % len(devices)]
+            mparams, lparams, _ = self._serve_params[self._serve_rr
+                                                     % len(devices)]
             self._serve_rr += 1
             args = tuple(jax.device_put(np.ascontiguousarray(a), d)
                          for a in args)

@@ -92,6 +92,28 @@ def test_server_over_multi_device(panoptic_rig):
     assert recs[-1]["frames"] == len(wire) and recs[-1]["errors"] == 0
 
 
+def test_batch_round_robin_uses_all_devices(panoptic_rig, frames):
+    """submit_batch round-robins across serving devices (the serve
+    --multi-device --batch-window composition) and stays result-identical
+    to the single-device batch path, pad frames included."""
+    pipe = _pipe(panoptic_rig)
+    single = pipe.infer_batch(frames)
+    n = pipe.enable_multi_device_serving()
+    tickets = [pipe.submit_batch(frames[i:i + 2], pad_to=3)
+               for i in range(0, len(frames), 2)]
+    used = set()
+    for _, out in tickets:
+        (dev,) = out[0].devices()
+        used.add(dev)
+    assert len(used) == min(n, len(tickets))
+    multi = [o for t in tickets for o in pipe.collect_batch(t)]
+    assert len(multi) == len(single)
+    for s, m in zip(single, multi):
+        np.testing.assert_allclose(s.poses, m.poses, atol=1e-5)
+        np.testing.assert_array_equal(s.persons, m.persons)
+        np.testing.assert_allclose(s.quality, m.quality, atol=1e-5)
+
+
 def test_multi_device_with_int8_serving(panoptic_rig, frames):
     """Quantized (int8) serving params are a custom pytree; they must
     replicate per device and round-robin identically to single-device."""
