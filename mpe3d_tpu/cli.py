@@ -547,13 +547,19 @@ def cmd_serve(args):
             for _ in range(n_dev):
                 pipe.collect_batch(pipe.submit_batch(
                     [fa], slots=S, pad_to=args.batch_window))
+    # tracking state is per stream: a factory so every connection (and
+    # every reconnect) starts with fresh track ids instead of inheriting
+    # the previous client's
+    tracker_factory = ((lambda: _make_tracker(args))
+                       if getattr(args, "track", False) else None)
     server = PoseServer(pipe, rig_config, max_skeletons=args.max_skeletons,
-                        depth=depth, tracker=_make_tracker(args),
+                        depth=depth, tracker_factory=tracker_factory,
                         quality_gate=args.quality_gate,
                         batch_window=args.batch_window,
                         batch_linger_ms=args.batch_linger_ms)
     if args.tcp is not None:
-        serve_tcp(server, host=args.host, port=args.tcp)
+        serve_tcp(server, host=args.host, port=args.tcp,
+                  max_clients=args.max_clients)
     else:
         server.serve_stdio()
 
@@ -1015,6 +1021,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--tcp", type=int, default=None, metavar="PORT",
                    help="serve on a TCP port (0 = ephemeral) instead of "
                    "stdio")
+    p.add_argument("--max-clients", type=int, default=1,
+                   help="concurrent TCP connections served (each stream "
+                   "gets its own in-flight window and tracker; >1 pairs "
+                   "naturally with --multi-device — streams round-robin "
+                   "over the chips).  Excess clients wait, not refused")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--warmup", action="store_true",
                    help="compile all shape buckets before accepting input")

@@ -618,12 +618,9 @@ class PoseEstimationPipeline:
                 [a, np.zeros((pad_to - B, *a.shape[1:]), a.dtype)])
                 for a in stacked]
         mparams, lparams = self.matcher_params, self.lifter_params
-        devices = getattr(self, "_serve_devices", None)
-        if devices:
-            i = self._serve_rr % len(devices)
-            d = devices[i]
-            mparams, _, lparams = self._serve_params[i]
-            self._serve_rr += 1
+        claim = self._next_serve_device()
+        if claim is not None:
+            d, (mparams, _, lparams) = claim
             args = [jax.device_put(np.ascontiguousarray(a), d)
                     for a in stacked]
         else:
@@ -674,7 +671,23 @@ class PoseEstimationPipeline:
             return m, ls, lb
         self._serve_params = tuple(_rep(d) for d in devices)
         self._serve_rr = 0
+        # concurrent streams (serve --max-clients > 1) submit from several
+        # threads; the counter bump must be atomic for fair round-robin
+        import threading
+        self._serve_rr_lock = threading.Lock()
         return len(devices)
+
+    def _next_serve_device(self):
+        """Atomically claim the next round-robin serving device; returns
+        ``(device, (matcher, lifter_serve, lifter_batch))`` or ``None``
+        when multi-device serving is not enabled."""
+        devices = getattr(self, "_serve_devices", None)
+        if not devices:
+            return None
+        with self._serve_rr_lock:
+            i = self._serve_rr % len(devices)
+            self._serve_rr += 1
+        return devices[i], self._serve_params[i]
 
     def submit_fused(self, frame: FrameArrays):
         """Dispatch one frame's fused program without waiting for the
@@ -693,12 +706,9 @@ class PoseEstimationPipeline:
         args = (_slot_view(frame.kp, S), _slot_view(frame.valid, S),
                 _slot_view(frame.prob, S), _slot_view(frame.in_view, S),
                 _slot_view(frame.present, S))
-        devices = getattr(self, "_serve_devices", None)
-        if devices:
-            d = devices[self._serve_rr % len(devices)]
-            mparams, lparams, _ = self._serve_params[self._serve_rr
-                                                     % len(devices)]
-            self._serve_rr += 1
+        claim = self._next_serve_device()
+        if claim is not None:
+            d, (mparams, lparams, _) = claim
             args = tuple(jax.device_put(np.ascontiguousarray(a), d)
                          for a in args)
         else:

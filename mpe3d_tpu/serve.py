@@ -83,7 +83,7 @@ class PoseServer:
     """
 
     def __init__(self, pipe, rig_config, max_skeletons: int = 10,
-                 depth: int = 3, tracker=None,
+                 depth: int = 3, tracker=None, tracker_factory=None,
                  quality_gate: Optional[float] = None,
                  batch_window: int = 1, batch_linger_ms: float = 5.0):
         self.pipe = pipe
@@ -101,6 +101,13 @@ class PoseServer:
         self.batch_window = max(1, int(batch_window))
         self.batch_linger_ms = float(batch_linger_ms)
         self.tracker = tracker
+        # tracking is per STREAM, not per server: with concurrent TCP
+        # clients (serve --max-clients > 1) each connection is its own
+        # camera feed and must not see another feed's track state.  A
+        # factory makes handle_stream build a fresh tracker per stream; a
+        # plain ``tracker`` instance is shared (single-stream servers,
+        # back-compat).
+        self.tracker_factory = tracker_factory
         # drop poses whose quality column (mean reprojection residual, px)
         # exceeds this — ghost/mis-associated proposals score an order of
         # magnitude above the detector noise floor.  Applied BEFORE the
@@ -163,18 +170,24 @@ class PoseServer:
             return t0, self.pipe(fa)          # synchronous staged path
         return t0, self.pipe.submit_fused(fa)
 
-    def _collect(self, seq: int, t0: float, ticket):
-        out = ticket if self._bypass else self.pipe.collect_fused(ticket)
-        return self._finish(seq, t0, out)
+    def _new_stream_tracker(self):
+        """The tracker a new stream should update (see __init__)."""
+        if self.tracker_factory is not None:
+            return self.tracker_factory()
+        return self.tracker
 
-    def _finish(self, seq: int, t0: float, out):
+    def _collect(self, seq: int, t0: float, ticket, tracker=None):
+        out = ticket if self._bypass else self.pipe.collect_fused(ticket)
+        return self._finish(seq, t0, out, tracker)
+
+    def _finish(self, seq: int, t0: float, out, tracker=None):
         """Returns the response as a preformatted line (str, C++ fast
         path — json.dumps of the poses measured ~140 µs/frame, on par
         with the whole on-device frame time) or as a dict (python
         fallback; ``emit`` serialises it)."""
         poses, quality, _, ids, dropped = gate_and_track(
             out.poses, out.quality, gate=self.quality_gate,
-            tracker=self.tracker)
+            tracker=tracker)
         if dropped:
             with self._stats_lock:
                 self.dropped_low_quality += dropped
@@ -212,7 +225,8 @@ class PoseServer:
             rec = {"frames": self.frames_served, "errors": self.errors,
                    "mean_latency_ms": round(self._latency_sum_ms / n, 3),
                    "depth": self.depth,
-                   "tracking": self.tracker is not None}
+                   "tracking": (self.tracker is not None
+                                or self.tracker_factory is not None)}
             if self.batch_window > 1:
                 rec["batch_window"] = self.batch_window
             if self.quality_gate is not None:
@@ -241,6 +255,7 @@ class PoseServer:
         wlock = threading.Lock()
         dead = threading.Event()   # client write side gone
         seq = 0
+        tracker = self._new_stream_tracker()   # per-stream track state
 
         def emit(rec):
             if dead.is_set():
@@ -267,7 +282,7 @@ class PoseServer:
                         try:
                             outs = self.pipe.collect_batch(ticket)
                             for (s, t0, _), out in zip(items, outs):
-                                emit(self._finish(s, t0, out))
+                                emit(self._finish(s, t0, out, tracker))
                         except Exception as e:
                             self._bump_errors()
                             for s, _, _ in items:
@@ -276,7 +291,7 @@ class PoseServer:
                         continue
                     s, t0, ticket = item
                     try:
-                        emit(self._collect(s, t0, ticket))
+                        emit(self._collect(s, t0, ticket, tracker))
                     except Exception as e:   # device/readback failure:
                         self._bump_errors()  # report, keep serving
                         emit({"seq": s,
@@ -449,19 +464,25 @@ class PoseServer:
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         server: PoseServer = self.server.pose_server  # type: ignore
+        slots = getattr(self.server, "client_slots", None)
 
         def write(s: str):
             self.wfile.write(s.encode())
             self.wfile.flush()
 
         lines = (raw.decode() for raw in self.rfile)
-        server.handle_stream(lines, write)
+        if slots is None:
+            server.handle_stream(lines, write)
+            return
+        with slots:
+            server.handle_stream(lines, write)
 
 
 class PoseTCPServer(socketserver.TCPServer):
-    """One-connection-at-a-time TCP wrapper (the pipeline is stateful when
-    tracking, and the device is a serial resource — parallel clients would
-    interleave tracker state; run one server per stream)."""
+    """One-connection-at-a-time TCP wrapper.  Each stream's track state is
+    private either way (``handle_stream`` builds it per connection); use
+    :class:`PoseThreadingTCPServer` / ``serve --max-clients N`` to serve
+    several clients concurrently over the shared device(s)."""
 
     allow_reuse_address = True
 
@@ -475,12 +496,39 @@ class PoseTCPServer(socketserver.TCPServer):
         return self.server_address[1]
 
 
+class PoseThreadingTCPServer(socketserver.ThreadingMixIn, PoseTCPServer):
+    """Concurrent multi-client TCP wrapper: one handler thread per
+    connection, each running its own ``handle_stream`` (own seq counter,
+    own in-flight window of ``depth``, own tracker — pass
+    ``tracker_factory`` to PoseServer so streams don't share track state).
+    Device dispatches from all streams interleave safely: jax dispatch is
+    thread-safe, results ride per-ticket buffers, and with multi-device
+    serving enabled the round-robin counter bump is atomic
+    (``pipeline._next_serve_device``), so N streams spread over N chips
+    without collectives.  ``max_clients`` bounds concurrently *served*
+    connections — excess clients block in accept order rather than being
+    refused (a BoundedSemaphore gate in the handler)."""
+
+    daemon_threads = True
+
+    def __init__(self, pose_server: PoseServer, host: str = "127.0.0.1",
+                 port: int = 0, max_clients: int = 4):
+        import threading
+        super().__init__(pose_server, host, port)
+        self.client_slots = threading.BoundedSemaphore(max(1, max_clients))
+
+
 def serve_tcp(pose_server: PoseServer, host: str = "127.0.0.1",
-              port: int = 0, ready: Optional[list] = None) -> None:
+              port: int = 0, ready: Optional[list] = None,
+              max_clients: int = 1) -> None:
     """Blocking TCP serve loop.  ``ready`` (if given) receives the bound
     server object before accepting, so tests can learn the ephemeral port
-    and call ``shutdown()``."""
-    with PoseTCPServer(pose_server, host, port) as srv:
+    and call ``shutdown()``.  ``max_clients > 1`` serves that many
+    connections concurrently (PoseThreadingTCPServer)."""
+    cls = (PoseTCPServer if max_clients <= 1
+           else lambda ps, h, p: PoseThreadingTCPServer(
+               ps, h, p, max_clients=max_clients))
+    with cls(pose_server, host, port) as srv:
         if ready is not None:
             ready.append(srv)
         print(f"[mpe3d] serving on {host}:{srv.port}", file=sys.stderr)

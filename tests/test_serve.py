@@ -136,6 +136,103 @@ def test_serve_tcp_roundtrip(pipe, wire_frames):
         t.join(timeout=10)
 
 
+def test_serve_tcp_concurrent_clients_tracker_isolation(pipe, wire_frames):
+    """--max-clients > 1: concurrent connections are served in parallel
+    with per-stream seq counters and per-stream trackers.  Both clients
+    stream a static person; with isolated trackers each sees track id 0
+    on every frame (a shared tracker would hand the second stream's
+    person a different id, or churn ids as the interleaved updates fight
+    over the same track)."""
+    from mpe3d_tpu.serve import serve_tcp
+    from mpe3d_tpu.tracking import PoseTracker
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                        tracker_factory=lambda: PoseTracker(max_dist=0.5))
+    ready = []
+    t = threading.Thread(
+        target=serve_tcp, args=(server, "127.0.0.1", 0, ready),
+        kwargs={"max_clients": 2}, daemon=True)
+    t.start()
+    for _ in range(100):
+        if ready:
+            break
+        import time
+        time.sleep(0.05)
+    srv = ready[0]
+
+    import queue
+    results: "queue.Queue" = queue.Queue()
+    barrier = threading.Barrier(2, timeout=60)
+
+    def client(frame, n=4):
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=60) as s:
+            f = s.makefile("rw")
+            barrier.wait()   # both connections open before either streams
+            for _ in range(n):
+                f.write(json.dumps(frame) + "\n")
+                f.flush()
+            f.write('{"cmd": "close"}\n')
+            f.flush()
+            results.put([json.loads(f.readline()) for _ in range(n + 1)])
+
+    threads = [threading.Thread(target=client, args=(wire_frames[i],),
+                                daemon=True) for i in range(2)]
+    try:
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+            assert not th.is_alive(), "client wedged"
+        for _ in range(2):
+            recs = results.get(timeout=10)
+            frames_recs, closed = recs[:-1], recs[-1]
+            assert [r["seq"] for r in frames_recs] == list(range(4))
+            for r in frames_recs:
+                assert r["n_persons"] >= 1
+                # fresh tracker per stream: the static person is id 0
+                assert r["track_ids"][0] == 0
+        assert closed["closed"] is True
+        assert server.frames_served == 8 and server.errors == 0
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
+
+
+def test_serve_reconnect_gets_fresh_tracker(pipe, wire_frames):
+    """Serial reconnects to the same (single-client) server also start
+    from a fresh tracker when a factory is supplied."""
+    from mpe3d_tpu.serve import serve_tcp
+    from mpe3d_tpu.tracking import PoseTracker
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                        tracker_factory=lambda: PoseTracker(max_dist=0.5))
+    ready = []
+    t = threading.Thread(target=serve_tcp,
+                         args=(server, "127.0.0.1", 0, ready), daemon=True)
+    t.start()
+    for _ in range(100):
+        if ready:
+            break
+        import time
+        time.sleep(0.05)
+    srv = ready[0]
+    try:
+        for _ in range(2):   # two sequential sessions
+            with socket.create_connection(("127.0.0.1", srv.port),
+                                          timeout=30) as s:
+                f = s.makefile("rw")
+                f.write(json.dumps(wire_frames[0]) + "\n")
+                f.write('{"cmd": "close"}\n')
+                f.flush()
+                rec = json.loads(f.readline())
+                assert rec["track_ids"][0] == 0   # ids restart per stream
+                json.loads(f.readline())          # closed line
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
+
+
 def test_serve_quality_gate(pipe, wire_frames):
     """The gate drops exactly the poses whose quality exceeds the
     threshold (the untrained test matcher emits ghost proposals at
