@@ -169,7 +169,8 @@ def build_pipeline(args, backend: str):
     # forward only the geo flags this subcommand defines — the pipeline
     # signature stays the single source of the defaults
     geo_kw = {k: getattr(args, k)
-              for k in ("geo_rerank", "geo_rescue", "geo_rescue_dist")
+              for k in ("geo_rerank", "geo_rescue", "geo_rescue_dist",
+                        "prior_gate_px")
               if hasattr(args, k)}
     if getattr(args, "serve_dtype", "auto") != "auto":
         import jax.numpy as jnp
@@ -868,6 +869,15 @@ def _add_common(p, models=True):
                        "the host decode on dense scenes")
         p.add_argument("--geo-rescue-dist", type=float, default=0.05,
                        help="rescue ray-distance cut in metres")
+        p.add_argument("--prior-gate", dest="prior_gate_px", type=float,
+                       default=None, metavar="PX",
+                       help="drop a joint's triangulated lifter prior when "
+                       "it reprojects > PX pixels from its own 2D evidence "
+                       "(catches the catastrophic triangulations OOD "
+                       "scenes produce; pair with a --prior-dropout-"
+                       "trained checkpoint so the no-prior fallback is "
+                       "in-distribution; recommended 8; default off = "
+                       "exact reference input semantics)")
         p.add_argument("--serve-dtype", default="auto",
                        choices=["auto", "fp32", "bf16", "int8"],
                        help="lifter weight serving: auto = bf16 on TPU "

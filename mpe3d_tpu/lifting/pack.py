@@ -31,11 +31,12 @@ The loss-side "error input" is 4 numbers per (camera, joint) of *raw* pixels
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
 from mpe3d_tpu.geometry.camera import (CameraRig, cam_centers_world,
+                                       project_points,
                                        undistorted_rays_world)
 from mpe3d_tpu.geometry.triangulate import (triangulate_mean,
                                             triangulate_median_filtered)
@@ -61,6 +62,7 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
                       require_valid: bool = False,
                       skip_joint0_prior: bool = True,
                       prior: str = "mean",
+                      prior_gate_px: Optional[float] = None,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build the MLP input for ONE person from its per-used-camera skeleton.
 
@@ -81,6 +83,23 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
     mean (measured on synthetic ARP frames: 23.7 mm mean-prior vs 14.0 mm
     median-prior MPJPE; scripts/diag_lifter_prior.py).  Train and infer with
     the SAME setting — it changes the input distribution.
+
+    ``prior_gate_px`` (inference-time extension, no reference counterpart):
+    drop the triangulated prior of any joint whose prior reprojects more
+    than this many pixels (masked mean over the packed observations) from
+    its own 2D evidence — the same residual the serving quality column
+    uses (pipeline.pose_quality_px), applied to the PRIOR instead of the
+    output.  Rationale: the residual-prior lifter follows its prior, and
+    out-of-distribution scenes (people near the cameras) produce rare
+    catastrophically-wrong triangulations that are cheap to detect (prior
+    residual vs true prior 3D error correlates 0.80 at spread 2.1 where
+    in-distribution it is 0.05) and poison the mean error.  Zeroing the
+    gated joints' fields 10-13 is exactly the ``apply_prior_dropout``
+    training augmentation pattern, so a prior-dropout-trained checkpoint
+    falls back gracefully (measured: packed MPJPE 20.0 → 14.0 mm at
+    spread 2.1 = the 3D-error-oracle gate, unchanged at 3.7 mm in
+    distribution; scripts/diag_prior_gate.py).  None = exact reference
+    semantics.
     """
     C, J, _ = kp.shape
     W, H = image_size
@@ -115,6 +134,17 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
         tri_xyz, tri_ok = triangulate_median_filtered(kp, tri_obs, rig)
     else:
         raise ValueError(f"prior must be 'mean' or 'median', got {prior!r}")
+    if prior_gate_px is not None:
+        # reproject the prior into every packed camera and reject joints
+        # whose masked mean residual exceeds the gate (see docstring)
+        pix = project_points(tri_xyz[None], rig.T_wc[:, None],
+                             rig.K[:, None], rig.dist[:, None],
+                             min_depth=1e-4)                     # [C, J, 2]
+        mg = m[..., 0]                                           # [C, J]
+        d = jnp.linalg.norm(jnp.clip(kp - pix, -1e5, 1e5), axis=-1)
+        nv = jnp.sum(mg, axis=0)                                 # [J]
+        resid = jnp.sum(d * mg, axis=0) / jnp.maximum(nv, 1.0)   # [J]
+        tri_ok = tri_ok & ~((nv > 0) & (resid > prior_gate_px))
     okf = tri_ok.astype(kp.dtype)[:, None]                       # [J, 1]
     f10 = jnp.broadcast_to(okf[None, :, :], (C, J, 1))
     f1113 = jnp.broadcast_to((tri_xyz * okf / 10.0)[None], (C, J, 3))

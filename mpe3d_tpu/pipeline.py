@@ -113,6 +113,7 @@ class PoseEstimationPipeline:
                  geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
                  use_pallas_proj: Optional[bool] = None,
                  lifter_prior: str = "mean",
+                 prior_gate_px: Optional[float] = None,
                  serve_dtype=None,
                  use_fused_mlp: Optional[bool] = None):
         self.rig_config = rig_config
@@ -156,6 +157,21 @@ class PoseEstimationPipeline:
             raise ValueError(f"lifter_prior must be 'mean' or 'median', "
                              f"got {lifter_prior!r}")
         self.lifter_prior = lifter_prior
+        # Per-joint prior-quality gate (px): drop the triangulated prior of
+        # joints whose prior reprojects > this far from their own 2D
+        # evidence (lifting/pack.py::pack_lifter_input prior_gate_px — the
+        # quality-column residual applied to the PRIOR).  Detects the rare
+        # catastrophic triangulations OOD scenes produce and lets a
+        # prior-dropout-trained residual head fall back to its no-prior
+        # path (measured: packed MPJPE 20.0 → 14.0 mm at spread 2.1,
+        # matching the 3D-error oracle gate; unchanged in distribution;
+        # scripts/diag_prior_gate.py).  None (default) = exact reference
+        # input semantics; recommended 8.0 with --prior-dropout-trained
+        # checkpoints.
+        if prior_gate_px is not None and prior_gate_px <= 0:
+            raise ValueError(f"prior_gate_px must be positive or None, "
+                             f"got {prior_gate_px!r}")
+        self.prior_gate_px = prior_gate_px
         # bf16 weight serving (models/mlp.py::cast_lifter_weights): on TPU
         # the default matmul precision already rounds operands to bf16 at
         # the MXU, so a stored-bf16 copy is numerically identical there and
@@ -362,12 +378,14 @@ class PoseEstimationPipeline:
 
     @property
     def _geo_key(self):
-        """Decode-affecting knobs baked into traced programs at first use.
-        Passed through the jit caches as part of the key, so mutating these
-        attributes on a live pipeline (the CLI/test pattern) retraces
-        instead of silently reusing stale constants."""
+        """Trace-affecting knobs (decode + lift-input) baked into traced
+        programs at first use.  Passed through the jit caches as part of
+        the key, so mutating these attributes on a live pipeline (the
+        CLI/test pattern) retraces instead of silently reusing stale
+        constants."""
         return (self.threshold, self._decode_top_k_eff, self.geo_rerank,
-                self.geo_scale, self.geo_rescue, self.geo_rescue_dist)
+                self.geo_scale, self.geo_rescue, self.geo_rescue_dist,
+                self.prior_gate_px)
 
     def _geo_decode_scores(self, scores, kp, valid, observed, topo):
         """(eligibility_scores, order_scores) under the geometric
@@ -421,7 +439,10 @@ class PoseEstimationPipeline:
 
         return run
 
-    def _lift_fn(self, n_persons: int):
+    def _lift_fn(self, n_persons: int, gate_key=None):
+        # ``gate_key`` only keys the per-instance lru cache on the
+        # prior-gate knob (callers pass self.prior_gate_px); the value
+        # itself is re-read from self at trace time.
         if self.backend == "triangulation":
             @jax.jit
             def run(params, kp, valid, prob, observed, pmask):
@@ -441,7 +462,8 @@ class PoseEstimationPipeline:
             def one(kp_p, valid_p, prob_p, obs_p):
                 net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
                                            self.used_rig, self.image_size,
-                                           prior=self.lifter_prior)
+                                           prior=self.lifter_prior,
+                                           prior_gate_px=self.prior_gate_px)
                 return net
             nets = jax.vmap(one)(kp, valid, prob, observed)     # [P, 1260]
             out = apply_lifter(params, nets, self.lifter_cfg,
@@ -517,7 +539,8 @@ class PoseEstimationPipeline:
                 def one(kp_p, valid_p, prob_p, obs_p):
                     net, _ = pack_lifter_input(kp_p, valid_p, prob_p, obs_p,
                                                self.used_rig, self.image_size,
-                                               prior=self.lifter_prior)
+                                               prior=self.lifter_prior,
+                                               prior_gate_px=self.prior_gate_px)
                     return net
                 nets = jax.vmap(one)(pkp, pval, pprob, pobs)
                 out = apply_lifter(lparams, nets, self.lifter_cfg,
@@ -869,7 +892,7 @@ class PoseEstimationPipeline:
             observed = np.concatenate([observed, np.zeros((pad, *observed.shape[1:]), bool)])
         pmask = np.zeros(PB, np.float32)
         pmask[:P] = 1.0
-        poses, ok, quality = self._lift_fn(PB)(
+        poses, ok, quality = self._lift_fn(PB, self.prior_gate_px)(
             self.lifter_params_serve, jnp.asarray(kp), jnp.asarray(valid),
             jnp.asarray(prob), jnp.asarray(observed), jnp.asarray(pmask))
         if with_quality:
@@ -915,7 +938,7 @@ class PoseEstimationPipeline:
                               jnp.zeros((C, S), bool))
         for PB in ([persons] if persons else self.person_buckets):
             Cu = len(self.used_idx)
-            self._lift_fn(PB)(self.lifter_params_serve,
+            self._lift_fn(PB, self.prior_gate_px)(self.lifter_params_serve,
                               jnp.zeros((PB, Cu, J, 2)),
                               jnp.zeros((PB, Cu, J)), jnp.zeros((PB, Cu, J)),
                               jnp.zeros((PB, Cu, J), bool), jnp.zeros(PB))

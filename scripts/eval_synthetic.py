@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--outlier-rate", type=float, default=0.0,
                     help="per (joint, camera) chance of a confident large "
                     "mislocalisation (heavy-tailed detector noise)")
+    ap.add_argument("--prior-gate", dest="prior_gate_px", type=float,
+                    default=None,
+                    help="per-joint prior-quality gate in px "
+                    "(pipeline prior_gate_px; scripts/diag_prior_gate.py)")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +93,10 @@ def main():
 
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),
-                                  person_buckets=(8,))
+                                  person_buckets=(8,),
+                                  prior_gate_px=args.prior_gate_px)
+    if args.prior_gate_px is not None:
+        report["prior_gate_px"] = args.prior_gate_px
     pipe_tri = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                       backend="triangulation",
                                       slot_buckets=(S,), person_buckets=(8,))

@@ -235,3 +235,67 @@ def test_geo_paths_agree_undersized_slot_parse(panoptic_rig):
         ph = _person_sets(host(fa).persons)
         pf = _person_sets(dev.infer_fused(fa).persons)
         assert ph == pf
+
+
+def test_prior_gate_pipeline_paths_agree(panoptic_rig):
+    """With prior_gate_px set, the staged and fused MLP paths agree, the
+    gate changes at least one pose on a frame with a poisoned detection,
+    and mutating the knob on a live pipeline retraces (the _geo_key /
+    _lift_fn cache-keying contract) instead of reusing stale constants."""
+    from mpe3d_tpu.data.frames import FrameArrays
+
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    kw = dict(slot_buckets=(4,), person_buckets=(8,), backend="mlp",
+              threshold=0.05, decode_top_k=0)
+    plain = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg,
+                                   lp, lcfg, **kw)
+    gated = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg,
+                                   lp, lcfg, prior_gate_px=8.0, **kw)
+
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 6, n_people=(1, 3),
+                             seed=13, noise=noise, with_gt=False)
+    saw_gate_effect = 0
+    for f in frames:
+        fa = parse_frame(f, PANOPTIC, max_skeletons=4)
+        # poison one detection so at least some priors trip the gate
+        kp = fa.kp.copy()
+        kp[1, :, 5] += 200.0
+        fa = FrameArrays(kp, fa.valid, fa.prob, fa.in_view,
+                         fa.present, fa.timestamp)
+        staged = gated(fa)
+        fused = gated.infer_fused(fa)
+        assert _person_sets(staged.persons) == _person_sets(fused.persons)
+        s_map = {frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0): i
+                 for i, p in enumerate(staged.persons)}
+        for i, p in enumerate(fused.persons):
+            j = s_map[frozenset((c, int(s))
+                                for c, s in enumerate(p) if s >= 0)]
+            assert np.allclose(fused.poses[i], staged.poses[j], atol=1e-3)
+        base = plain.infer_fused(fa)
+        if (_person_sets(base.persons) == _person_sets(fused.persons)
+                and len(base.poses)
+                and not np.allclose(base.poses, fused.poses, atol=1e-6)):
+            saw_gate_effect += 1
+    assert saw_gate_effect > 0
+
+    # live-mutation retrace: flipping the knob on the plain pipeline must
+    # reproduce the gated pipeline's output (stale caches would not)
+    fa = parse_frame(frames[0], PANOPTIC, max_skeletons=4)
+    kp = fa.kp.copy()
+    kp[1, :, 5] += 200.0
+    fa = FrameArrays(kp, fa.valid, fa.prob, fa.in_view,
+                     fa.present, fa.timestamp)
+    before = plain.infer_fused(fa)
+    plain.prior_gate_px = 8.0
+    after = plain.infer_fused(fa)
+    want = gated.infer_fused(fa)
+    assert np.allclose(after.poses, want.poses, atol=1e-6)
+    plain.prior_gate_px = None
+    again = plain.infer_fused(fa)
+    assert np.allclose(again.poses, before.poses, atol=1e-6)

@@ -145,6 +145,46 @@ def test_prior_dropout_zeroes_prior_keeps_obs(panoptic_rig, rng):
     assert np.allclose(out[:, keptj], orig[:, keptj])
 
 
+def test_pack_prior_gate_noop_on_clean_input(panoptic_rig, rng):
+    """A clean person's priors reproject within noise — the gate must be a
+    bit-exact no-op there (the in-distribution safety property measured in
+    scripts/diag_prior_gate.py: 3.7 mm with and without the gate)."""
+    _, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    img = (PANOPTIC.image_width, PANOPTIC.image_height)
+    plain, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, img)
+    gated, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, img, prior_gate_px=8.0)
+    assert np.array_equal(np.asarray(plain), np.asarray(gated))
+
+
+def test_pack_prior_gate_drops_poisoned_prior(panoptic_rig, rng):
+    """A large mislocalisation in ONE camera poisons the mean-pair
+    triangulation of that joint; the gate must zero that joint's prior
+    fields (10-13) in EVERY camera block and leave everything else — the
+    other joints and all observation fields — untouched."""
+    _, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    bad_j = 6
+    kp = kp.copy()
+    kp[2, bad_j] += 220.0                     # confident outlier detection
+    img = (PANOPTIC.image_width, PANOPTIC.image_height)
+    plain, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, img)
+    gated, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, img, prior_gate_px=8.0)
+    xp = np.asarray(plain).reshape(5, 18, 14)
+    xg = np.asarray(gated).reshape(5, 18, 14)
+    assert np.all(xp[:, bad_j, 10] == 1.0)    # ungated: prior kept
+    assert np.all(xg[:, bad_j, 10:] == 0.0)   # gated: flag + coords zeroed
+    keptj = [j for j in range(18) if j != bad_j]
+    assert np.array_equal(xg[:, keptj], xp[:, keptj])
+    assert np.array_equal(xg[..., :10], xp[..., :10])   # obs fields intact
+
+
 def test_build_dataset_prior_dropout(panoptic_rig):
     """prior_dropout > 0 produces augmented copies with some joints'
     prior fields zeroed while every sample's first copy stays intact."""
