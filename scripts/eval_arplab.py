@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--outlier-rate", type=float, default=0.0,
                     help="per (joint, camera) chance of a confident large "
                     "mislocalisation (heavy-tailed detector noise)")
+    ap.add_argument("--prior-gate", dest="prior_gate_px", type=float,
+                    default=None,
+                    help="per-joint prior-quality gate in px "
+                    "(pipeline prior_gate_px; scripts/diag_prior_gate.py)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     sp = [float(x) for x in args.spread.split(",")]
@@ -91,12 +95,15 @@ def main():
     prior = lmeta.get("prior", "mean")   # must match training (pack.py)
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),
-                                  person_buckets=(8,), lifter_prior=prior)
+                                  person_buckets=(8,), lifter_prior=prior,
+                                  prior_gate_px=args.prior_gate_px)
     tri = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                  backend="triangulation",
                                  slot_buckets=(S,), person_buckets=(8,))
 
     report = {"env": "ARPLAB", "frames": args.frames, "seed": args.seed,
+              **({"prior_gate_px": args.prior_gate_px}
+                 if args.prior_gate_px is not None else {}),
               "spread": args.spread, "min_cam_dist": args.min_cam_dist,
               "noise": {"pixel_sigma": args.pixel_sigma,
                         "joint_dropout": args.joint_dropout,

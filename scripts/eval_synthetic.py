@@ -34,6 +34,13 @@ def main():
                     help="detector pixel noise (robustness sweeps: 3, 5)")
     ap.add_argument("--cam-dropout", type=float, default=0.05,
                     help="per (person, camera) chance of a missing view")
+    ap.add_argument("--joint-dropout", type=float, default=0.05,
+                    help="per (joint, camera) chance of a missing detection")
+    ap.add_argument("--spurious-rate", type=float, default=0.1,
+                    help="per (person, camera) chance of a ghost skeleton; "
+                    "0 with --pixel-sigma 0 ≙ the reference's 'Projected "
+                    "2D input' protocol (README.md:35 — GT projections "
+                    "fed to the pipeline, no detector artifacts)")
     ap.add_argument("--outlier-rate", type=float, default=0.0,
                     help="per (joint, camera) chance of a confident large "
                     "mislocalisation (heavy-tailed detector noise)")
@@ -60,8 +67,10 @@ def main():
     ref_tm = "/root/reference/tm_panoptic.pickle"
     rig = (rig_from_files(rig_config, ref_tm) if os.path.exists(ref_tm)
            else synthetic_ring_rig(rig_config))
-    noise = SceneNoise(pixel_sigma=args.pixel_sigma, joint_dropout=0.05,
-                       spurious_rate=0.1, camera_dropout=args.cam_dropout,
+    noise = SceneNoise(pixel_sigma=args.pixel_sigma,
+                       joint_dropout=args.joint_dropout,
+                       spurious_rate=args.spurious_rate,
+                       camera_dropout=args.cam_dropout,
                        outlier_rate=args.outlier_rate)
     test_multi = generate_frames(rig_config, rig, args.frames,
                                  n_people=(2, 4), seed=args.seed, noise=noise,
@@ -89,6 +98,8 @@ def main():
               "seed": args.seed,
               "noise": {"pixel_sigma": args.pixel_sigma,
                         "camera_dropout": args.cam_dropout,
+                        "joint_dropout": args.joint_dropout,
+                        "spurious_rate": args.spurious_rate,
                         "outlier_rate": args.outlier_rate}}
 
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
