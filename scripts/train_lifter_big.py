@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--build-cache-only", action="store_true",
                     help="build the dataset cache (requires --cache-dir) "
                     "and exit without training")
+    ap.add_argument("--widths", default=None,
+                    help="comma-separated hidden widths (default: the "
+                    "reference architecture 3072,3072,2048,2048,1024x4; "
+                    "e.g. 1536,1536,1024,1024,512,512,512,512 trains the "
+                    "~4x-smaller compact serving variant)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (e.g. for "
                     "--build-cache-only while the TPU is busy)")
@@ -110,6 +115,13 @@ def main():
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3,
                         residual_prior=args.residual_prior)
+    if args.widths:
+        # compact/capacity-ladder variants: checkpoints record widths in
+        # their meta, so every loader (eval scripts, pipeline, CLI)
+        # reconstructs the right architecture without a flag
+        import dataclasses
+        lcfg = dataclasses.replace(
+            lcfg, widths=tuple(int(w) for w in args.widths.split(",")))
     log = JsonlLogger(os.path.join(args.out, "run.jsonl"))
 
     params = None
