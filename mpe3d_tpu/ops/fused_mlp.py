@@ -168,18 +168,21 @@ def pack_fused_layers(layers: Sequence[dict]):
     128), so widths like 384 or 640 work, not just 256 multiples.
     """
     flat, kinds, dims = [], [], []
-    prev_np = None
+    prev_n = None
     for layer in layers:
         quant = "wq" in layer
         w = layer["wq"] if quant else layer["w"]
         K, N = w.shape
         Kp = _round_up(K, 128)
         Np = _round_up(N, 128)
-        if prev_np is not None and Kp != prev_np:
+        # boundary check on UNPADDED dims: two mismatched widths in the
+        # same 128-bucket (e.g. N=256 feeding K=250) would pass a padded
+        # comparison and silently drop the extra activation columns
+        if prev_n is not None and K != prev_n:
             raise ValueError(
-                f"layer boundary mismatch: padded K {Kp} != previous "
-                f"padded N {prev_np} (unpadded K={K})")
-        prev_np = Np
+                f"layer boundary mismatch: K {K} != previous layer's "
+                f"N {prev_n}")
+        prev_n = N
         w = jnp.asarray(w)
         if quant and w.dtype != jnp.int8:
             raise ValueError("wq must be int8")

@@ -99,7 +99,11 @@ class PoseServer:
         # so a paced (e.g. camera-rate) stream is never stalled by the
         # batcher; the linger is the latency ceiling the batcher may add.
         self.batch_window = max(1, int(batch_window))
-        self.batch_linger_ms = float(batch_linger_ms)
+        # floor 1 ms: the flusher wakes at linger/2, so an unclamped 0
+        # would busy-spin a core per connection (Event.wait(0) returns
+        # immediately); 1 ms keeps "flush asap" semantics at a bounded
+        # wakeup rate
+        self.batch_linger_ms = max(1.0, float(batch_linger_ms))
         self.tracker = tracker
         # tracking is per STREAM, not per server: with concurrent TCP
         # clients (serve --max-clients > 1) each connection is its own
@@ -118,7 +122,11 @@ class PoseServer:
         self.errors = 0
         self.dropped_low_quality = 0
         self._latency_sum_ms = 0.0
-        self._native_misses = 0
+        # fallback native-miss counter for direct _parse/_submit callers;
+        # handle_stream passes its own per-stream state so one client
+        # whose encoding the C++ parser can't read never disables the
+        # fast path for concurrent streams (PoseThreadingTCPServer)
+        self._native_misses = {"n": 0}
         # counters are bumped from both the reader and collector threads;
         # += is a non-atomic read-modify-write, so stats go through a lock
         import threading
@@ -128,21 +136,24 @@ class PoseServer:
         self._bypass = len(pipe.match_idx) <= 1
 
     # ------------------------------------------------------------------
-    def _parse_line(self, line: str):
+    def _parse_line(self, line: str, misses=None):
         """One wire line → FrameArrays.  Fast path: the C++ parser
         (mpe3d_tpu/native) on the raw bytes — it skips the ~ms-scale
         ``json.loads`` + python skeleton loop, which would otherwise
         dominate the ~0.1 ms on-device frame time on a direct-attached
         chip.  Transparent python fallback (native unavailable, or the
-        line doesn't parse to exactly one frame)."""
+        line doesn't parse to exactly one frame).  ``misses`` is the
+        PER-STREAM miss counter ({"n": int}); default = the shared one."""
         from mpe3d_tpu.data.frames import parse_frames_batch
-        if line.startswith("{") and self._native_misses < 3:
+        if misses is None:
+            misses = self._native_misses
+        if line.startswith("{") and misses["n"] < 3:
             try:
                 fas = parse_frames_batch(("[" + line + "]").encode(),
                                          self.rig_config,
                                          self.max_skeletons)
                 if len(fas) == 1:
-                    self._native_misses = 0
+                    misses["n"] = 0
                     return fas[0]
             except Exception:
                 pass
@@ -150,22 +161,22 @@ class PoseServer:
             # the native parser can't handle (e.g. list-encoded
             # skeletons) must not pay a failed scan + stderr warning on
             # every frame of a long-lived session
-            self._native_misses += 1
+            misses["n"] += 1
         # python path doubles as the validator: raises on malformed JSON
         obj = json.loads(line)
         if not isinstance(obj, dict):
             raise ValueError("frame must be a JSON object")
         return parse_frame(obj, self.rig_config, self.max_skeletons)
 
-    def _parse(self, frame):
+    def _parse(self, frame, misses=None):
         """``frame``: a raw wire line (str) or an already-parsed dict."""
         if isinstance(frame, str):
-            return self._parse_line(frame)
+            return self._parse_line(frame, misses)
         return parse_frame(frame, self.rig_config, self.max_skeletons)
 
-    def _submit(self, frame):
+    def _submit(self, frame, misses=None):
         t0 = time.perf_counter()
-        fa = self._parse(frame)
+        fa = self._parse(frame, misses)
         if self._bypass:
             return t0, self.pipe(fa)          # synchronous staged path
         return t0, self.pipe.submit_fused(fa)
@@ -256,6 +267,7 @@ class PoseServer:
         dead = threading.Event()   # client write side gone
         seq = 0
         tracker = self._new_stream_tracker()   # per-stream track state
+        misses = {"n": 0}   # per-stream native-parser backoff counter
 
         def emit(rec):
             if dead.is_set():
@@ -277,15 +289,34 @@ class PoseServer:
                 try:
                     if item is None:
                         return
+                    if item[0] == "batch_error":
+                        # submit_batch failed in the flusher/reader; the
+                        # error lines ride the FIFO so responses for
+                        # earlier in-flight batches still come out first
+                        # (the strict-ordering contract)
+                        _, items, msg = item
+                        self._bump_errors()
+                        for s, _, _ in items:
+                            emit({"seq": s, "error": msg})
+                        continue
                     if item[0] == "batch":
                         _, items, ticket = item
                         try:
                             outs = self.pipe.collect_batch(ticket)
-                            for (s, t0, _), out in zip(items, outs):
-                                emit(self._finish(s, t0, out, tracker))
                         except Exception as e:
                             self._bump_errors()
                             for s, _, _ in items:
+                                emit({"seq": s,
+                                      "error": f"{type(e).__name__}: {e}"})
+                            continue
+                        # per-item finish: a host-side failure on one
+                        # frame (tracker/format) must not re-answer the
+                        # seqs already emitted for this batch
+                        for (s, t0, _), out in zip(items, outs):
+                            try:
+                                emit(self._finish(s, t0, out, tracker))
+                            except Exception as e:
+                                self._bump_errors()
                                 emit({"seq": s,
                                       "error": f"{type(e).__name__}: {e}"})
                         continue
@@ -324,9 +355,11 @@ class PoseServer:
                         [fa for _, _, fa in items],
                         pad_to=self.batch_window)
                 except Exception as e:
-                    self._bump_errors()
-                    for s, _, _ in items:
-                        emit({"seq": s, "error": f"{type(e).__name__}: {e}"})
+                    # route the errors through the FIFO, not straight to
+                    # emit: earlier batches may still be queued and the
+                    # protocol is strictly ordered
+                    q.put(("batch_error", items,
+                           f"{type(e).__name__}: {e}"))
                     return
                 q.put(("batch", items, ticket))
 
@@ -363,9 +396,9 @@ class PoseServer:
                     try:
                         if batching:
                             t0 = time.perf_counter()
-                            fa = self._parse(line)
+                            fa = self._parse(line, misses)
                         else:
-                            ticket = self._submit(line)
+                            ticket = self._submit(line, misses)
                     except Exception as e:  # malformed frame payloads
                         drain()
                         self._bump_errors()
@@ -414,9 +447,9 @@ class PoseServer:
                     try:
                         if batching:
                             t0 = time.perf_counter()
-                            fa = self._parse(obj)
+                            fa = self._parse(obj, misses)
                         else:
-                            ticket = self._submit(obj)
+                            ticket = self._submit(obj, misses)
                     except Exception as e:
                         drain()
                         self._bump_errors()
@@ -470,7 +503,10 @@ class _Handler(socketserver.StreamRequestHandler):
             self.wfile.write(s.encode())
             self.wfile.flush()
 
-        lines = (raw.decode() for raw in self.rfile)
+        # errors="replace": a binary/mis-encoded line must become a
+        # malformed-JSON error response, not a UnicodeDecodeError that
+        # tears the connection down with no answer
+        lines = (raw.decode(errors="replace") for raw in self.rfile)
         if slots is None:
             server.handle_stream(lines, write)
             return

@@ -206,3 +206,18 @@ def test_lift_truncates_past_largest_bucket(panoptic_rig):
                         [0, 1, -1, -1, -1]])  # 4 proposals > bucket 2
     poses = pipe.lift(fa, persons)
     assert poses.shape[0] == 2
+
+
+def test_pack_rejects_unpadded_boundary_mismatch():
+    """Layer boundaries must be validated on UNPADDED dims: N=256 feeding
+    K=250 rounds to the same 128-bucket and the old padded-only check let
+    it through, silently dropping 6 activation columns (review finding)."""
+    import numpy as np
+    import pytest
+
+    layers = [{"w": np.zeros((128, 256), np.float32),
+               "b": np.zeros(256, np.float32)},
+              {"w": np.zeros((250, 64), np.float32),
+               "b": np.zeros(64, np.float32)}]
+    with pytest.raises(ValueError, match="boundary"):
+        pack_fused_layers(layers)

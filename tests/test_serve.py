@@ -322,7 +322,7 @@ def test_parse_line_native_matches_python(pipe, wire_frames):
                      "timestamp"):
             np.testing.assert_array_equal(getattr(fa_fast, name),
                                           getattr(fa_py, name))
-    assert server._native_misses == 0   # the fast path actually ran
+    assert server._native_misses["n"] == 0   # the fast path ran
 
 
 def test_control_cmd_anywhere_in_object(pipe, wire_frames):
@@ -438,7 +438,7 @@ def test_native_backoff_after_consecutive_misses(pipe, wire_frames,
     ref = server._parse_line(line)          # python fallback still works
     for _ in range(10):
         server._parse_line(line)
-    assert server._native_misses >= 3
+    assert server._native_misses["n"] >= 3
     assert calls["n"] == 3                  # backoff: no further attempts
     assert len(ref.kp)
 
@@ -585,3 +585,91 @@ def test_serve_batched_control_ordering(pipe, wire_frames):
     assert recs[0]["seq"] == 0 and recs[1]["seq"] == 1
     assert recs[2]["frames"] == 2 and recs[2]["batch_window"] == 4
     assert recs[3]["seq"] == 2 and "poses_m" in recs[3]
+
+
+def test_serve_batched_partial_finish_failure_one_response_per_seq(
+        pipe, wire_frames):
+    """A host-side failure on ONE frame of a batch (tracker/format) must
+    produce exactly one response per seq — the old handler re-emitted
+    error lines for seqs it had already answered (review finding)."""
+
+    class ExplodingTracker:
+        calls = 0
+
+        def update(self, poses):
+            ExplodingTracker.calls += 1
+            if ExplodingTracker.calls == 2:
+                raise RuntimeError("tracker blew up on frame 1")
+            import numpy as np
+            return np.arange(len(poses)), poses
+
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2,
+                        batch_window=3, batch_linger_ms=50.0,
+                        tracker=ExplodingTracker())
+    recs = run_lines(server, [json.dumps(f) for f in wire_frames[:3]])
+    assert [r["seq"] for r in recs] == [0, 1, 2]   # one line per seq
+    assert "poses_m" in recs[0] and "poses_m" in recs[2]
+    assert "error" in recs[1] and "tracker blew up" in recs[1]["error"]
+
+
+def test_serve_batched_submit_failure_keeps_fifo_order(
+        pipe, wire_frames, monkeypatch):
+    """When submit_batch fails for batch B while batch A's responses are
+    still queued, B's error lines must come out AFTER A's responses (the
+    strict-ordering contract; the old path emitted them immediately)."""
+    import time as _time
+
+    orig_submit = pipe.submit_batch
+    orig_collect = pipe.collect_batch
+    n_sub = {"n": 0}
+
+    def submit(frames, pad_to=None):
+        n_sub["n"] += 1
+        if n_sub["n"] == 2:
+            raise RuntimeError("device rejected batch")
+        return orig_submit(frames, pad_to=pad_to)
+
+    def collect(ticket):
+        _time.sleep(0.4)     # hold batch A in the collector while batch
+        return orig_collect(ticket)  # B's submit fails in the reader
+
+    monkeypatch.setattr(pipe, "submit_batch", submit)
+    monkeypatch.setattr(pipe, "collect_batch", collect)
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=4,
+                        batch_window=2, batch_linger_ms=10_000.0)
+    recs = run_lines(server, [json.dumps(wire_frames[i % len(wire_frames)])
+                              for i in range(4)])
+    assert [r["seq"] for r in recs] == [0, 1, 2, 3]
+    assert "poses_m" in recs[0] and "poses_m" in recs[1]
+    assert "error" in recs[2] and "error" in recs[3]
+
+
+def test_serve_tcp_non_utf8_line_answered_not_fatal(pipe, wire_frames):
+    """A mis-encoded/binary line must get an error response and the
+    connection must keep serving (the old generator raised
+    UnicodeDecodeError into socketserver and closed silently)."""
+    server = PoseServer(pipe, PANOPTIC, max_skeletons=4, depth=2)
+    ready = []
+    t = threading.Thread(target=serve_tcp,
+                         args=(server, "127.0.0.1", 0, ready), daemon=True)
+    t.start()
+    for _ in range(100):
+        if ready:
+            break
+        import time
+        time.sleep(0.05)
+    srv = ready[0]
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=30) as s:
+            s.sendall(b"\xff\xfe{garbage\n")
+            s.sendall((json.dumps(wire_frames[0]) + "\n").encode())
+            s.sendall(b'{"cmd": "close"}\n')
+            f = s.makefile("r")
+            recs = [json.loads(f.readline()) for _ in range(3)]
+        assert recs[0]["seq"] == 0 and "error" in recs[0]
+        assert recs[1]["seq"] == 1 and "poses_m" in recs[1]
+        assert recs[2]["closed"] is True
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
