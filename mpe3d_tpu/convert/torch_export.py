@@ -40,15 +40,29 @@ def _t(a):
 def export_reference_lifter(params, path: str,
                             cfg: LifterConfig | None = None) -> None:
     """Write lifter params as a ``pose_estimator.pytorch`` the reference's
-    ``PoseEstimatorMLP`` can ``load_state_dict`` directly."""
+    ``PoseEstimatorMLP`` can ``load_state_dict`` directly.
+
+    ``cfg`` is required (the None default exists only so the error below
+    names the argument): a residual-prior checkpoint's params are
+    structurally identical to an absolute one's, so WITHOUT the config the
+    guards below cannot fire and the export would strict-load into the
+    reference model yet output corrections instead of poses."""
     import torch
 
-    if cfg is not None and getattr(cfg, "residual_prior", False):
+    if cfg is None:
+        raise ValueError(
+            "export_reference_lifter requires cfg= (the checkpoint's "
+            "LifterConfig, e.g. lifter_config_from_meta(read_meta(path))): "
+            "residual_prior/negative_slope cannot be detected from params "
+            "alone and exporting without checking them can produce a "
+            "checkpoint that silently computes the wrong function in the "
+            "reference stack.")
+    if getattr(cfg, "residual_prior", False):
         raise ValueError(
             "residual-prior lifters have no reference counterpart: the "
             "torch MLP would output the *correction*, not poses.  Export "
             "is only meaningful for absolute-coordinate checkpoints.")
-    if cfg is not None and getattr(cfg, "negative_slope", 0.1) != 0.1:
+    if getattr(cfg, "negative_slope", 0.1) != 0.1:
         raise ValueError(
             "the reference PoseEstimatorMLP hardcodes "
             "LeakyReLU(negative_slope=0.1) (utils/mlp.py:7); a checkpoint "

@@ -220,6 +220,33 @@ def quantize_lifter_weights(params: Params, keep_last_fp: bool = True,
     return {"layers": out}
 
 
+def prepad_quantized_lifter(params: Params) -> Params:
+    """Zero-pad each int8 weight matrix's K (input) dim to the pallas
+    kernel's 128-lane alignment, ONCE, at serving-setup time.
+
+    Padding inside the per-frame program (`ops/quant_matmul.py`) is a full
+    HBM copy of the multi-MB operand on EVERY dispatch — for the lifter
+    only layer 0's K=1260 is misaligned, ~3.9 MB/frame of pure copy.  Zero
+    rows contribute nothing to the dot; ``rscale`` stays at the true K (it
+    folds into x before x is padded), and both int8 paths (pallas and the
+    XLA oracle) accept the padded shape.  The on-disk servable format
+    stays UNPADDED (export-servable) so old exports keep loading through
+    the shape-checked template."""
+    out = []
+    for layer in params["layers"]:
+        if "wq" not in layer:
+            out.append(layer)
+            continue
+        wq = layer["wq"]
+        Kp = -(-wq.shape[0] // 128) * 128
+        if Kp != wq.shape[0]:
+            layer = dict(layer)
+            layer["wq"] = jnp.zeros(
+                (Kp, wq.shape[1]), jnp.int8).at[:wq.shape[0]].set(wq)
+        out.append(layer)
+    return {"layers": out}
+
+
 def lifter_is_quantized(params: Params) -> bool:
     """True if any layer carries int8-quantised weights (key ``wq``).
 

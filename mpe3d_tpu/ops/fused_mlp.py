@@ -45,8 +45,7 @@ M_TILE = 16      # activation rows: persons-per-frame buckets are <= 16
 KT_MAX = 256     # K-tile: wbuf 256x3072 bf16 = 1.5 MB x2 buffers in VMEM
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from mpe3d_tpu.ops.tiles import round_up as _round_up
 
 
 def _ktile(kp: int) -> int:
@@ -177,8 +176,13 @@ def pack_fused_layers(layers: Sequence[dict]):
         Np = _round_up(N, 128)
         # boundary check on UNPADDED dims: two mismatched widths in the
         # same 128-bucket (e.g. N=256 feeding K=250) would pass a padded
-        # comparison and silently drop the extra activation columns
-        if prev_n is not None and K != prev_n:
+        # comparison and silently drop the extra activation columns.
+        # Quantised layers may arrive with K pre-padded to the 128
+        # alignment (quantize_lifter_weights; zero rows), so K equal to
+        # the previous N's round-up is also a valid boundary there.
+        ok = (prev_n is None or K == prev_n
+              or (quant and K == _round_up(prev_n, 128)))
+        if not ok:
             raise ValueError(
                 f"layer boundary mismatch: K {K} != previous layer's "
                 f"N {prev_n}")
@@ -202,7 +206,11 @@ def pack_fused_layers(layers: Sequence[dict]):
             rs = layer.get("rscale")
             rs = jnp.ones((K,), jnp.float32) if rs is None \
                 else jnp.asarray(rs, jnp.float32)
-            rscale = jnp.zeros((1, Kp), jnp.float32).at[0, :K].set(rs)
+            # rs may be shorter than K when wq arrived K-pre-padded
+            # (quantize_lifter_weights keeps rscale at the true K; the
+            # padded x columns are zero so their fold factor is moot)
+            rscale = jnp.zeros((1, Kp),
+                               jnp.float32).at[0, :rs.shape[0]].set(rs)
             flat += [w, scale, rscale, b]
             kinds.append("q")
         else:

@@ -26,8 +26,7 @@ import jax.numpy as jnp
 ROW_TILE = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from mpe3d_tpu.ops.tiles import round_up as _round_up
 
 
 def xla_proj(x: jnp.ndarray, w1: jnp.ndarray, b1: Optional[jnp.ndarray],

@@ -38,8 +38,7 @@ N_TILE = 512     # output-channel tile: wq tile 3072x512 int8 = 1.5 MB VMEM
 M_TILE = 16      # bf16 sublane minimum; persons-per-frame buckets are <= 16
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from mpe3d_tpu.ops.tiles import round_up as _round_up
 
 
 def xla_int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
@@ -53,6 +52,13 @@ def xla_int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
     """
     if rscale is not None:
         x = x.astype(jnp.float32) * rscale   # fold row scales, fp32
+    if wq.shape[0] != x.shape[-1]:
+        # models/mlp.py::prepad_quantized_lifter K-aligns served weights
+        # to 128 lanes (zero rows); mirror it on the tiny activation so
+        # this oracle accepts the same trees the pallas path serves
+        pad = wq.shape[0] - x.shape[-1]
+        x = jnp.concatenate(
+            [x, jnp.zeros((*x.shape[:-1], pad), x.dtype)], axis=-1)
     acc = jnp.dot(x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     out = acc * scale
@@ -138,8 +144,8 @@ def int8_weight_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
     if (Mp, Kp) != (M, K):
         xp = jnp.zeros((Mp, Kp), jnp.bfloat16).at[:M, :K].set(xp)
     wqp = wq
-    if (Kp, Npad) != (K, N):
-        wqp = jnp.zeros((Kp, Npad), jnp.int8).at[:K, :N].set(wq)
+    if tuple(wq.shape) != (Kp, Npad):   # already-pre-padded trees skip this
+        wqp = jnp.zeros((Kp, Npad), jnp.int8).at[:wq.shape[0], :N].set(wq)
     sp = scale.astype(jnp.float32).reshape(1, N)
     if Npad != N:
         sp = jnp.zeros((1, Npad), jnp.float32).at[0, :N].set(scale)

@@ -204,10 +204,14 @@ class PoseEstimationPipeline:
                 # bf16 again.  Activations keep the bf16 MXU path.  Opt-in:
                 # weight rounding IS a (small, measured) accuracy change,
                 # unlike the bit-identical bf16 cast.
-                from mpe3d_tpu.models.mlp import quantize_lifter_weights
+                from mpe3d_tpu.models.mlp import (prepad_quantized_lifter,
+                                                  quantize_lifter_weights)
                 self.serve_dtype = jnp.int8
-                self.lifter_params = quantize_lifter_weights(
-                    self.lifter_params)
+                # prepad: K-align the int8 matrices ONCE at construction —
+                # padding inside the per-frame program is a full HBM copy
+                # of the multi-MB layer-0 operand on every dispatch
+                self.lifter_params = prepad_quantized_lifter(
+                    quantize_lifter_weights(self.lifter_params))
                 if self.compute_dtype is None:
                     self.compute_dtype = jnp.bfloat16
             else:

@@ -59,13 +59,17 @@ def _json_default(o):
     return str(o)
 
 
-def _write_meta_at(file_path: str, meta: Optional[Dict[str, Any]]) -> None:
+def _meta_json(meta: Optional[Dict[str, Any]]) -> str:
     meta = dict(meta or {})
     for k, v in list(meta.items()):
         if dataclasses.is_dataclass(v):
             meta[k] = dataclasses.asdict(v)
+    return json.dumps(meta, indent=2, default=_json_default)
+
+
+def _write_meta_at(file_path: str, meta: Optional[Dict[str, Any]]) -> None:
     with open(file_path, "w") as f:
-        json.dump(meta, f, indent=2, default=_json_default)
+        f.write(_meta_json(meta))
 
 
 def _write_meta(path: str, meta: Optional[Dict[str, Any]]) -> None:
@@ -94,10 +98,30 @@ def save_checkpoint(path: str, params, opt_state=None,
         if opt_state is not None:
             flat_o, _ = _flatten(opt_state)
             arrays.update({f"o.{k}": v for k, v in flat_o.items()})
-        np.savez(path + ".npz", **arrays)
-        _write_meta(path, meta)
-        _remove_orbax_artifacts(path)     # a stale orbax twin would win at
-        # load only in the both-present mtime race; remove it outright
+        # meta travels INSIDE the npz so arrays+meta commit atomically in
+        # ONE os.replace — a crash can no longer truncate the live .npz
+        # (the old in-place np.savez could) or pair new arrays with a
+        # stale meta (which would silently change e.g. residual_prior
+        # semantics on reload).  The .json sidecar stays as the cheap
+        # read_meta surface and is healed from the embedded copy if a
+        # crash separates the two replaces (read_meta).
+        meta_json = _meta_json(meta)
+        arrays["__meta_json__"] = np.frombuffer(
+            meta_json.encode(), dtype=np.uint8).copy()
+
+        def task():
+            np.savez(path + ".npz.tmp.npz", **arrays)
+            os.replace(path + ".npz.tmp.npz", path + ".npz")
+            with open(path + ".json.tmp", "w") as f:
+                f.write(meta_json)
+            os.replace(path + ".json.tmp", path + ".json")
+            _remove_orbax_artifacts(path)   # a stale orbax twin would win
+            # at load only in the both-present mtime race; remove it
+
+        # the shared single-worker executor serialises this with any
+        # queued/in-flight orbax save of the same path (an interleaving
+        # could otherwise delete both backends' artifacts)
+        _save_executor().submit(task).result()
     else:
         raise ValueError(f"unknown checkpoint backend: {backend!r}")
 
@@ -239,6 +263,10 @@ def _save_orbax(path: str, params, opt_state=None,
     flat = _flat_leaves(params, "p")
     if opt_state is not None:
         flat.update(_flat_leaves(opt_state, "o"))
+    # snapshot meta NOW, like the array tree: a caller that reuses and
+    # mutates one meta dict across wait=False saves must not get
+    # mutation-time metadata paired with submit-time arrays
+    meta = dict(meta or {})
     abspath = os.path.abspath(path)
 
     def task():
@@ -267,17 +295,25 @@ def _save_orbax(path: str, params, opt_state=None,
     if wait:
         fut.result()
     else:
-        _PENDING_SAVES.append(fut)
+        _PENDING_SAVES.append((abspath, fut))
 
 
-def wait_for_async_saves() -> None:
-    """Block until every async checkpoint save issued by this process has
-    committed (no-op when none were).  Re-raises the first save failure —
-    a training run must not end believing a failed save succeeded."""
+def wait_for_async_saves(path: Optional[str] = None) -> None:
+    """Block until async checkpoint saves issued by this process have
+    committed (no-op when none were) — all of them, or only those for
+    ``path`` when given (a loader of one checkpoint must not stall on, or
+    inherit failures from, an unrelated path's in-flight save).
+    Re-raises the first relevant save failure — a training run must not
+    end believing a failed save succeeded."""
     global _PENDING_SAVES
-    pending, _PENDING_SAVES = _PENDING_SAVES, []
+    if path is None:
+        pending, _PENDING_SAVES = _PENDING_SAVES, []
+    else:
+        target = os.path.abspath(path)
+        pending = [pf for pf in _PENDING_SAVES if pf[0] == target]
+        _PENDING_SAVES = [pf for pf in _PENDING_SAVES if pf[0] != target]
     first_err = None
-    for fut in pending:
+    for _, fut in pending:
         try:
             fut.result()
         except Exception as e:  # noqa: BLE001 — surfaced after full drain
@@ -300,8 +336,24 @@ def read_meta(path: str) -> Dict[str, Any]:
     _finalize_orbax(path)   # adopt a committed-but-unswapped orbax save
     # (e.g. the saving process crashed between commit and swap) so the
     # sidecar matches what load_checkpoint will read
-    if os.path.exists(path + ".json"):
-        with open(path + ".json") as f:
+    npz = path + ".npz"
+    side = path + ".json"
+    if os.path.exists(npz) and (
+            not os.path.exists(side)
+            or os.path.getmtime(side) < os.path.getmtime(npz)):
+        # a crash separated the npz commit from the sidecar refresh: heal
+        # the sidecar from the meta embedded in the npz (save_checkpoint
+        # commits arrays+meta atomically in that one file)
+        try:
+            with np.load(npz) as data:
+                if "__meta_json__" in data:
+                    with open(side + ".tmp", "w") as f:
+                        f.write(bytes(data["__meta_json__"]).decode())
+                    os.replace(side + ".tmp", side)
+        except Exception:
+            pass          # unreadable/legacy npz: fall through to sidecar
+    if os.path.exists(side):
+        with open(side) as f:
             return json.load(f)
     return {}
 
@@ -353,7 +405,7 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
     Returns (params, opt_state_or_None, meta)."""
     import sys
 
-    wait_for_async_saves()            # an in-flight save of this path must
+    wait_for_async_saves(path)        # an in-flight save of THIS path must
     _finalize_orbax(path)             # be visible; adopt committed staging
     have_npz = os.path.exists(path + ".npz")
     have_orbax = os.path.isdir(path + ".orbax")

@@ -5,6 +5,8 @@ train_pose_estimator.py:269-277); this backend is the TPU-idiomatic
 extension — saves overlap training and sharded ``jax.Array`` trees are
 written per-shard without a host gather."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -299,3 +301,66 @@ def test_orbax_sidecar_heals_after_partial_finalize(tmp_path):
     os.utime(path + ".json", (0, 0))
     _, _, meta = load_checkpoint(path, init_lifter(jax.random.PRNGKey(1), cfg))
     assert meta["epoch"] == 2
+
+
+def test_npz_meta_embedded_and_sidecar_healed(tmp_path):
+    """npz saves commit arrays+meta atomically in ONE file (review
+    finding: the old in-place np.savez + separate meta write could pair
+    new arrays with stale meta, silently flipping e.g. residual_prior
+    semantics).  A lost/stale sidecar is healed from the embedded copy."""
+    from mpe3d_tpu.train.checkpoint import read_meta, save_checkpoint
+
+    path = str(tmp_path / "ck")
+    params = {"w": np.arange(6, dtype=np.float32)}
+    save_checkpoint(path, params, meta={"epoch": 7, "prior": "median"})
+    assert read_meta(path)["epoch"] == 7
+
+    os.remove(path + ".json")              # crash between the two replaces
+    meta = read_meta(path)                 # healed from __meta_json__
+    assert meta == {"epoch": 7, "prior": "median"}
+    assert os.path.exists(path + ".json")  # sidecar restored on disk
+
+    # stale sidecar (older than the npz) is refreshed too
+    with open(path + ".json", "w") as f:
+        f.write('{"epoch": 1}')
+    old = os.path.getmtime(path + ".npz") - 100
+    os.utime(path + ".json", (old, old))
+    assert read_meta(path)["epoch"] == 7
+
+    loaded, _, meta2 = load_checkpoint(path, {"w": np.zeros(6, np.float32)})
+    np.testing.assert_array_equal(loaded["w"], params["w"])
+    assert meta2["epoch"] == 7
+
+
+def test_wait_for_async_saves_filters_by_path(tmp_path):
+    """load_checkpoint must not stall on (or inherit failures from) an
+    unrelated path's in-flight async save (review finding)."""
+    import threading
+
+    from mpe3d_tpu.train import checkpoint as ck
+
+    slow_path = str(tmp_path / "slow")
+    fast_path = str(tmp_path / "fast")
+    params = {"w": np.ones(3, np.float32)}
+    save_checkpoint(fast_path, params, meta={"tag": "fast"})
+
+    release = threading.Event()
+
+    def blocked_task():
+        release.wait(timeout=30)
+        raise RuntimeError("unrelated save failed")
+
+    fut = ck._save_executor().submit(blocked_task)
+    ck._PENDING_SAVES.append((os.path.abspath(slow_path), fut))
+    try:
+        # the fast path's load must neither block on nor re-raise from
+        # the slow path's pending save
+        loaded, _, meta = load_checkpoint(fast_path,
+                                          {"w": np.zeros(3, np.float32)})
+        assert meta["tag"] == "fast"
+        assert any(p == os.path.abspath(slow_path)
+                   for p, _ in ck._PENDING_SAVES)
+    finally:
+        release.set()
+        with pytest.raises(RuntimeError, match="unrelated"):
+            ck.wait_for_async_saves()

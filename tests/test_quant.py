@@ -161,3 +161,32 @@ def test_pipeline_serve_int8(panoptic_rig):
                 np.max(np.abs(a.poses - b.poses))
             checked += 1
     assert checked > 0
+
+
+def test_prepad_quantized_lifter_identical_outputs():
+    """prepad_quantized_lifter K-aligns int8 matrices with zero rows — a
+    serving-setup transform that must be output-identical on BOTH int8
+    paths (XLA oracle and the pallas kernel in interpret mode), and a
+    no-op on the already-aligned hidden layers."""
+    from mpe3d_tpu.config import LifterConfig
+    from mpe3d_tpu.models.mlp import prepad_quantized_lifter
+
+    cfg = LifterConfig(in_dim=1260, out_dim=54, widths=(256, 128))
+    params = init_lifter(jax.random.PRNGKey(3), cfg)
+    q = quantize_lifter_weights(params)
+    qp = prepad_quantized_lifter(q)
+    assert qp["layers"][0]["wq"].shape[0] == 1280       # 1260 -> padded
+    assert qp["layers"][0]["rscale"].shape[0] == 1260   # true K kept
+    assert qp["layers"][1]["wq"].shape == q["layers"][1]["wq"].shape
+    x = jax.random.normal(jax.random.PRNGKey(4), (5, 1260), jnp.float32)
+    ref = apply_lifter(q, x, cfg, use_pallas_quant=False)
+    got = apply_lifter(qp, x, cfg, use_pallas_quant=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    l0, l0p = q["layers"][0], qp["layers"][0]
+    ref_k = int8_weight_matmul(x, l0["wq"], l0["scale"], l0["b"],
+                               alpha=0.1, rscale=l0["rscale"],
+                               interpret=True)
+    got_k = int8_weight_matmul(x, l0p["wq"], l0p["scale"], l0p["b"],
+                               alpha=0.1, rscale=l0p["rscale"],
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_k), np.asarray(got_k))
