@@ -136,7 +136,13 @@ def main():
         d = np.linalg.norm(np.clip(kp - pix, -1e5, 1e5), axis=-1)
         mf = inc.astype(np.float32)
         nv = mf.sum(axis=1)                                 # [N, J] views
-        resid = (d * mf).sum(axis=1) / np.maximum(nv, 1.0)  # [N, J] px
+        # masked MEDIAN over cameras (matches pack_lifter_input's gate:
+        # one confident outlier detection must not fire the gate on a
+        # good prior — measured 16.55 vs 13.55 mm at outlier_rate 0.07
+        # with the old mean statistic)
+        ds = np.sort(np.where(inc, d, np.inf), axis=1)      # [N, Cu, J]
+        idx = np.maximum(np.ceil(nv / 2.0) - 1, 0).astype(np.int64)
+        resid = np.take_along_axis(ds, idx[:, None, :], axis=1)[:, 0]
         err3d = np.linalg.norm(prior3d - gts, axis=-1)      # [N, J] m
 
         # detectability: how well does the residual rank true prior error?

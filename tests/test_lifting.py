@@ -185,6 +185,32 @@ def test_pack_prior_gate_drops_poisoned_prior(panoptic_rig, rng):
     assert np.array_equal(xg[..., :10], xp[..., :10])   # obs fields intact
 
 
+def test_pack_prior_gate_median_survives_one_outlier(panoptic_rig, rng):
+    """Chain11 regression (the mean→median gate statistic): with a ROBUST
+    median-filtered prior, one confident outlier detection must NOT fire
+    the gate — the prior is still good, only one camera's residual is
+    inflated.  The old masked-mean statistic fired here (measured pipeline
+    A/B: mean-gated 16.55 mm vs ungated 13.55 mm at outlier_rate 0.07);
+    the masked-median statistic must keep the prior."""
+    _, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    bad_j = 6
+    kp = kp.copy()
+    kp[2, bad_j] += 220.0                     # confident outlier detection
+    img = (PANOPTIC.image_width, PANOPTIC.image_height)
+    plain, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, img, prior="median")
+    gated, _ = pack_lifter_input(
+        jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+        jnp.asarray(observed), panoptic_rig, img, prior="median",
+        prior_gate_px=8.0)
+    # the median prior rejected the outlier, so the gate sees 4 tiny
+    # residuals + 1 huge one — median tiny — and must be a bit-exact no-op
+    assert np.array_equal(np.asarray(plain), np.asarray(gated))
+    xg = np.asarray(gated).reshape(5, 18, 14)
+    assert np.all(xg[:, bad_j, 10] == 1.0)    # prior kept everywhere
+
+
 def test_build_dataset_prior_dropout(panoptic_rig):
     """prior_dropout > 0 produces augmented copies with some joints'
     prior fields zeroed while every sample's first copy stays intact."""
