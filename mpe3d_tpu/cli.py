@@ -170,7 +170,7 @@ def build_pipeline(args, backend: str):
     # signature stays the single source of the defaults
     geo_kw = {k: getattr(args, k)
               for k in ("geo_rerank", "geo_rescue", "geo_rescue_dist",
-                        "prior_gate_px")
+                        "prior_gate_px", "tri_variant")
               if hasattr(args, k)}
     if getattr(args, "serve_dtype", "auto") != "auto":
         import jax.numpy as jnp
@@ -440,8 +440,10 @@ def cmd_reprojection_error(args):
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
 
     rig_config, rig, pipe = build_pipeline(args, "mlp")
-    tri = PoseEstimationPipeline(rig_config, rig, pipe.matcher_params,
-                                 pipe.matcher_cfg, backend="triangulation")
+    tri = PoseEstimationPipeline(
+        rig_config, rig, pipe.matcher_params, pipe.matcher_cfg,
+        backend="triangulation",
+        tri_variant=getattr(args, "tri_variant", "median"))
     report = run_reprojection_error(
         _load_eval_files(args.testfiles, rig_config), rig_config,
         pipe, tri, datastep=args.datastep, show_gt=args.showgt)
@@ -878,6 +880,14 @@ def _add_common(p, models=True):
                        "trained checkpoint so the no-prior fallback is "
                        "in-distribution; recommended 8; default off = "
                        "exact reference input semantics)")
+        p.add_argument("--tri-variant", default="median",
+                       choices=["median", "irls"],
+                       help="classical-backend triangulator (backend="
+                       "'triangulation' only): 'median' = reference-exact "
+                       "coordinate-median pair filter; 'irls' = Huber-IRLS "
+                       "all-view solve — better in every measured regime "
+                       "(scripts/diag_triangulators.py), framework "
+                       "extension")
         p.add_argument("--serve-dtype", default="auto",
                        choices=["auto", "fp32", "bf16", "int8"],
                        help="lifter weight serving: auto = bf16 on TPU "
@@ -941,7 +951,8 @@ def make_parser() -> argparse.ArgumentParser:
                    "'reference' = bit-parity summed-L1-squared; "
                    "'per_term'/'huber' = better-conditioned variants that "
                    "converge to the reprojection least-squares optimum")
-    p.add_argument("--prior", default="mean", choices=["mean", "median"],
+    p.add_argument("--prior", default="mean",
+                   choices=["mean", "median", "irls"],
                    help="triangulated-prior variant in the lifter input "
                    "(lifting/pack.py): 'mean' = reference-exact pair mean; "
                    "'median' = median-outlier-rejected — use on rigs with "

@@ -11,6 +11,7 @@ from mpe3d_tpu.geometry.camera import (  # noqa: F401
     undistorted_rays_world,
 )
 from mpe3d_tpu.geometry.triangulate import (  # noqa: F401
+    triangulate_irls,
     triangulate_mean,
     triangulate_median_filtered,
     triangulate_pair,

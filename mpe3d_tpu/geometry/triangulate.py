@@ -163,3 +163,75 @@ def triangulate_median_filtered(points: jnp.ndarray, valid: jnp.ndarray,
     mean = jnp.sum(pts * w, axis=0) / jnp.maximum(n, 1.0)
     ok = n_valid > 0
     return jnp.where(ok[..., None], mean, 0.0), ok
+
+
+def triangulate_irls(points: jnp.ndarray, valid: jnp.ndarray,
+                     rig: CameraRig, n_iters: int = 5,
+                     delta_px: float = 4.0,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Robust N-view triangulation by iteratively-reweighted least squares.
+
+    No reference counterpart (the reference aggregates camera-PAIR DLTs by
+    mean or coordinate-median, utils/pose_estimator_utils.py:52-75) — this
+    is the TPU-native extension for the regimes those aggregations are
+    weakest in: few views (2-3 cameras give 1-3 pairs, so pair medians
+    degenerate to pair means) and heavy-tailed detector error (a confident
+    outlier camera poisons every pair it participates in — ⌈(C−1)/⌈P/2⌉⌉ of
+    them — while IRLS simply downweights the one camera).
+
+    Solves the joint all-view inhomogeneous DLT (w=1) normal equations with
+    per-camera Huber weights, re-estimated from geometric reprojection
+    residuals for ``n_iters`` fixed rounds (static loop → one fused XLA
+    program; the 3×3 solve is the LAPACK-free adjugate).  ``delta_px`` is
+    the Huber knee in PIXELS, converted per camera to normalized units via
+    the mean focal length, so one knob serves mixed-focal rigs.
+
+    points: [C, J, 2] raw pixels; valid: [C, J].
+    Returns (xyz [J, 3], ok [J]) — ok requires ≥2 valid cameras.
+    """
+    xn = undistort_points(points, rig.K[:, None], rig.dist[:, None])
+    P_mats = rig.T_wc[:, :3, :]                               # [C, 3, 4]
+    v = (valid > 0.5).astype(points.dtype)                    # [C, J]
+    f = (rig.K[:, 0, 0] + rig.K[:, 1, 1]) * 0.5               # [C]
+    delta = jnp.asarray(delta_px, points.dtype) / f           # [C] normalized
+
+    # per-camera DLT rows: B1/B2 [C, J, 3], d1/d2 [C, J]
+    Pr = P_mats[:, None, :, :]                                # [C, 1, 3, 4]
+    a1 = xn[..., 0:1] * Pr[..., 2, :] - Pr[..., 0, :]         # [C, J, 4]
+    a2 = xn[..., 1:2] * Pr[..., 2, :] - Pr[..., 1, :]
+    B1, d1 = a1[..., :3], a1[..., 3]
+    B2, d2 = a2[..., :3], a2[..., 3]
+
+    def solve(w):                                             # w: [C, J]
+        wj = (w * v)[..., None]                               # [C, J, 1]
+        M = (jnp.einsum("cji,cjk->jik", B1 * wj, B1, precision="highest")
+             + jnp.einsum("cji,cjk->jik", B2 * wj, B2, precision="highest"))
+        b = (jnp.einsum("cji,cj->ji", B1 * wj, d1, precision="highest")
+             + jnp.einsum("cji,cj->ji", B2 * wj, d2, precision="highest"))
+        # Tikhonov floor keeps the adjugate solve finite when < 2 cameras
+        # survive (the result is masked by ``ok`` anyway)
+        M = M + 1e-8 * jnp.eye(3, dtype=points.dtype)
+        return _solve3x3(M, -b)                               # [J, 3]
+
+    x = solve(jnp.ones_like(v))
+    for _ in range(n_iters):
+        # geometric residual of x in every camera (normalized coords)
+        xc = jnp.einsum("cik,jk->cji", P_mats[:, :, :3], x,
+                        precision="highest") + P_mats[:, None, :, 3]
+        z = jnp.maximum(xc[..., 2], 1e-4)
+        r = jnp.linalg.norm(xc[..., :2] / z[..., None] - xn, axis=-1)
+        w = jnp.minimum(1.0, delta[:, None] / jnp.maximum(r, 1e-12))
+        # Huber core, hard-zero tail: a gross outlier (> 10× the knee)
+        # otherwise keeps δ/r ≈ 1-2 % weight — enough for a 200 px
+        # mislocalisation to pull the solution millimetres off — but only
+        # when ≥ 3 cameras remain (a 2-view joint has no redundancy to
+        # adjudicate which view is wrong, so both are kept Huber-weighted)
+        wz = jnp.where(r > 10.0 * delta[:, None], 0.0, w)
+        nz = jnp.sum((wz > 0) & (v > 0), axis=0)              # [J]
+        w = jnp.where(nz[None, :] >= 3, wz, w)
+        # a behind-camera solution contributes nothing
+        w = jnp.where(xc[..., 2] > 1e-4, w, 0.0)
+        x = solve(w)
+
+    ok = jnp.sum(v, axis=0) > 1.5
+    return jnp.where(ok[..., None], x, 0.0), ok

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from mpe3d_tpu.geometry.camera import (CameraRig, cam_centers_world,
                                        project_points,
                                        undistorted_rays_world)
-from mpe3d_tpu.geometry.triangulate import (triangulate_mean,
+from mpe3d_tpu.geometry.triangulate import (triangulate_irls,
+                                            triangulate_mean,
                                             triangulate_median_filtered)
 
 
@@ -133,8 +134,11 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
         tri_xyz, tri_ok = triangulate_mean(kp, tri_obs, rig)     # [J,3], [J]
     elif prior == "median":
         tri_xyz, tri_ok = triangulate_median_filtered(kp, tri_obs, rig)
+    elif prior == "irls":
+        tri_xyz, tri_ok = triangulate_irls(kp, tri_obs, rig)
     else:
-        raise ValueError(f"prior must be 'mean' or 'median', got {prior!r}")
+        raise ValueError(
+            f"prior must be 'mean', 'median' or 'irls', got {prior!r}")
     if prior_gate_px is not None:
         # reproject the prior into every packed camera and reject joints
         # whose masked MEDIAN residual exceeds the gate (see docstring).

@@ -26,7 +26,8 @@ import numpy as np
 from mpe3d_tpu.config import LifterConfig, MatcherConfig, RigConfig
 from mpe3d_tpu.data.frames import FrameArrays
 from mpe3d_tpu.geometry.camera import CameraRig
-from mpe3d_tpu.geometry.triangulate import triangulate_median_filtered
+from mpe3d_tpu.geometry.triangulate import (triangulate_irls,
+                                            triangulate_median_filtered)
 from mpe3d_tpu.lifting.pack import pack_lifter_input
 from mpe3d_tpu.matching.decode import decode_person_proposals, single_camera_bypass
 from mpe3d_tpu.matching.features import (PairTopology, build_topology,
@@ -115,7 +116,8 @@ class PoseEstimationPipeline:
                  lifter_prior: str = "mean",
                  prior_gate_px: Optional[float] = None,
                  serve_dtype=None,
-                 use_fused_mlp: Optional[bool] = None):
+                 use_fused_mlp: Optional[bool] = None,
+                 tri_variant: str = "median"):
         self.rig_config = rig_config
         self.rig = rig
         self.matcher_params = matcher_params
@@ -153,9 +155,9 @@ class PoseEstimationPipeline:
         # (lifting/pack.py): "mean" = reference-exact; "median" for rigs
         # with near-degenerate pairs (ARP Lab).  Init-only — MUST match the
         # checkpoint's training-time setting (checkpoint meta key "prior").
-        if lifter_prior not in ("mean", "median"):
-            raise ValueError(f"lifter_prior must be 'mean' or 'median', "
-                             f"got {lifter_prior!r}")
+        if lifter_prior not in ("mean", "median", "irls"):
+            raise ValueError(f"lifter_prior must be 'mean', 'median' or "
+                             f"'irls', got {lifter_prior!r}")
         self.lifter_prior = lifter_prior
         # Per-joint prior-quality gate (px): drop the triangulated prior of
         # joints whose prior reprojects > this far from their own 2D
@@ -172,6 +174,18 @@ class PoseEstimationPipeline:
             raise ValueError(f"prior_gate_px must be positive or None, "
                              f"got {prior_gate_px!r}")
         self.prior_gate_px = prior_gate_px
+        # classical-backend triangulator (backend="triangulation" only):
+        # "median" = the reference-exact coordinate-median pair filter
+        # (pose_estimator_utils.py:52-75); "irls" = the Huber-IRLS all-view
+        # solve (geometry/triangulate.py::triangulate_irls, framework
+        # extension) — measured better in every regime on the packed
+        # diagnostic (scripts/diag_triangulators.py: clean spread 2.1
+        # 6.6 vs 12.5 mm, 7% outliers p95 10.9 vs 24.2 px).  Keyed into
+        # _geo_key so live mutation retraces.
+        if tri_variant not in ("median", "irls"):
+            raise ValueError(f"tri_variant must be 'median' or 'irls', "
+                             f"got {tri_variant!r}")
+        self.tri_variant = tri_variant
         # bf16 weight serving (models/mlp.py::cast_lifter_weights): on TPU
         # the default matmul precision already rounds operands to bf16 at
         # the MXU, so a stored-bf16 copy is numerically identical there and
@@ -389,7 +403,7 @@ class PoseEstimationPipeline:
         constants."""
         return (self.threshold, self._decode_top_k_eff, self.geo_rerank,
                 self.geo_scale, self.geo_rescue, self.geo_rescue_dist,
-                self.prior_gate_px)
+                self.prior_gate_px, self.tri_variant)
 
     def _geo_decode_scores(self, scores, kp, valid, observed, topo):
         """(eligibility_scores, order_scores) under the geometric
@@ -448,12 +462,15 @@ class PoseEstimationPipeline:
         # prior-gate knob (callers pass self.prior_gate_px); the value
         # itself is re-read from self at trace time.
         if self.backend == "triangulation":
+            tri = (triangulate_irls if self.tri_variant == "irls"
+                   else triangulate_median_filtered)
+
             @jax.jit
             def run(params, kp, valid, prob, observed, pmask):
                 del params
                 def one(kp_p, obs_p):
-                    xyz, ok = triangulate_median_filtered(
-                        kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
+                    xyz, ok = tri(kp_p, obs_p.astype(kp_p.dtype),
+                                  self.used_rig)
                     return xyz, ok
                 xyz, ok = jax.vmap(one)(kp, observed)
                 quality = pose_quality_px(xyz, kp, valid, observed,
@@ -534,9 +551,11 @@ class PoseEstimationPipeline:
 
             joint_ok = None
             if backend == "triangulation":
+                tri = (triangulate_irls if self.tri_variant == "irls"
+                       else triangulate_median_filtered)
                 def one(kp_p, obs_p):
-                    xyz, ok = triangulate_median_filtered(
-                        kp_p, obs_p.astype(kp_p.dtype), self.used_rig)
+                    xyz, ok = tri(kp_p, obs_p.astype(kp_p.dtype),
+                                  self.used_rig)
                     return xyz, ok
                 poses, joint_ok = jax.vmap(one)(pkp, pobs)
             else:

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--outlier-rate", type=float, default=0.0,
                     help="per (joint, camera) chance of a confident large "
                     "mislocalisation (heavy-tailed detector noise)")
+    ap.add_argument("--tri-variant", default="median",
+                    choices=["median", "irls"],
+                    help="classical-backend triangulator: reference-exact "
+                    "median pair filter vs Huber-IRLS all-view solve")
     ap.add_argument("--prior-gate", dest="prior_gate_px", type=float,
                     default=None,
                     help="per-joint prior-quality gate in px "
@@ -99,6 +103,7 @@ def main():
                                   prior_gate_px=args.prior_gate_px)
     tri = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                  backend="triangulation",
+                                 tri_variant=args.tri_variant,
                                  slot_buckets=(S,), person_buckets=(8,))
 
     report = {"env": "ARPLAB", "frames": args.frames, "seed": args.seed,

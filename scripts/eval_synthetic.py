@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--outlier-rate", type=float, default=0.0,
                     help="per (joint, camera) chance of a confident large "
                     "mislocalisation (heavy-tailed detector noise)")
+    ap.add_argument("--tri-variant", default="median",
+                    choices=["median", "irls"],
+                    help="classical-backend triangulator: reference-exact "
+                    "median pair filter vs Huber-IRLS all-view solve "
+                    "(geometry/triangulate.py)")
     ap.add_argument("--prior-gate", dest="prior_gate_px", type=float,
                     default=None,
                     help="per-joint prior-quality gate in px "
@@ -102,15 +107,26 @@ def main():
                         "spurious_rate": args.spurious_rate,
                         "outlier_rate": args.outlier_rate}}
 
+    # the prior variant is part of the checkpoint contract (pack.py:
+    # train and infer with the SAME setting) — read it from the meta like
+    # eval_arplab.py/the CLI do.  Before 2026-08-19 this was missing and
+    # every Panoptic pipeline eval packed the default MEAN prior under a
+    # median-prior-trained checkpoint (small in-distribution skew on this
+    # rig: no near-degenerate pairs; re-measured rows -> r2k reports).
+    prior = lmeta.get("prior", "mean")
+    report["lifter_prior"] = prior
     pipe = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                   lparams, lcfg, slot_buckets=(S,),
-                                  person_buckets=(8,),
+                                  person_buckets=(8,), lifter_prior=prior,
                                   prior_gate_px=args.prior_gate_px)
     if args.prior_gate_px is not None:
         report["prior_gate_px"] = args.prior_gate_px
     pipe_tri = PoseEstimationPipeline(rig_config, rig, mparams, mcfg,
                                       backend="triangulation",
+                                      tri_variant=args.tri_variant,
                                       slot_buckets=(S,), person_buckets=(8,))
+    if args.tri_variant != "median":
+        report["tri_variant"] = args.tri_variant
 
     # --- matching quality by view count (≙ README.md:19-21 table) --------
     subsets = {"2_views": ("trackera", "trackerb"),

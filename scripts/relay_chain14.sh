@@ -1,18 +1,19 @@
 #!/bin/bash
-# Chain 14 (queued behind chain13, Aug 19): adjudicate the MEDIAN prior-gate
-# statistic on the Panoptic pipeline.
+# Chain 14 v2 (queued behind chain13, Aug 19): eval-protocol correction +
+# median-gate adjudication + IRLS classical-backend rows.
 #
-# Chain11 measured the old masked-MEAN gate statistic HURTING in the gate's
-# own designed regime (outlier_rate 0.07: gated 16.55 mm vs ungated
-# 13.55 mm) — one confident outlier detection inflates the mean residual of
-# a perfectly good median-filtered prior and fires the gate.  The fix
-# (lifting/pack.py) swaps the statistic for the masked MEDIAN.  This chain
-# re-measures the three gate rows with the median statistic:
-#   A. outlier A/B (seed 31, outlier_rate 0.07) — the fix's target: gated
-#      must now track the ungated 13.55 mm.
-#   B. dense + wide gate rows (seed 30) — the in-distribution no-op
-#      property must survive the statistic change (mean-gate rows were
-#      17.51/64.67 vs plain 17.48/64.20, chain11 r2h).
+# Three things changed since the r2i rows were measured:
+#   1. eval_synthetic.py now reads the PRIOR VARIANT from the checkpoint
+#      meta (before, every Panoptic pipeline eval packed the default MEAN
+#      prior under the median-prior-trained pan_res — a train/infer input
+#      mismatch; eval_arplab always did it right).  All Panoptic rows are
+#      re-measured under the fixed protocol → *_r2k reports.
+#   2. The prior gate's statistic is now the masked MEDIAN (chain11 caught
+#      the mean statistic hurting in the outlier regime: 16.55 vs 13.55 mm
+#      ungated).  Gate rows re-measured.
+#   3. geometry/triangulate.py grew triangulate_irls (Huber-IRLS all-view
+#      solve) — measure it as the classical backend (--tri-variant irls)
+#      on the dense and extreme brackets vs the reference-exact median.
 # Idempotent via runs/.chain14 sentinels; logs in reports/chain14_logs/.
 #
 # Usage: nohup bash scripts/relay_chain14.sh >> /tmp/chain14.log 2>&1 &
@@ -51,19 +52,33 @@ until timeout 240 python -c "$PROBE" 2>/dev/null | grep -q RELAY_OK; do
 done
 log "RELAY UP"
 
-OUTL="--pixel-sigma 1.5 --cam-dropout 0.05 --joint-dropout 0.05 --spurious-rate 0.1 --outlier-rate 0.07"
+EV="python scripts/eval_synthetic.py --models runs/eval_res"
+OUTL="--outlier-rate 0.07"
 
-# ---- A: outlier A/B with the median gate --------------------------------------
-stage eval_outlier_medgate 5400 python scripts/eval_synthetic.py \
-  --models runs/eval_res --seed 31 --spread 1.2 $OUTL --prior-gate 8 \
-  --out reports/panoptic_outlier_medgate_r2j.json
+# ---- A: corrected-protocol plain rows (prior from meta) -----------------------
+stage eval_dense_plain 5400 $EV --seed 30 --spread 1.2 \
+  --out reports/panoptic_dense_plain_r2k.json
+stage eval_wide_plain 5400 $EV --seed 30 --spread 1.8 \
+  --out reports/panoptic_wide_plain_r2k.json
+stage eval_extreme_plain 5400 $EV --seed 30 --spread 2.1 \
+  --out reports/panoptic_extreme_plain_r2k.json
+stage eval_outlier_plain 5400 $EV --seed 31 --spread 1.2 $OUTL \
+  --out reports/panoptic_outlier_plain_r2k.json
 
-# ---- B: in-distribution no-op check --------------------------------------------
-stage eval_dense_medgate 5400 python scripts/eval_synthetic.py \
-  --models runs/eval_res --seed 30 --spread 1.2 --prior-gate 8 \
-  --out reports/panoptic_dense_medgate_r2j.json
-stage eval_wide_medgate 5400 python scripts/eval_synthetic.py \
-  --models runs/eval_res --seed 30 --spread 1.8 --prior-gate 8 \
-  --out reports/panoptic_wide_medgate_r2j.json
+# ---- B: median-gate adjudication ----------------------------------------------
+stage eval_outlier_medgate 5400 $EV --seed 31 --spread 1.2 $OUTL \
+  --prior-gate 8 --out reports/panoptic_outlier_medgate_r2k.json
+stage eval_dense_medgate 5400 $EV --seed 30 --spread 1.2 --prior-gate 8 \
+  --out reports/panoptic_dense_medgate_r2k.json
+stage eval_wide_medgate 5400 $EV --seed 30 --spread 1.8 --prior-gate 8 \
+  --out reports/panoptic_wide_medgate_r2k.json
+
+# ---- C: IRLS classical backend ------------------------------------------------
+stage eval_dense_irlstri 5400 $EV --seed 30 --spread 1.2 --tri-variant irls \
+  --out reports/panoptic_dense_irlstri_r2k.json
+stage eval_extreme_irlstri 5400 $EV --seed 30 --spread 2.1 --tri-variant irls \
+  --out reports/panoptic_extreme_irlstri_r2k.json
+stage eval_outlier_irlstri 5400 $EV --seed 31 --spread 1.2 $OUTL \
+  --tri-variant irls --out reports/panoptic_outlier_irlstri_r2k.json
 
 log "CHAIN14 ALL DONE"

@@ -60,7 +60,8 @@ def main():
                     help="lifter predicts a correction to its triangulated "
                     "prior (zero-init head; config.LifterConfig) — recorded "
                     "in the checkpoint meta, reconstructed on resume/eval")
-    ap.add_argument("--prior", default="mean", choices=["mean", "median"],
+    ap.add_argument("--prior", default="mean",
+                    choices=["mean", "median", "irls"],
                     help="triangulated-prior variant for the lifter input "
                     "(lifting/pack.py) — use 'median' on ARPLAB: its two "
                     "robot cameras form an 11.5 cm-baseline pair that "

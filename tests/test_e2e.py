@@ -101,6 +101,27 @@ def test_e2e_triangulation_backend(panoptic_rig, synthetic_world):
     assert recall > 60.0
 
 
+def test_e2e_triangulation_irls_variant(panoptic_rig, synthetic_world):
+    """tri_variant='irls' drives the classical backend through the
+    Huber-IRLS all-view solve (triangulate_irls) end-to-end and must land
+    at least as close to GT as the reference-exact median variant on
+    noisy multi-person frames (the diag shows it strictly better at the
+    population level; equal is allowed per-sample)."""
+    res = {}
+    for variant in ("median", "irls"):
+        pipe = OraclePipeline(PANOPTIC, panoptic_rig, None, MatcherConfig(),
+                              backend="triangulation", tri_variant=variant)
+        vals = []
+        for f in synthetic_world:
+            pipe.set_frame(f)
+            r = run_pose_metrics([f], PANOPTIC, pipe, datastep=1)
+            if r["n_frames"]:
+                vals.append(r["mpjpe_mm"])
+        res[variant] = float(np.nanmean(vals))
+    assert res["irls"] < 60.0, res
+    assert res["irls"] <= res["median"] * 1.05, res   # no regression
+
+
 def test_e2e_sm_metrics_oracle(panoptic_rig, synthetic_world):
     pipe = OraclePipeline(PANOPTIC, panoptic_rig, None, MatcherConfig())
     scores_all = []

@@ -14,6 +14,7 @@ from mpe3d_tpu.geometry import (
     pixel_rays_world,
     project_points,
     radial_distort,
+    triangulate_irls,
     triangulate_mean,
     triangulate_median_filtered,
     triangulate_pair,
@@ -137,6 +138,71 @@ def test_masked_joints_marked_invalid(panoptic_rig):
     valid = jnp.zeros((rig.n_cameras, 4)).at[0, 0].set(1.0)  # 1 view only
     _, ok = triangulate_mean(pix, valid, rig)
     assert not bool(jnp.any(ok))
+
+
+def test_triangulate_irls_clean_roundtrip(panoptic_rig):
+    """On clean projections the Huber weights never kick in and IRLS must
+    reproduce the world points like the other triangulators."""
+    rig = panoptic_rig
+    rng = np.random.default_rng(5)
+    J = 18
+    pts_w = jnp.asarray(rng.uniform([-0.8, -0.8, 0.1], [0.8, 0.8, 1.6],
+                                    size=(J, 3)), jnp.float32)
+    pix = project_points(pts_w[None, :, :], rig.T_wc[:, None], rig.K[:, None],
+                         rig.dist[:, None], tangential=True)
+    valid = jnp.ones((rig.n_cameras, J))
+    xyz, ok = triangulate_irls(pix, valid, rig)
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(np.asarray(xyz), np.asarray(pts_w), atol=5e-3)
+
+
+def test_triangulate_irls_downweights_outlier_camera(panoptic_rig):
+    """One confident outlier camera under realistic pixel noise: IRLS must
+    land near the true point (the outlier's Huber weight collapses) and
+    beat both reference-style pair aggregations, which each feed the bad
+    camera into C-1 pairs.  (Noise matters: on NOISELESS input the median
+    filter is exact — all clean pairs agree to float precision — which is
+    not the regime any of this runs in; the σ=1.5 px here matches the
+    quality-table protocol.)"""
+    rig = panoptic_rig
+    rng = np.random.default_rng(6)
+    pts_w = jnp.asarray(rng.uniform([-0.5, -0.5, 0.3], [0.5, 0.5, 1.2],
+                                    size=(6, 3)), jnp.float32)
+    pix = project_points(pts_w[None, :, :], rig.T_wc[:, None], rig.K[:, None],
+                         rig.dist[:, None], tangential=True)
+    pix = pix + jnp.asarray(rng.normal(0.0, 1.5, size=pix.shape), jnp.float32)
+    pix = pix.at[2, :].add(jnp.asarray([230.0, -160.0]))  # corrupt camera 2
+    valid = jnp.ones((rig.n_cameras, 6))
+    xyz_irls, ok = triangulate_irls(pix, valid, rig)
+    xyz_med, _ = triangulate_median_filtered(pix, valid, rig)
+    xyz_mean, _ = triangulate_mean(pix, valid, rig)
+    assert bool(jnp.all(ok))
+    e_irls = float(jnp.linalg.norm(xyz_irls - pts_w, axis=-1).mean())
+    e_med = float(jnp.linalg.norm(xyz_med - pts_w, axis=-1).mean())
+    e_mean = float(jnp.linalg.norm(xyz_mean - pts_w, axis=-1).mean())
+    assert e_irls < 0.01
+    assert e_irls < e_med and e_irls < e_mean
+
+
+def test_triangulate_irls_two_view_ok_semantics(panoptic_rig):
+    """ok requires >= 2 valid cameras; a 2-view joint still triangulates
+    (IRLS downweights but cannot drop below the normal-equation floor)."""
+    rig = panoptic_rig
+    rng = np.random.default_rng(7)
+    pts_w = jnp.asarray(rng.uniform([-0.5, -0.5, 0.3], [0.5, 0.5, 1.2],
+                                    size=(3, 3)), jnp.float32)
+    pix = project_points(pts_w[None, :, :], rig.T_wc[:, None], rig.K[:, None],
+                         rig.dist[:, None], tangential=True)
+    valid = jnp.zeros((rig.n_cameras, 3))
+    valid = valid.at[0, :].set(1.0).at[3, :].set(1.0)   # 2 views
+    xyz, ok = triangulate_irls(pix, valid, rig)
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(np.asarray(xyz), np.asarray(pts_w), atol=1e-2)
+
+    valid1 = jnp.zeros((rig.n_cameras, 3)).at[0, :].set(1.0)  # 1 view
+    xyz1, ok1 = triangulate_irls(pix, valid1, rig)
+    assert not bool(jnp.any(ok1))
+    assert bool(jnp.all(xyz1 == 0.0))
 
 
 def test_pixel_ray_points_at_world_point(panoptic_rig):

@@ -94,6 +94,34 @@ def test_pack_median_prior_variant(panoptic_rig, rng):
         pack_lifter_input(*args, prior="nope")
 
 
+def test_pack_irls_prior_variant(panoptic_rig, rng):
+    """prior='irls' swaps only fields 10-13 for the Huber-IRLS all-view
+    triangulation (geometry/triangulate.py::triangulate_irls); observation
+    fields stay bit-identical and the prior matches the direct call."""
+    from mpe3d_tpu.geometry.triangulate import triangulate_irls
+
+    person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
+    C, J = kp.shape[:2]
+    W, H = PANOPTIC.image_width, PANOPTIC.image_height
+    args = (jnp.asarray(kp), jnp.asarray(valid), jnp.asarray(prob),
+            jnp.asarray(observed), panoptic_rig, (W, H))
+    net_mean, _ = pack_lifter_input(*args)
+    net_irls, _ = pack_lifter_input(*args, prior="irls")
+    xm = np.asarray(net_mean).reshape(C, J, 14)
+    xi = np.asarray(net_irls).reshape(C, J, 14)
+    assert np.array_equal(xm[..., :10], xi[..., :10])
+
+    tri_obs = observed.astype(np.float32) * (np.arange(J) > 0)[None, :]
+    xyz, ok = triangulate_irls(jnp.asarray(kp), jnp.asarray(tri_obs),
+                               panoptic_rig)
+    xyz, ok = np.asarray(xyz), np.asarray(ok)
+    assert np.allclose(xi[0, :, 10], ok.astype(np.float32))
+    assert np.allclose(xi[0, :, 11:14],
+                       xyz * ok[:, None].astype(np.float32) / 10.0, atol=1e-6)
+    # clean all-camera observations: the IRLS prior lands on the true person
+    assert np.allclose(xi[0, 1:, 11:14] * 10.0, person[1:], atol=0.02)
+
+
 def test_pack_require_valid_filters_joints(panoptic_rig, rng):
     person, kp, valid, prob, observed = _clean_person_obs(panoptic_rig, rng)
     valid[:, 5] = 0.0   # invalid joint still observed
