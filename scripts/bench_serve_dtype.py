@@ -81,18 +81,33 @@ def main():
                         out_dim=rig_config.n_joints * 3)
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
     mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    lifter_prior = "mean"
     if args.modelsdir:
-        from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+        from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
+                                                load_checkpoint,
                                                 matcher_config_from_meta,
                                                 read_meta)
         stem = os.path.join(args.modelsdir, "skeleton_matching")
         mcfg = matcher_config_from_meta(read_meta(stem), mcfg)
         mp, _, _ = load_checkpoint(stem,
                                    init_matcher(jax.random.PRNGKey(0), mcfg))
+        # load the LIFTER checkpoint too when the dir has one — a size
+        # variant (--widths) changes the served weight bytes, which is
+        # exactly what the compact-model latency A/B measures; loading
+        # only the matcher would silently time the default 29.1 M init
+        lstem = os.path.join(args.modelsdir, "pose_estimator")
+        if os.path.exists(lstem + ".npz") or os.path.exists(
+                lstem + ".orbax"):
+            lmeta = read_meta(lstem)
+            lcfg = lifter_config_from_meta(lmeta, lcfg)
+            lp, _, _ = load_checkpoint(
+                lstem, init_lifter(jax.random.PRNGKey(1), lcfg))
+            lifter_prior = lmeta.get("prior", "mean")
     pipe = PoseEstimationPipeline(
         rig_config, rig,
         mp, mcfg, lp, lcfg,
         slot_buckets=(4,), person_buckets=(8,),
+        lifter_prior=lifter_prior,
         # default low threshold: the untrained matcher must decode real
         # persons so the |Δpose| check compares actual lifter outputs, not
         # zero masks
