@@ -67,6 +67,15 @@ def main():
     lcfg = LifterConfig(in_dim=PANOPTIC.lifter_input_dim,
                         out_dim=PANOPTIC.n_joints * 3)
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    # a size-variant lifter checkpoint (--widths) changes the kernel's
+    # tile schedule and bytes — load it when the dir ships one (same fix
+    # as bench_serve_dtype.py)
+    lstem = os.path.join(args.modelsdir, "pose_estimator")
+    if checkpoint_exists(lstem):
+        from mpe3d_tpu.train.checkpoint import lifter_config_from_meta
+        lcfg = lifter_config_from_meta(read_meta(lstem), lcfg)
+        lp, _, _ = load_checkpoint(lstem,
+                                   init_lifter(jax.random.PRNGKey(1), lcfg))
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)

@@ -45,7 +45,9 @@ def main():
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
-    from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+    from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                            lifter_config_from_meta,
+                                            load_checkpoint,
                                             matcher_config_from_meta,
                                             read_meta)
 
@@ -57,6 +59,13 @@ def main():
     lcfg = LifterConfig(in_dim=PANOPTIC.lifter_input_dim,
                         out_dim=PANOPTIC.n_joints * 3)
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    # a size-variant lifter checkpoint (--widths) changes stage timings —
+    # load it when the dir ships one (same fix as bench_serve_dtype.py)
+    lstem = os.path.join(args.modelsdir, "pose_estimator")
+    if checkpoint_exists(lstem):
+        lcfg = lifter_config_from_meta(read_meta(lstem), lcfg)
+        lp, _, _ = load_checkpoint(lstem,
+                                   init_lifter(jax.random.PRNGKey(1), lcfg))
     pipe = PoseEstimationPipeline(
         PANOPTIC, rig, mp, mcfg, lp, lcfg, slot_buckets=(4,),
         person_buckets=(8,), threshold=args.threshold,
