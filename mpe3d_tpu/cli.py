@@ -89,30 +89,12 @@ def load_models(models_dir: str, rig_config):
 
     lifter_prior = "mean"
     if checkpoint_exists(j(models_dir, "pose_estimator")):
-        from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
-                                                read_meta)
-        lmeta = read_meta(j(models_dir, "pose_estimator"))
-        # architecture variants the checkpoint was trained with (widths,
-        # residual_prior) override the rig default
-        lcfg = lifter_config_from_meta(lmeta, lcfg)
-        tmpl = init_lifter(jax.random.PRNGKey(1), lcfg)
-        if lmeta.get("stored") == "int8":
-            # servable export (CLI `export-servable`): weights stored int8 +
-            # fp32 scales — build the matching quantised template (structure
-            # depends only on the architecture, not the values)
-            from mpe3d_tpu.models.mlp import quantize_lifter_weights
-            tmpl = quantize_lifter_weights(tmpl)
-        lparams, _, _ = load_checkpoint(
-            j(models_dir, "pose_estimator"), tmpl)
-        if lmeta.get("stored") == "bf16":
-            # servable export stores bf16 weight bit patterns as uint16
-            # (npz cannot hold ml_dtypes.bfloat16) — view them back
-            import ml_dtypes
-            lparams = {"layers": [
-                {"w": layer["w"].view(ml_dtypes.bfloat16), "b": layer["b"]}
-                for layer in lparams["layers"]]}
-        # packing variant the checkpoint was trained with (lifting/pack.py)
-        lifter_prior = lmeta.get("prior", "mean")
+        # any stored variant (fp32 / int8 / bf16 servable), architecture +
+        # packing prior variant from the meta — shared with the serving
+        # hot-reload path (train/checkpoint.py::load_lifter_checkpoint)
+        from mpe3d_tpu.train.checkpoint import load_lifter_checkpoint
+        lparams, lcfg, lifter_prior = load_lifter_checkpoint(
+            j(models_dir, "pose_estimator"), lcfg)
     elif os.path.exists(j(models_dir, "pose_estimator.pytorch")):
         from mpe3d_tpu.convert.torch_import import load_reference_lifter
         lparams, lcfg = load_reference_lifter(

@@ -735,6 +735,95 @@ class PoseEstimationPipeline:
             self._serve_rr += 1
         return devices[i], self._serve_params[i]
 
+    def reload_weights(self, matcher_params=None, lifter_params=None):
+        """Hot-swap serving weights without restarting or retracing
+        (production serving surface; no reference counterpart — the
+        reference's eval scripts load weights once at process start).
+
+        Accepts raw host trees as loaded from checkpoints and re-applies
+        the SAME serving transformations as construction: int8
+        quantize+prepad or bf16 cast per the already-resolved
+        ``self.serve_dtype``, fused-MLP packing when enabled, device_put
+        residency, and multi-device re-replication when
+        :meth:`enable_multi_device_serving` is active.  The new trees
+        must match the current ones leaf-for-leaf in shape — same
+        architecture; retraining is a weight change, a different
+        ``--widths``/config is a new pipeline — otherwise ValueError is
+        raised and serving state is left untouched.  In-flight
+        dispatches keep the old buffers (params are program ARGUMENTS,
+        never closure captures); frames submitted after the swap use the
+        new weights.  Every compiled program is reused as-is: same
+        shapes and dtypes mean the jit caches stay warm, so a reload
+        costs one host→device transfer, not a recompile."""
+        import jax
+
+        def _check_match(new, cur, what):
+            nl, nt = jax.tree_util.tree_flatten(new)
+            cl, ct = jax.tree_util.tree_flatten(cur)
+            if nt != ct:
+                raise ValueError(f"reload_weights: {what} tree structure "
+                                 f"mismatch ({nt} vs current {ct})")
+            for n, c in zip(nl, cl):
+                ns, cs = jnp.shape(n), jnp.shape(c)
+                if ns != cs:
+                    raise ValueError(f"reload_weights: {what} leaf shape "
+                                     f"mismatch ({ns} vs current {cs}) — "
+                                     "same-architecture checkpoints only")
+
+        new_m = new_l = new_ls = None
+        if matcher_params is not None:
+            _check_match(matcher_params, self.matcher_params, "matcher")
+            new_m = jax.device_put(matcher_params)
+        if lifter_params is not None:
+            if self.lifter_params is None:
+                raise ValueError("reload_weights: this pipeline was built "
+                                 "without a lifter")
+            from mpe3d_tpu.models.mlp import lifter_is_quantized
+            if (lifter_is_quantized(lifter_params)
+                    and self.serve_dtype not in ("int8", jnp.int8)):
+                raise ValueError(
+                    "reload_weights: the checkpoint is an int8 servable "
+                    f"but this pipeline serves {self.serve_dtype} — "
+                    "restart with the int8 checkpoint (construction "
+                    "auto-detects it) or reload a fp32/bf16 one")
+            if self.serve_dtype in ("int8", jnp.int8):
+                from mpe3d_tpu.models.mlp import (prepad_quantized_lifter,
+                                                  quantize_lifter_weights)
+                lifter_params = prepad_quantized_lifter(
+                    quantize_lifter_weights(lifter_params))
+            elif self.serve_dtype is not None:
+                from mpe3d_tpu.models.mlp import cast_lifter_weights
+                lifter_params = cast_lifter_weights(lifter_params,
+                                                    self.serve_dtype)
+            _check_match(lifter_params, self.lifter_params, "lifter")
+            serve_tree = lifter_params
+            if self.use_fused_mlp:
+                from mpe3d_tpu.models.mlp import pack_lifter_serving
+                serve_tree = pack_lifter_serving(lifter_params)
+            serve_aliases = serve_tree is lifter_params
+            new_l = jax.device_put(lifter_params)
+            new_ls = new_l if serve_aliases else jax.device_put(serve_tree)
+
+        # all transfers done and validated — now swap.  Attribute writes
+        # are atomic; a concurrent submit during the swap can at worst mix
+        # old matcher with new lifter for ONE frame, both valid trees.
+        if new_m is not None:
+            self.matcher_params = new_m
+        if new_l is not None:
+            self.lifter_params = new_l
+            self.lifter_params_serve = new_ls
+        if getattr(self, "_serve_devices", None):
+            # re-replicate onto the serving devices (enable_multi_device_
+            # serving); _serve_params is swapped as one tuple, and the
+            # round-robin reader indexes the tuple it grabbed
+            def _rep(d):
+                m = jax.device_put(self.matcher_params, d)
+                ls = jax.device_put(self.lifter_params_serve, d)
+                lb = (ls if self.lifter_params_serve is self.lifter_params
+                      else jax.device_put(self.lifter_params, d))
+                return m, ls, lb
+            self._serve_params = tuple(_rep(d) for d in self._serve_devices)
+
     def submit_fused(self, frame: FrameArrays):
         """Dispatch one frame's fused program without waiting for the
         result; start its device→host copy in the background.  Returns an

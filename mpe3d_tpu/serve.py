@@ -13,6 +13,8 @@ Protocol: newline-delimited JSON, strictly ordered.
   request line   one wire-format frame dict
                  (``{"camera_id": [[skeletons...], timestamp], ...}``)
                  or a control object ``{"cmd": "ping"|"stats"|"close"}``
+                 or ``{"cmd": "reload", "modelsdir": "…"}`` (hot weight
+                 swap from a checkpoint dir — see ``reload_from_dir``)
   response line  ``{"seq": n, "n_persons": P, "poses_m": [...],
                  "quality_px": [...], "track_ids": [...],
                  "latency_ms": x}`` (track_ids only when tracking is on);
@@ -131,6 +133,8 @@ class PoseServer:
         # += is a non-atomic read-modify-write, so stats go through a lock
         import threading
         self._stats_lock = threading.Lock()
+        # serializes reload_from_dir across concurrent client streams
+        self._reload_lock = threading.Lock()
         # a rig with a single matching camera cannot run the fused ≥2-view
         # decode; the staged path's single-camera bypass handles it
         self._bypass = len(pipe.match_idx) <= 1
@@ -229,6 +233,64 @@ class PoseServer:
     def _bump_errors(self) -> None:
         with self._stats_lock:
             self.errors += 1
+
+    def reload_from_dir(self, modelsdir) -> dict:
+        """Hot-swap the pipeline's weights from a checkpoint directory
+        (``{"cmd": "reload", "modelsdir": "..."}``): load whichever of
+        ``skeleton_matching`` / ``pose_estimator`` the directory ships
+        and hand the raw trees to
+        :meth:`PoseEstimationPipeline.reload_weights` (same-architecture
+        shape check, serve-dtype cast, device residency, multi-device
+        re-replication — see its docstring).  The lifter checkpoint's
+        prior variant must match the serving pipeline's (the checkpoint
+        contract, lifting/pack.py).  Raises on any problem WITHOUT
+        touching serving state; the caller turns that into an error
+        response and the server keeps serving the old weights.
+
+        Trust model: same as the CLI — the client names a path readable
+        by the server process.  The server binds localhost by default;
+        anyone who can reach the socket already speaks for the operator.
+        """
+        import os
+
+        import jax
+
+        from mpe3d_tpu.models.gat import init_matcher
+        from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                                load_checkpoint,
+                                                load_lifter_checkpoint,
+                                                matcher_config_from_meta,
+                                                read_meta)
+
+        if not modelsdir or not isinstance(modelsdir, str):
+            raise ValueError("reload needs a 'modelsdir' string")
+        if not os.path.isdir(modelsdir):
+            raise ValueError(f"no such directory: {modelsdir}")
+        mstem = os.path.join(modelsdir, "skeleton_matching")
+        lstem = os.path.join(modelsdir, "pose_estimator")
+        mp = lp = None
+        if checkpoint_exists(mstem):
+            mcfg = matcher_config_from_meta(read_meta(mstem),
+                                            self.pipe.matcher_cfg)
+            mp, _, _ = load_checkpoint(
+                mstem, init_matcher(jax.random.PRNGKey(0), mcfg))
+        if checkpoint_exists(lstem):
+            lp, _, prior = load_lifter_checkpoint(lstem,
+                                                  self.pipe.lifter_cfg)
+            if prior != self.pipe.lifter_prior:
+                raise ValueError(
+                    f"checkpoint prior={prior!r} does not match the "
+                    f"serving pipeline's lifter_prior="
+                    f"{self.pipe.lifter_prior!r} (restart with the "
+                    "matching --prior; the prior variant is part of the "
+                    "checkpoint contract)")
+        if mp is None and lp is None:
+            raise ValueError(f"no skeleton_matching/pose_estimator "
+                             f"checkpoint under {modelsdir}")
+        with self._reload_lock:   # serialize concurrent stream reloads
+            self.pipe.reload_weights(matcher_params=mp, lifter_params=lp)
+        return {"modelsdir": modelsdir, "matcher": mp is not None,
+                "lifter": lp is not None}
 
     def _stats(self) -> dict:
         with self._stats_lock:
@@ -436,6 +498,19 @@ class PoseServer:
                     elif cmd == "close":
                         emit({"closed": True, **self._stats()})
                         return
+                    elif cmd == "reload":
+                        # weights hot-swap; drain() above already flushed
+                        # this stream's in-flight frames, so every earlier
+                        # response was produced by the old weights and
+                        # every later one by the new — per stream, the
+                        # reload is an ordering barrier
+                        try:
+                            info = self.reload_from_dir(obj.get("modelsdir"))
+                            emit({"reloaded": True, **info})
+                        except Exception as e:
+                            self._bump_errors()
+                            emit({"error": f"reload failed: "
+                                  f"{type(e).__name__}: {e}"})
                     else:
                         self._bump_errors()
                         emit({"error": f"unknown cmd: {cmd}"})

@@ -377,6 +377,37 @@ def lifter_config_from_meta(meta: Dict[str, Any], default):
     return LifterConfig(**merged)
 
 
+def load_lifter_checkpoint(stem: str, default_cfg):
+    """Load a lifter checkpoint of ANY stored variant — fp32 training
+    checkpoint, or an int8/bf16 servable export (CLI ``export-servable``,
+    meta key ``stored``) — with the architecture reconstructed from the
+    meta.  Returns ``(params, lifter_cfg, prior)``.  Single source for
+    the CLI model loader and the serving hot-reload path
+    (serve.PoseServer.reload_from_dir), so every stored format serves
+    through every entry point."""
+    import jax
+
+    from mpe3d_tpu.models.mlp import init_lifter, quantize_lifter_weights
+
+    meta = read_meta(stem)
+    lcfg = lifter_config_from_meta(meta, default_cfg)
+    tmpl = init_lifter(jax.random.PRNGKey(1), lcfg)
+    if meta.get("stored") == "int8":
+        # servable export: weights stored int8 + fp32 scales — build the
+        # matching quantised template (structure depends only on the
+        # architecture, not the values)
+        tmpl = quantize_lifter_weights(tmpl)
+    params, _, _ = load_checkpoint(stem, tmpl)
+    if meta.get("stored") == "bf16":
+        # servable export stores bf16 weight bit patterns as uint16 (npz
+        # cannot hold ml_dtypes.bfloat16) — view them back
+        import ml_dtypes
+        params = {"layers": [
+            {"w": layer["w"].view(ml_dtypes.bfloat16), "b": layer["b"]}
+            for layer in params["layers"]]}
+    return params, lcfg, meta.get("prior", "mean")
+
+
 def matcher_config_from_meta(meta: Dict[str, Any], default):
     """Reconstruct the MatcherConfig a checkpoint was trained with (the
     matcher analog of ``lifter_config_from_meta``): architecture-affecting

@@ -673,3 +673,157 @@ def test_serve_tcp_non_utf8_line_answered_not_fatal(pipe, wire_frames):
     finally:
         srv.shutdown()
         t.join(timeout=10)
+
+
+# ---------------------------------------------------------------------------
+# Hot weight reload ({"cmd": "reload"} / pipeline.reload_weights) — framework
+# extension: the reference loads weights once at process start.
+
+
+@pytest.fixture()
+def mlp_pipe(panoptic_rig):
+    """A small MLP-backend pipeline (reload must swap LIFTER outputs, which
+    the module-scoped triangulation `pipe` never uses)."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    return PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig, init_matcher(jax.random.PRNGKey(0), mcfg),
+        mcfg, init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), threshold=0.05,
+        decode_top_k=0)
+
+
+def _first_poses(server, wire_frames):
+    recs = run_lines(server, [json.dumps(wire_frames[0])])
+    assert "poses_m" in recs[0], recs[0]
+    return np.asarray(recs[0]["poses_m"])
+
+
+def test_reload_weights_swaps_pipeline_outputs(mlp_pipe, wire_frames):
+    """Same-architecture reload changes outputs without rebuilding the
+    pipeline; shape/structure mismatches are rejected atomically."""
+    from mpe3d_tpu.data.frames import parse_frame
+
+    fa = parse_frame(wire_frames[0], PANOPTIC, max_skeletons=4)
+    before = np.asarray(mlp_pipe(fa).poses)
+    lcfg = LifterConfig(widths=(64, 64))
+    mlp_pipe.reload_weights(
+        lifter_params=init_lifter(jax.random.PRNGKey(99), lcfg))
+    after = np.asarray(mlp_pipe(fa).poses)
+    assert not np.allclose(before, after)
+
+    # same weights back in -> same outputs (jit caches stayed warm)
+    mlp_pipe.reload_weights(
+        lifter_params=init_lifter(jax.random.PRNGKey(1), lcfg))
+    again = np.asarray(mlp_pipe(fa).poses)
+    np.testing.assert_allclose(again, before, atol=1e-6)
+
+    # wrong widths -> ValueError, serving state untouched
+    with pytest.raises(ValueError, match="shape|structure"):
+        mlp_pipe.reload_weights(lifter_params=init_lifter(
+            jax.random.PRNGKey(2), LifterConfig(widths=(32,))))
+    np.testing.assert_allclose(np.asarray(mlp_pipe(fa).poses), before,
+                               atol=1e-6)
+
+
+def test_reload_weights_reapplies_serve_dtype(panoptic_rig):
+    """A bf16-serving pipeline must cast reloaded trees the same way it
+    cast the construction-time tree."""
+    import jax.numpy as jnp
+
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    pipe = PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig, init_matcher(jax.random.PRNGKey(0), mcfg),
+        mcfg, init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), serve_dtype=jnp.bfloat16)
+
+    def check(params):
+        # weight matrices bf16; biases stay fp32 (cast_lifter_weights)
+        assert all(l["w"].dtype == jnp.bfloat16 for l in params["layers"])
+        assert all(l["b"].dtype == jnp.float32 for l in params["layers"])
+
+    check(pipe.lifter_params)
+    pipe.reload_weights(lifter_params=init_lifter(jax.random.PRNGKey(5),
+                                                  lcfg))
+    check(pipe.lifter_params)
+
+
+def test_reload_weights_rereplicates_multi_device(mlp_pipe):
+    """With multi-device serving enabled, a reload must replace the
+    per-device replicas (old tuple identity must not survive)."""
+    n = mlp_pipe.enable_multi_device_serving()
+    assert n >= 2   # conftest forces 8 virtual CPU devices
+    old = mlp_pipe._serve_params
+    mlp_pipe.reload_weights(lifter_params=init_lifter(
+        jax.random.PRNGKey(7), LifterConfig(widths=(64, 64))))
+    assert mlp_pipe._serve_params is not old
+    assert len(mlp_pipe._serve_params) == n
+
+
+def test_serve_reload_cmd_roundtrip(mlp_pipe, wire_frames, tmp_path):
+    """The reload control command: frames before/after are served by
+    old/new weights, errors leave the old weights serving."""
+    from mpe3d_tpu.train.checkpoint import save_checkpoint
+
+    lcfg = LifterConfig(widths=(64, 64))
+    good = tmp_path / "good"
+    good.mkdir()
+    save_checkpoint(str(good / "pose_estimator"),
+                    init_lifter(jax.random.PRNGKey(42), lcfg),
+                    meta={"prior": "mean",
+                          "lifter_config": {"widths": [64, 64]}})
+    badprior = tmp_path / "badprior"
+    badprior.mkdir()
+    save_checkpoint(str(badprior / "pose_estimator"),
+                    init_lifter(jax.random.PRNGKey(43), lcfg),
+                    meta={"prior": "median",
+                          "lifter_config": {"widths": [64, 64]}})
+
+    server = PoseServer(mlp_pipe, PANOPTIC, max_skeletons=4, depth=2)
+    frame = json.dumps(wire_frames[0])
+    recs = run_lines(server, [
+        frame,
+        json.dumps({"cmd": "reload", "modelsdir": str(good)}),
+        frame,
+        json.dumps({"cmd": "reload", "modelsdir": str(tmp_path / "nope")}),
+        json.dumps({"cmd": "reload", "modelsdir": str(badprior)}),
+        json.dumps({"cmd": "reload"}),
+        frame,
+    ])
+    assert recs[0]["seq"] == 0 and "poses_m" in recs[0]
+    assert recs[1] == {"reloaded": True, "modelsdir": str(good),
+                       "matcher": False, "lifter": True}
+    assert recs[2]["seq"] == 1 and "poses_m" in recs[2]
+    assert not np.allclose(np.asarray(recs[0]["poses_m"]),
+                           np.asarray(recs[2]["poses_m"]))
+    assert "reload failed" in recs[3]["error"]
+    assert "prior" in recs[4]["error"]
+    assert "reload failed" in recs[5]["error"]
+    # still serving with the good reload's weights after the failures
+    assert recs[6]["seq"] == 2 and "poses_m" in recs[6]
+    np.testing.assert_allclose(np.asarray(recs[6]["poses_m"]),
+                               np.asarray(recs[2]["poses_m"]), atol=1e-6)
+
+
+def test_reload_weights_requantizes_int8(panoptic_rig):
+    """An int8-serving pipeline re-quantizes + prepads reloaded fp32
+    trees exactly like construction did (ops/quant_matmul serving)."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    pipe = PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig, init_matcher(jax.random.PRNGKey(0), mcfg),
+        mcfg, init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), serve_dtype="int8")
+
+    def q_layers(params):
+        return [l for l in params["layers"] if "wq" in l]
+
+    n_q = len(q_layers(pipe.lifter_params))
+    assert n_q >= 1
+    pipe.reload_weights(lifter_params=init_lifter(jax.random.PRNGKey(9),
+                                                  lcfg))
+    assert len(q_layers(pipe.lifter_params)) == n_q
