@@ -47,11 +47,19 @@ def main():
                     help="per-joint prior-quality gate in px "
                     "(pipeline prior_gate_px; scripts/diag_prior_gate.py)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (evals are relay-"
+                    "independent; numbers carry a backend tag)")
     args = ap.parse_args()
     sp = [float(x) for x in args.spread.split(",")]
     spread = sp[0] if len(sp) == 1 else tuple(sp)
 
     import jax
+
+    if args.cpu:
+        # must precede ANY backend query (CLAUDE.md: sitecustomize
+        # registers the axon TPU backend; a dead relay hangs readbacks)
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -65,8 +73,9 @@ def main():
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
-    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
-                                            load_checkpoint, read_meta)
+    from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+                                            load_lifter_checkpoint,
+                                            read_meta)
 
     rig_config = ARPLAB
     ref_tm = "/root/reference/tm_arp.pickle"
@@ -89,11 +98,12 @@ def main():
     mparams, _, mmeta = load_checkpoint(
         os.path.join(args.matcher, "skeleton_matching"),
         init_matcher(jax.random.PRNGKey(0), mcfg))
+    # unified variant-aware loader: fp32 training checkpoints AND the
+    # int8/bf16 servable exports (models_demo/*) — the pipeline detects
+    # quantised trees and serves them (pipeline.py:198)
     lmeta = read_meta(os.path.join(args.lifter, "pose_estimator"))
-    lcfg = lifter_config_from_meta(lmeta, lcfg)
-    lparams, _, _ = load_checkpoint(
-        os.path.join(args.lifter, "pose_estimator"),
-        init_lifter(jax.random.PRNGKey(1), lcfg))
+    lparams, lcfg, _ = load_lifter_checkpoint(
+        os.path.join(args.lifter, "pose_estimator"), lcfg)
     S = int(mmeta.get("n_slots", 4))
 
     prior = lmeta.get("prior", "mean")   # must match training (pack.py)
@@ -115,7 +125,9 @@ def main():
                         "camera_dropout": args.cam_dropout,
                         "outlier_rate": args.outlier_rate},
               "matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
-              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
+              "lifter_meta": {k: lmeta.get(k)
+                              for k in ("epoch", "val_loss", "stored")},
+              "backend": jax.default_backend(),
               "lifter_prior": prior}
 
     # --- the reference's ARPLAB protocol: per-camera reprojection px ------

@@ -53,9 +53,17 @@ def main():
                     default=None,
                     help="per-joint prior-quality gate in px "
                     "(pipeline prior_gate_px; scripts/diag_prior_gate.py)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (evals are relay-"
+                    "independent; numbers carry a backend tag)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        # must precede ANY backend query (CLAUDE.md: sitecustomize
+        # registers the axon TPU backend; a dead relay hangs readbacks)
+        jax.config.update("jax_platforms", "cpu")
 
     from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
     from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
@@ -65,8 +73,9 @@ def main():
     from mpe3d_tpu.models.gat import init_matcher
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
-    from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
-                                            load_checkpoint, read_meta)
+    from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+                                            load_lifter_checkpoint,
+                                            read_meta)
 
     rig_config = PANOPTIC
     ref_tm = "/root/reference/tm_panoptic.pickle"
@@ -90,15 +99,18 @@ def main():
     mparams, _, mmeta = load_checkpoint(
         os.path.join(args.models, "skeleton_matching"),
         init_matcher(jax.random.PRNGKey(0), mcfg))
+    # unified variant-aware loader: fp32 training checkpoints AND the
+    # int8/bf16 servable exports (models_demo/*) — the pipeline detects
+    # quantised trees and serves them (pipeline.py:198)
     lmeta = read_meta(os.path.join(args.models, "pose_estimator"))
-    lcfg = lifter_config_from_meta(lmeta, lcfg)
-    lparams, _, _ = load_checkpoint(
-        os.path.join(args.models, "pose_estimator"),
-        init_lifter(jax.random.PRNGKey(1), lcfg))
+    lparams, lcfg, _ = load_lifter_checkpoint(
+        os.path.join(args.models, "pose_estimator"), lcfg)
 
     S = int(mmeta.get("n_slots", 6))
     report = {"matcher_meta": {k: mmeta.get(k) for k in ("epoch", "val_loss")},
-              "lifter_meta": {k: lmeta.get(k) for k in ("epoch", "val_loss")},
+              "lifter_meta": {k: lmeta.get(k)
+                              for k in ("epoch", "val_loss", "stored")},
+              "backend": jax.default_backend(),
               "spread": args.spread, "frames": args.frames,
               "seed": args.seed,
               "noise": {"pixel_sigma": args.pixel_sigma,
