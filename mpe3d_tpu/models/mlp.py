@@ -220,6 +220,31 @@ def quantize_lifter_weights(params: Params, keep_last_fp: bool = True,
     return {"layers": out}
 
 
+def dequantize_lifter_weights(params: Params) -> Params:
+    """Reconstruct fp32 weight matrices from a quantised tree:
+    ``w = rscale[:, None] * (wq * scale[None, :])`` (the exact dequant the
+    serving kernels apply — ops/quant_matmul.py).
+
+    This does NOT recover the original fp32 master (quantisation already
+    happened); it yields the fp32 tree the int8 path *effectively serves*.
+    Use case: dtype latency A/Bs driven from an int8 servable export
+    (models_demo/*) need an fp-structured tree for their bf16/fp32 arms —
+    latency depends on bytes and shapes, not values, so a dequantised
+    master gives honest bf16-arm timings when no fp32 checkpoint survives
+    (scripts/bench_serve_dtype.py, scripts/bench_fused_mlp.py)."""
+    out = []
+    for layer in params["layers"]:
+        if "wq" not in layer:
+            out.append(dict(layer))
+            continue
+        w = (jnp.asarray(layer["wq"], jnp.float32)
+             * jnp.asarray(layer["scale"], jnp.float32)[None, :])
+        if "rscale" in layer:
+            w = w * jnp.asarray(layer["rscale"], jnp.float32)[:, None]
+        out.append({"w": w, "b": jnp.asarray(layer["b"], jnp.float32)})
+    return {"layers": out}
+
+
 def prepad_quantized_lifter(params: Params) -> Params:
     """Zero-pad each int8 weight matrix's K (input) dim to the pallas
     kernel's 128-lane alignment, ONCE, at serving-setup time.

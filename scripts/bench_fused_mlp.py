@@ -69,13 +69,17 @@ def main():
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
     # a size-variant lifter checkpoint (--widths) changes the kernel's
     # tile schedule and bytes — load it when the dir ships one (same fix
-    # as bench_serve_dtype.py)
+    # as bench_serve_dtype.py).  Variant-aware: an int8 servable export
+    # is dequantised into the fp master the A/B's bf16 arms need (the
+    # int8 arms re-quantise it; latency depends on bytes, not values)
     lstem = os.path.join(args.modelsdir, "pose_estimator")
     if checkpoint_exists(lstem):
-        from mpe3d_tpu.train.checkpoint import lifter_config_from_meta
-        lcfg = lifter_config_from_meta(read_meta(lstem), lcfg)
-        lp, _, _ = load_checkpoint(lstem,
-                                   init_lifter(jax.random.PRNGKey(1), lcfg))
+        from mpe3d_tpu.models.mlp import (dequantize_lifter_weights,
+                                          lifter_is_quantized)
+        from mpe3d_tpu.train.checkpoint import load_lifter_checkpoint
+        lp, lcfg, _ = load_lifter_checkpoint(lstem, lcfg)
+        if lifter_is_quantized(lp):
+            lp = dequantize_lifter_weights(lp)
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)

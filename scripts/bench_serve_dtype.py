@@ -82,9 +82,10 @@ def main():
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
     mp = init_matcher(jax.random.PRNGKey(0), mcfg)
     lifter_prior = "mean"
+    stored = "fp32"
     if args.modelsdir:
-        from mpe3d_tpu.train.checkpoint import (lifter_config_from_meta,
-                                                load_checkpoint,
+        from mpe3d_tpu.train.checkpoint import (load_checkpoint,
+                                                load_lifter_checkpoint,
                                                 matcher_config_from_meta,
                                                 read_meta)
         stem = os.path.join(args.modelsdir, "skeleton_matching")
@@ -94,15 +95,20 @@ def main():
         # load the LIFTER checkpoint too when the dir has one — a size
         # variant (--widths) changes the served weight bytes, which is
         # exactly what the compact-model latency A/B measures; loading
-        # only the matcher would silently time the default 29.1 M init
+        # only the matcher would silently time the default 29.1 M init.
+        # Variant-aware: the dir may hold an int8/bf16 servable export
+        # (after the Aug-19 reset those are the only surviving lifters)
         lstem = os.path.join(args.modelsdir, "pose_estimator")
         if os.path.exists(lstem + ".npz") or os.path.exists(
                 lstem + ".orbax"):
-            lmeta = read_meta(lstem)
-            lcfg = lifter_config_from_meta(lmeta, lcfg)
-            lp, _, _ = load_checkpoint(
-                lstem, init_lifter(jax.random.PRNGKey(1), lcfg))
-            lifter_prior = lmeta.get("prior", "mean")
+            lp, lcfg, lifter_prior = load_lifter_checkpoint(lstem, lcfg)
+            stored = read_meta(lstem).get("stored", "fp32")
+            if stored == "int8" and dtype != "int8":
+                # no fp32 master survives in an int8 export — serve the
+                # tree the int8 path effectively computes with, in the
+                # requested dtype (latency depends on bytes, not values)
+                from mpe3d_tpu.models.mlp import dequantize_lifter_weights
+                lp = dequantize_lifter_weights(lp)
     pipe = PoseEstimationPipeline(
         rig_config, rig,
         mp, mcfg, lp, lcfg,
@@ -146,7 +152,8 @@ def main():
     hbm_gbps = 819.0  # TPU v5e HBM bandwidth
     floor_us = wbytes / (hbm_gbps * 1e9) * 1e6
 
-    out = {"dtype": dtype, "backend": jax.default_backend(),
+    out = {"dtype": dtype, "stored": stored,
+           "backend": jax.default_backend(),
            "decode_top_k": args.decode_top_k, "threshold": args.threshold,
            "ondevice_frame_us": round(ondevice_us, 1),
            "served_weight_mb": round(wbytes / 2**20, 2),

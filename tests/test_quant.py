@@ -190,3 +190,35 @@ def test_prepad_quantized_lifter_identical_outputs():
                                alpha=0.1, rscale=l0p["rscale"],
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(ref_k), np.asarray(got_k))
+
+
+def test_dequantize_matches_served_function():
+    """dequantize_lifter_weights must reconstruct exactly the fp32 tree
+    the int8 serving path computes with (w = rscale[:,None]*wq*scale) —
+    so a dequantised master run through the plain fp path equals the
+    quantised tree run through the int8 path, and re-quantising it is
+    idempotent (bench_serve_dtype/bench_fused_mlp rely on this to drive
+    dtype A/Bs from an int8 servable export)."""
+    from mpe3d_tpu.models.mlp import (dequantize_lifter_weights,
+                                      lifter_is_quantized)
+
+    cfg = LifterConfig(in_dim=1260, out_dim=54, widths=(256, 128))
+    params = init_lifter(jax.random.PRNGKey(7), cfg)
+    q = quantize_lifter_weights(params)
+    dq = dequantize_lifter_weights(q)
+    assert not lifter_is_quantized(dq)
+    x = jax.random.normal(jax.random.PRNGKey(8), (5, 1260), jnp.float32)
+    served = apply_lifter(q, x, cfg, use_pallas_quant=False)
+    replay = apply_lifter(dq, x, cfg)
+    # the int8 path feeds bf16 operands into the dot (quant_matmul.py:62,
+    # matching MXU serving); the fp replay runs fp32 on CPU — tolerance
+    # is bf16 operand rounding, not dequant error
+    np.testing.assert_allclose(np.asarray(served), np.asarray(replay),
+                               atol=5e-3, rtol=0)
+    q2 = quantize_lifter_weights(dq)
+    for l1, l2 in zip(q["layers"], q2["layers"]):
+        if "wq" in l1:
+            np.testing.assert_array_equal(np.asarray(l1["wq"]),
+                                          np.asarray(l2["wq"]))
+            np.testing.assert_allclose(np.asarray(l1["scale"]),
+                                       np.asarray(l2["scale"]), rtol=1e-6)
