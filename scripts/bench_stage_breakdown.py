@@ -46,7 +46,6 @@ def main():
     from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
     from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
-                                            lifter_config_from_meta,
                                             load_checkpoint,
                                             matcher_config_from_meta,
                                             read_meta)
@@ -60,12 +59,17 @@ def main():
                         out_dim=PANOPTIC.n_joints * 3)
     lp = init_lifter(jax.random.PRNGKey(1), lcfg)
     # a size-variant lifter checkpoint (--widths) changes stage timings —
-    # load it when the dir ships one (same fix as bench_serve_dtype.py)
+    # load it when the dir ships one (same fix as bench_serve_dtype.py).
+    # Variant-aware: int8/bf16 servable exports load too, dequantised so
+    # the breakdown times the default fp serving path
     lstem = os.path.join(args.modelsdir, "pose_estimator")
     if checkpoint_exists(lstem):
-        lcfg = lifter_config_from_meta(read_meta(lstem), lcfg)
-        lp, _, _ = load_checkpoint(lstem,
-                                   init_lifter(jax.random.PRNGKey(1), lcfg))
+        from mpe3d_tpu.models.mlp import (dequantize_lifter_weights,
+                                          lifter_is_quantized)
+        from mpe3d_tpu.train.checkpoint import load_lifter_checkpoint
+        lp, lcfg, _ = load_lifter_checkpoint(lstem, lcfg)
+        if lifter_is_quantized(lp):
+            lp = dequantize_lifter_weights(lp)
     pipe = PoseEstimationPipeline(
         PANOPTIC, rig, mp, mcfg, lp, lcfg, slot_buckets=(4,),
         person_buckets=(8,), threshold=args.threshold,
