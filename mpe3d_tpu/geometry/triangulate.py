@@ -229,8 +229,15 @@ def triangulate_irls(points: jnp.ndarray, valid: jnp.ndarray,
         wz = jnp.where(r > 10.0 * delta[:, None], 0.0, w)
         nz = jnp.sum((wz > 0) & (v > 0), axis=0)              # [J]
         w = jnp.where(nz[None, :] >= 3, wz, w)
-        # a behind-camera solution contributes nothing
-        w = jnp.where(xc[..., 2] > 1e-4, w, 0.0)
+        # a behind-camera solution contributes nothing — but only zero
+        # those views when ≥ 2 weighted cameras survive the cut; with
+        # fewer, the normal equations collapse onto the Tikhonov floor
+        # and return an arbitrary point while ``ok`` (which counts input
+        # validity) still reports the joint as good.  A finite LS blend
+        # that includes a behind-camera view beats that artifact.
+        wb = jnp.where(xc[..., 2] > 1e-4, w, 0.0)
+        nzb = jnp.sum((wb > 0) & (v > 0), axis=0)             # [J]
+        w = jnp.where(nzb[None, :] >= 2, wb, w)
         x = solve(w)
 
     ok = jnp.sum(v, axis=0) > 1.5

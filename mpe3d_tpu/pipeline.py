@@ -457,10 +457,14 @@ class PoseEstimationPipeline:
 
         return run
 
-    def _lift_fn(self, n_persons: int, gate_key=None):
-        # ``gate_key`` only keys the per-instance lru cache on the
-        # prior-gate knob (callers pass self.prior_gate_px); the value
-        # itself is re-read from self at trace time.
+    def _lift_fn(self, n_persons: int, gate_key=None, tri_key=None):
+        # ``gate_key``/``tri_key`` only key the per-instance lru cache on
+        # the prior-gate and tri-variant knobs (callers pass
+        # self.prior_gate_px / self.tri_variant); the values themselves
+        # are re-read from self at trace time.  Without tri_key, mutating
+        # tri_variant on a live triangulation-backend pipeline would
+        # silently reuse the stale triangulator (the fused paths key the
+        # same knob through _geo_key).
         if self.backend == "triangulation":
             tri = (triangulate_irls if self.tri_variant == "irls"
                    else triangulate_median_filtered)
@@ -1004,7 +1008,8 @@ class PoseEstimationPipeline:
             observed = np.concatenate([observed, np.zeros((pad, *observed.shape[1:]), bool)])
         pmask = np.zeros(PB, np.float32)
         pmask[:P] = 1.0
-        poses, ok, quality = self._lift_fn(PB, self.prior_gate_px)(
+        poses, ok, quality = self._lift_fn(PB, self.prior_gate_px,
+                                           self.tri_variant)(
             self.lifter_params_serve, jnp.asarray(kp), jnp.asarray(valid),
             jnp.asarray(prob), jnp.asarray(observed), jnp.asarray(pmask))
         if with_quality:
@@ -1050,7 +1055,8 @@ class PoseEstimationPipeline:
                               jnp.zeros((C, S), bool))
         for PB in ([persons] if persons else self.person_buckets):
             Cu = len(self.used_idx)
-            self._lift_fn(PB, self.prior_gate_px)(self.lifter_params_serve,
+            self._lift_fn(PB, self.prior_gate_px,
+                          self.tri_variant)(self.lifter_params_serve,
                               jnp.zeros((PB, Cu, J, 2)),
                               jnp.zeros((PB, Cu, J)), jnp.zeros((PB, Cu, J)),
                               jnp.zeros((PB, Cu, J), bool), jnp.zeros(PB))

@@ -272,11 +272,29 @@ class PoseServer:
         if checkpoint_exists(mstem):
             mcfg = matcher_config_from_meta(read_meta(mstem),
                                             self.pipe.matcher_cfg)
+            if mcfg != self.pipe.matcher_cfg:
+                # architecture flags (residual, heads, …) change the
+                # computed function without necessarily changing leaf
+                # shapes — reload_weights' shape check cannot catch that
+                raise ValueError(
+                    f"matcher checkpoint architecture {mcfg} does not "
+                    f"match the serving pipeline's "
+                    f"{self.pipe.matcher_cfg} (restart the server on "
+                    "the new modelsdir instead)")
             mp, _, _ = load_checkpoint(
                 mstem, init_matcher(jax.random.PRNGKey(0), mcfg))
         if checkpoint_exists(lstem):
-            lp, _, prior = load_lifter_checkpoint(lstem,
-                                                  self.pipe.lifter_cfg)
+            lp, lcfg, prior = load_lifter_checkpoint(lstem,
+                                                     self.pipe.lifter_cfg)
+            if lcfg != self.pipe.lifter_cfg:
+                # e.g. residual_prior=True vs an absolute head: identical
+                # widths/shapes, different apply semantics — serving it
+                # through the old config would add/skip the packed prior
+                raise ValueError(
+                    f"lifter checkpoint architecture {lcfg} does not "
+                    f"match the serving pipeline's "
+                    f"{self.pipe.lifter_cfg} (restart the server on "
+                    "the new modelsdir instead)")
             if prior != self.pipe.lifter_prior:
                 raise ValueError(
                     f"checkpoint prior={prior!r} does not match the "

@@ -73,11 +73,15 @@ def main():
     # is dequantised into the fp master the A/B's bf16 arms need (the
     # int8 arms re-quantise it; latency depends on bytes, not values)
     lstem = os.path.join(args.modelsdir, "pose_estimator")
+    lifter_prior = "mean"
     if checkpoint_exists(lstem):
         from mpe3d_tpu.models.mlp import (dequantize_lifter_weights,
                                           lifter_is_quantized)
         from mpe3d_tpu.train.checkpoint import load_lifter_checkpoint
-        lp, lcfg, _ = load_lifter_checkpoint(lstem, lcfg)
+        # keep the checkpoint's prior variant: pack_lifter_input runs
+        # INSIDE the timed fused program, and an irls prior costs real
+        # per-frame work the A/B must include
+        lp, lcfg, lifter_prior = load_lifter_checkpoint(lstem, lcfg)
         if lifter_is_quantized(lp):
             lp = dequantize_lifter_weights(lp)
 
@@ -98,7 +102,7 @@ def main():
             PANOPTIC, rig, mp, mcfg, lp, lcfg, slot_buckets=(4,),
             person_buckets=(8,), threshold=args.threshold,
             decode_top_k=args.decode_top_k, serve_dtype=serve_dtype,
-            use_fused_mlp=fused)
+            lifter_prior=lifter_prior, use_fused_mlp=fused)
         # a silently-demoted kernel would make the A/B compare the base
         # path against itself — fail loudly instead
         assert pipe.use_fused_mlp == fused, (serve_dtype, fused)

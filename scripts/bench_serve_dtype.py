@@ -99,8 +99,8 @@ def main():
         # Variant-aware: the dir may hold an int8/bf16 servable export
         # (after the Aug-19 reset those are the only surviving lifters)
         lstem = os.path.join(args.modelsdir, "pose_estimator")
-        if os.path.exists(lstem + ".npz") or os.path.exists(
-                lstem + ".orbax"):
+        from mpe3d_tpu.train.checkpoint import checkpoint_exists
+        if checkpoint_exists(lstem):
             lp, lcfg, lifter_prior = load_lifter_checkpoint(lstem, lcfg)
             stored = read_meta(lstem).get("stored", "fp32")
             if stored == "int8" and dtype != "int8":
@@ -109,6 +109,11 @@ def main():
                 # requested dtype (latency depends on bytes, not values)
                 from mpe3d_tpu.models.mlp import dequantize_lifter_weights
                 lp = dequantize_lifter_weights(lp)
+            elif stored == "bf16" and dtype == "fp32":
+                # lossless upcast — otherwise the 'fp32' arm would time
+                # the bf16 tree (half the bytes) under an fp32 label
+                from mpe3d_tpu.models.mlp import cast_lifter_weights
+                lp = cast_lifter_weights(lp, jnp.float32)
     pipe = PoseEstimationPipeline(
         rig_config, rig,
         mp, mcfg, lp, lcfg,

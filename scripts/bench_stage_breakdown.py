@@ -63,17 +63,20 @@ def main():
     # Variant-aware: int8/bf16 servable exports load too, dequantised so
     # the breakdown times the default fp serving path
     lstem = os.path.join(args.modelsdir, "pose_estimator")
+    lifter_prior = "mean"
     if checkpoint_exists(lstem):
         from mpe3d_tpu.models.mlp import (dequantize_lifter_weights,
                                           lifter_is_quantized)
         from mpe3d_tpu.train.checkpoint import load_lifter_checkpoint
-        lp, lcfg, _ = load_lifter_checkpoint(lstem, lcfg)
+        # keep the checkpoint's prior variant — the pack stage it
+        # changes runs inside the timed fused program
+        lp, lcfg, lifter_prior = load_lifter_checkpoint(lstem, lcfg)
         if lifter_is_quantized(lp):
             lp = dequantize_lifter_weights(lp)
     pipe = PoseEstimationPipeline(
         PANOPTIC, rig, mp, mcfg, lp, lcfg, slot_buckets=(4,),
         person_buckets=(8,), threshold=args.threshold,
-        decode_top_k=args.decode_top_k)
+        decode_top_k=args.decode_top_k, lifter_prior=lifter_prior)
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)

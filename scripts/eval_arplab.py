@@ -71,7 +71,6 @@ def main():
                                         run_reprojection_error)
     from mpe3d_tpu.geometry.calib_io import rig_from_files
     from mpe3d_tpu.models.gat import init_matcher
-    from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
     from mpe3d_tpu.train.checkpoint import (load_checkpoint,
                                             load_lifter_checkpoint,
@@ -129,6 +128,10 @@ def main():
                               for k in ("epoch", "val_loss", "stored")},
               "backend": jax.default_backend(),
               "lifter_prior": prior}
+    if args.tri_variant != "median":
+        # provenance: without this, irls and median comparator rows are
+        # indistinguishable by report content (eval_synthetic records it)
+        report["tri_variant"] = args.tri_variant
 
     # --- the reference's ARPLAB protocol: per-camera reprojection px ------
     r = run_reprojection_error(frames, rig_config, pipe, tri,

@@ -71,7 +71,6 @@ def main():
     from mpe3d_tpu.eval.runners import run_pose_metrics, run_sm_metrics
     from mpe3d_tpu.geometry.calib_io import rig_from_files
     from mpe3d_tpu.models.gat import init_matcher
-    from mpe3d_tpu.models.mlp import init_lifter
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
     from mpe3d_tpu.train.checkpoint import (load_checkpoint,
                                             load_lifter_checkpoint,

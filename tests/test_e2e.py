@@ -231,3 +231,25 @@ def test_generator_outlier_noise(panoptic_rig):
             for sk in _json.loads(entry[0]):
                 for v in sk.values():
                     assert v[3] == 1 and v[4] == 1.0
+
+
+def test_tri_variant_live_mutation_retraces(panoptic_rig, synthetic_world):
+    """Mutating tri_variant on a live triangulation-backend pipeline must
+    retrace the staged lift program (regression: _lift_fn's per-instance
+    cache was keyed only on prior_gate_px, so the stale median program
+    kept serving after the CLI/test attribute-mutation pattern)."""
+    import jax
+    cfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                        hidden=(8, 8), heads=(2, 2))
+    params = init_matcher(jax.random.PRNGKey(0), cfg)
+    pipe = PoseEstimationPipeline(PANOPTIC, panoptic_rig, params, cfg,
+                                  backend="triangulation", threshold=0.05,
+                                  slot_buckets=(4,), person_buckets=(8,))
+    fa = parse_frame(synthetic_world[0], PANOPTIC, max_skeletons=4)
+    out_median = np.asarray(pipe(fa).poses)
+    pipe.tri_variant = "irls"
+    out_irls = np.asarray(pipe(fa).poses)
+    assert out_median.shape == out_irls.shape and len(out_median)
+    # under detector noise the variants genuinely differ — identical
+    # outputs would mean the cached median program was reused
+    assert float(np.max(np.abs(out_median - out_irls))) > 1e-7

@@ -261,3 +261,35 @@ def test_rig_from_reference_fixture():
     # T_cw inverse consistency
     prod = np.einsum("cij,cjk->cik", np.asarray(rig.T_wc), np.asarray(rig.T_cw))
     np.testing.assert_allclose(prod, np.tile(np.eye(4), (5, 1, 1)), atol=1e-5)
+
+
+def test_triangulate_irls_behind_camera_two_view_not_degenerate():
+    """The behind-camera weight cut must not reduce a joint below 2
+    weighted views: a 2-view joint whose LS solution lands on one
+    camera's plane previously collapsed onto the Tikhonov floor and
+    returned an off-ray artifact while ok stayed True.  With the
+    survivor guard the full 2-view LS solution is kept (bounded,
+    on-geometry).  Construction: opposite-facing cameras 4 m apart,
+    camera A sees its image centre (ray = the z-axis), camera B an
+    offset observation — the two rays' closest point is B's own centre
+    (0,0,4), which has zero depth in B, tripping the cut."""
+    from mpe3d_tpu.geometry.camera import make_rig
+
+    K = np.tile(np.array([[500., 0, 320], [0, 500., 240], [0, 0, 1]],
+                         np.float32), (2, 1, 1))
+    dist = np.zeros((2, 5), np.float32)
+    TA = np.eye(4, dtype=np.float32)
+    Ry = np.array([[-1, 0, 0], [0, 1, 0], [0, 0, -1]], np.float32)
+    TB = np.eye(4, dtype=np.float32)
+    TB[:3, :3] = Ry
+    TB[:3, 3] = -Ry @ np.array([0, 0, 4], np.float32)
+    rig2 = make_rig(K, dist, np.stack([TA, TB]), (640, 480))
+    pix = np.zeros((2, 1, 2), np.float32)
+    pix[0, 0] = [320, 240]
+    pix[1, 0] = [820, 240]
+    xyz, ok = triangulate_irls(jnp.asarray(pix), jnp.ones((2, 1)), rig2)
+    assert bool(jnp.all(ok))
+    # the 2-view LS solution is the closest point between the rays,
+    # (0, 0, 4); the pre-fix Tikhonov artifact was (-1.91, 0, 1.91)
+    np.testing.assert_allclose(np.asarray(xyz)[0], [0.0, 0.0, 4.0],
+                               atol=1e-3)

@@ -827,3 +827,34 @@ def test_reload_weights_requantizes_int8(panoptic_rig):
     pipe.reload_weights(lifter_params=init_lifter(jax.random.PRNGKey(9),
                                                   lcfg))
     assert len(q_layers(pipe.lifter_params)) == n_q
+
+
+def test_serve_reload_rejects_architecture_mismatch(mlp_pipe, wire_frames,
+                                                    tmp_path):
+    """A shape-compatible but semantically different checkpoint (e.g.
+    residual_prior=True at the same widths) must be REJECTED by reload —
+    leaf shapes are identical, so only the meta-reconstructed config can
+    catch it; serving it through the old apply function would shift
+    every pose by the packed prior."""
+    from mpe3d_tpu.train.checkpoint import save_checkpoint
+
+    lcfg_res = LifterConfig(widths=(64, 64), residual_prior=True)
+    badarch = tmp_path / "badarch"
+    badarch.mkdir()
+    save_checkpoint(str(badarch / "pose_estimator"),
+                    init_lifter(jax.random.PRNGKey(44), lcfg_res),
+                    meta={"prior": "mean",
+                          "lifter_config": {"widths": [64, 64],
+                                            "residual_prior": True}})
+    server = PoseServer(mlp_pipe, PANOPTIC, max_skeletons=4, depth=2)
+    frame = json.dumps(wire_frames[0])
+    recs = run_lines(server, [
+        frame,
+        json.dumps({"cmd": "reload", "modelsdir": str(badarch)}),
+        frame,
+    ])
+    before = np.asarray(recs[0]["poses_m"])
+    assert "architecture" in recs[1]["error"]
+    # old weights still serving, bit-identical
+    np.testing.assert_allclose(np.asarray(recs[2]["poses_m"]), before,
+                               atol=0)
