@@ -144,7 +144,17 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
     NORMALISED attention coefficients (this DGL edge_softmax returns
     normalised scores; the reference drops them and aggregates WITHOUT
     renormalising — gat2.py:63-68).  ``residual`` adds the reference's
-    shortcut (gat2.py:69-75) from the post-feat-drop input."""
+    shortcut (gat2.py:69-75) from the post-feat-drop input.
+
+    Launch-count note: at serving sizes (H≈30 heads, E≈360 pairs) the
+    matcher stage is fixed-overhead-bound, not FLOP-bound (RESULTS.md
+    stage breakdown) — so heads+edges share ONE row-concatenated
+    projection, all six endpoint gathers ride ONE [2E, H] incidence
+    matmul, and the two per-endpoint softmax scatters collapse into one
+    dot over the concatenated 2E axis.  Per-row results are identical to
+    the unbatched form (row-block matmuls don't change each row's
+    reduction); only the denominator/numerator K-concat reductions may
+    differ in the last ulp."""
     H = xh.shape[0]
     E = xe.shape[0]
 
@@ -175,20 +185,25 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
             z = z + layer["b2"]
         return z.reshape(-1, nh, d_out)
 
-    zh = proj(xh)                                        # [H, nh, d]
-    ze = proj(xe)                                        # [E, nh, d]
-    att = lambda z, a: jnp.einsum("nhd,hd->nh", z, a, precision="highest")
-    a1h, a2h = att(zh, layer["attn_l"]), att(zh, layer["attn_r"])
-    a1e, a2e = att(ze, layer["attn_l"]), att(ze, layer["attn_r"])
+    # one projection + one attention einsum for heads AND edge-nodes
+    z_all = proj(jnp.concatenate([xh, xe], axis=0))      # [H+E, nh, d]
+    a_lr = jnp.stack([layer["attn_l"], layer["attn_r"]], axis=-1)
+    att_all = jnp.einsum("nhd,hdk->nhk", z_all, a_lr,
+                         precision="highest")            # [H+E, nh, 2]
+    zh, ze = z_all[:H], z_all[H:]
+    a1h, a2h = att_all[:H, :, 0], att_all[:H, :, 1]
+    a1e, a2e = att_all[H:, :, 0], att_all[H:, :, 1]
 
-    # endpoint gathers as incidence matmuls (MXU-friendly)
+    # endpoint gathers as ONE stacked incidence matmul (MXU-friendly):
+    # rows 0:E are endpoint-1 values, rows E:2E endpoint-2
+    inc_cat = np.concatenate([topo.inc1, topo.inc2], axis=0)     # [2E, H]
     zh_flat = zh.reshape(H, nh * d_out)
-    zh_e1 = mm(topo.inc1, zh_flat).reshape(E, nh, d_out)
-    zh_e2 = mm(topo.inc2, zh_flat).reshape(E, nh, d_out)
-    a1h_e1 = mm(topo.inc1, a1h)
-    a1h_e2 = mm(topo.inc2, a1h)
-    a2h_e1 = mm(topo.inc1, a2h)
-    a2h_e2 = mm(topo.inc2, a2h)
+    nd = nh * d_out
+    gath = mm(inc_cat, jnp.concatenate([zh_flat, a1h, a2h], axis=1))
+    zh_e1 = gath[:E, :nd].reshape(E, nh, d_out)
+    zh_e2 = gath[E:, :nd].reshape(E, nh, d_out)
+    a1h_e1, a2h_e1 = gath[:E, nd:nd + nh], gath[:E, nd + nh:]
+    a1h_e2, a2h_e2 = gath[E:, nd:nd + nh], gath[E:, nd + nh:]
 
     lrelu = lambda v: jax.nn.leaky_relu(v, alpha)
 
@@ -205,46 +220,44 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
              + att_e[..., 2:3] * zh_e2)                          # [E, nh, d]
 
     # --- head destinations: self + incident edge-nodes ---------------------
+    # Both endpoints are processed as one [2E, ...] block: rows 0:E are the
+    # e→head1 messages, rows E:2E the e→head2 messages.
     ls = lrelu(a1h + a2h)                                        # [H, nh]
-    l1 = lrelu(a1e + a2h_e1)                                     # e -> head1
-    l2 = lrelu(a1e + a2h_e2)                                     # e -> head2
+    l12 = lrelu(jnp.concatenate([a1e + a2h_e1,
+                                 a1e + a2h_e2], axis=0))         # [2E, nh]
     # exact per-destination max-shift (scatter-max over the incidence):
     # guarantees the max-achieving term is exp(0)=1 so the denominator can
     # never underflow to 0/0, no matter how sharp training makes the logits
     neg = jnp.asarray(-jnp.inf, ls.dtype)
-    live = pair_w[:, None] > 0
-    e1_idx = jnp.asarray(np.argmax(topo.inc1, axis=1))           # [E] static
-    e2_idx = jnp.asarray(np.argmax(topo.inc2, axis=1))
-    m = ls
-    m = m.at[e1_idx].max(jnp.where(live, l1, neg))
-    m = m.at[e2_idx].max(jnp.where(live, l2, neg))
-    m = jax.lax.stop_gradient(m)                                 # [H, nh]
+    live12 = jnp.concatenate([pair_w, pair_w], axis=0)[:, None] > 0
+    idx_cat = np.concatenate([np.argmax(topo.inc1, axis=1),
+                              np.argmax(topo.inc2, axis=1)])     # [2E] static
+    l12m = jnp.where(live12, l12, neg)                           # [2E, nh]
+    m = jax.lax.stop_gradient(
+        ls.at[jnp.asarray(idx_cat)].max(l12m))                   # [H, nh]
     es = jnp.exp(ls - m)                                         # [H, nh]
-    x1 = jnp.exp(jnp.where(live, l1 - mm(topo.inc1, m), neg)) \
-        * pair_w[:, None]                                        # [E, nh]
-    x2 = jnp.exp(jnp.where(live, l2 - mm(topo.inc2, m), neg)) \
-        * pair_w[:, None]
-    denom = es + mm(topo.inc1.T, x1) + mm(topo.inc2.T, x2)       # [H, nh]
+    # dead rows: l12m is -inf and m (gathered) is finite (ls is always a
+    # finite candidate per head), so exp(-inf - finite) = 0 — no NaN path
+    x12 = jnp.exp(l12m - mm(inc_cat, m)) \
+        * jnp.concatenate([pair_w, pair_w], axis=0)[:, None]     # [2E, nh]
+    denom = es + mm(inc_cat.T, x12)                              # [H, nh]
+    ze2 = jnp.concatenate([ze, ze], axis=0)                      # [2E, nh, d]
     if attn_active:
         # normalised per-edge coefficients so attn_drop applies to the
         # edge_softmax OUTPUT (DGL semantics; no renormalisation after)
         cs = es / denom                                          # [H, nh]
-        c1 = x1 / mm(topo.inc1, denom)                           # [E, nh]
-        c2 = x2 / mm(topo.inc2, denom)
-        ks, k1, k2 = jax.random.split(ka_h, 3)
+        c12 = x12 / mm(inc_cat, denom)                           # [2E, nh]
+        ks, k12 = jax.random.split(ka_h)
         cs = _dropout(ks, cs, attn_drop)
-        c1 = _dropout(k1, c1, attn_drop)
-        c2 = _dropout(k2, c2, attn_drop)
+        c12 = _dropout(k12, c12, attn_drop)
         out_h = (cs[..., None] * zh
-                 + mm(topo.inc1.T, (c1[..., None] * ze).reshape(E, nh * d_out)
-                      ).reshape(H, nh, d_out)
-                 + mm(topo.inc2.T, (c2[..., None] * ze).reshape(E, nh * d_out)
+                 + mm(inc_cat.T, (c12[..., None] * ze2
+                                  ).reshape(2 * E, nh * d_out)
                       ).reshape(H, nh, d_out))
     else:
         num = (es[..., None] * zh
-               + mm(topo.inc1.T, (x1[..., None] * ze).reshape(E, nh * d_out)
-                    ).reshape(H, nh, d_out)
-               + mm(topo.inc2.T, (x2[..., None] * ze).reshape(E, nh * d_out)
+               + mm(inc_cat.T, (x12[..., None] * ze2
+                                ).reshape(2 * E, nh * d_out)
                     ).reshape(H, nh, d_out))
         out_h = num / denom[..., None]
     if residual:
