@@ -236,6 +236,9 @@ class MatcherConfig:
     bias: bool = True
     hidden_slope: float = 0.01      # inter-layer LeakyReLU (torch default)
     use_pallas_proj: bool = False   # fused fc1+leaky+fc2 Pallas kernel (TPU)
+    # whole-stack VMEM-resident megakernel at inference (ops/gat_kernel.py);
+    # serving knob like use_pallas_proj, not part of the architecture
+    use_pallas_matcher: bool = False
 
     @property
     def n_layers(self) -> int:

@@ -291,6 +291,12 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
         pair_w = pair_softmax_weight
     else:
         pair_w = pair_mask * (2.0 if duplicate_pairs else 1.0)
+    if cfg.use_pallas_matcher and dropout_key is None and not cfg.residual:
+        # whole-stack VMEM-resident megakernel (inference serving path);
+        # training (dropout) and residual stay on the XLA path
+        from mpe3d_tpu.ops.gat_kernel import apply_matcher_pallas
+        return apply_matcher_pallas(params, head_feats, edge_feats, topo,
+                                    pair_w, cfg)
     dims = _layer_dims(cfg)
     xh, xe = head_feats, edge_feats
     n = len(dims)

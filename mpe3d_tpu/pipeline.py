@@ -113,6 +113,7 @@ class PoseEstimationPipeline:
                  geo_rerank: float = 0.0, geo_scale: float = 0.3,
                  geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
                  use_pallas_proj: Optional[bool] = None,
+                 use_pallas_matcher: bool = False,
                  lifter_prior: str = "mean",
                  prior_gate_px: Optional[float] = None,
                  serve_dtype=None,
@@ -151,6 +152,11 @@ class PoseEstimationPipeline:
         if use_pallas_proj is None:
             use_pallas_proj = jax.default_backend() == "tpu"
         self.use_pallas_proj = bool(use_pallas_proj)
+        # whole-stack VMEM-resident GAT megakernel (ops/gat_kernel.py) —
+        # serving A/B knob, OFF by default until an on-chip win is measured
+        # (RESULTS.md "GAT megakernel A/B"); inference-only (alt-3,
+        # no dropout/residual), subsumes use_pallas_proj when on.
+        self.use_pallas_matcher = bool(use_pallas_matcher)
         # triangulated-prior variant behind lifter-input fields 10-13
         # (lifting/pack.py): "mean" = reference-exact; "median" for rigs
         # with near-degenerate pairs (ARP Lab).  Init-only — MUST match the
@@ -369,8 +375,9 @@ class PoseEstimationPipeline:
         efeats = edge_node_features(
             topo.n_pairs, self.rig_config.matcher_feature_dim_alt(alt))
         import dataclasses
-        mcfg = dataclasses.replace(self.matcher_cfg,
-                                   use_pallas_proj=self.use_pallas_proj)
+        mcfg = dataclasses.replace(
+            self.matcher_cfg, use_pallas_proj=self.use_pallas_proj,
+            use_pallas_matcher=self.use_pallas_matcher)
 
         def core(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,

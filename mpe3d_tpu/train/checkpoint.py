@@ -423,6 +423,7 @@ def matcher_config_from_meta(meta: Dict[str, Any], default):
     if not d:
         return default
     d.pop("use_pallas_proj", None)          # serving knob, not architecture
+    d.pop("use_pallas_matcher", None)       # serving knob, not architecture
     merged = {**dataclasses.asdict(default), **d}
     for k in ("hidden", "heads"):
         merged[k] = tuple(merged[k])

@@ -299,3 +299,32 @@ def test_prior_gate_pipeline_paths_agree(panoptic_rig):
     plain.prior_gate_px = None
     again = plain.infer_fused(fa)
     assert np.allclose(again.poses, before.poses, atol=1e-6)
+
+
+def test_use_pallas_matcher_pipeline_matches(panoptic_rig):
+    """Pipeline with the whole-stack GAT megakernel (interpret mode on CPU)
+    scores frames identically to the default XLA matcher path."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    lp = init_lifter(jax.random.PRNGKey(1), lcfg)
+    kw = dict(slot_buckets=(4,), person_buckets=(8,), threshold=0.05,
+              decode_top_k=0)
+    base = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                  **kw)
+    mega = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg, lp, lcfg,
+                                  use_pallas_matcher=True, **kw)
+    assert mega.use_pallas_matcher and not base.use_pallas_matcher
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 3, n_people=(1, 3),
+                             seed=23, noise=noise, with_gt=False)
+    checked = 0
+    for f in frames:
+        fa = parse_frame(f, PANOPTIC, max_skeletons=4)
+        a = base(fa)
+        b = mega(fa)
+        assert _person_sets(a.persons) == _person_sets(b.persons)
+        checked += len(a.persons)
+    assert checked > 0

@@ -41,6 +41,57 @@ def test_fused_proj_no_bias():
     assert np.allclose(got, ref, atol=2e-3)
 
 
+def _megakernel_case(pair_kw, cfg_kw=None, seed=3):
+    """Score the same random matcher through the XLA path and the
+    whole-stack pallas megakernel (interpret mode on CPU); return both."""
+    from mpe3d_tpu.config import MatcherConfig
+    from mpe3d_tpu.matching.features import build_topology
+    from mpe3d_tpu.models.gat import (TopologyArrays, apply_matcher,
+                                      init_matcher)
+
+    cfg_kw = cfg_kw or {}
+    cfg_x = MatcherConfig(in_dim=32, hidden=(8, 8), heads=(2, 2), **cfg_kw)
+    cfg_p = MatcherConfig(in_dim=32, hidden=(8, 8), heads=(2, 2),
+                          use_pallas_matcher=True, **cfg_kw)
+    topo = build_topology(3, 2)
+    params = init_matcher(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(seed)
+    fh = jnp.asarray(rng.normal(size=(topo.n_heads, 32)).astype(np.float32))
+    fe = jnp.asarray(rng.normal(size=(topo.n_pairs, 32)).astype(np.float32))
+    td = TopologyArrays.from_topology(topo)
+    kw = dict(pair_kw)
+    pm = kw.pop("pair_mask", jnp.ones(topo.n_pairs))
+    s_x = np.asarray(apply_matcher(params, fh, fe, td, pm, cfg_x, **kw))
+    s_p = np.asarray(apply_matcher(params, fh, fe, td, pm, cfg_p, **kw))
+    return s_x, s_p, topo
+
+
+def test_matcher_megakernel_matches_xla():
+    """use_pallas_matcher (whole-stack megakernel) == XLA path, all-live."""
+    s_x, s_p, _ = _megakernel_case({})
+    assert s_p.shape == s_x.shape
+    assert np.allclose(s_x, s_p, atol=1e-4), np.abs(s_x - s_p).max()
+
+
+def test_matcher_megakernel_masked_and_multiplicity():
+    """Megakernel honours zeroed pairs and per-pair softmax multiplicities
+    (the reference's training-graph pair duplication, graph_generator.py)."""
+    from mpe3d_tpu.matching.features import build_topology
+    topo = build_topology(3, 2)
+    rng = np.random.default_rng(7)
+    w = rng.choice([0.0, 1.0, 2.0], size=topo.n_pairs,
+                   p=[0.3, 0.4, 0.3]).astype(np.float32)
+    w[0] = 0.0  # guarantee at least one dead pair
+    s_x, s_p, _ = _megakernel_case(
+        {"pair_softmax_weight": jnp.asarray(w)})
+    assert np.allclose(s_x, s_p, atol=1e-4), np.abs(s_x - s_p).max()
+    # duplicate_pairs flag path (pair_w = 2*mask)
+    mask = (w > 0).astype(np.float32)
+    s_x2, s_p2, _ = _megakernel_case(
+        {"pair_mask": jnp.asarray(mask), "duplicate_pairs": True})
+    assert np.allclose(s_x2, s_p2, atol=1e-4), np.abs(s_x2 - s_p2).max()
+
+
 def test_matcher_with_pallas_proj_matches():
     """apply_matcher(use_pallas_proj) == plain XLA path (interpret mode)."""
     from mpe3d_tpu.config import MatcherConfig
