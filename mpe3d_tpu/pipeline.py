@@ -113,7 +113,7 @@ class PoseEstimationPipeline:
                  geo_rerank: float = 0.0, geo_scale: float = 0.3,
                  geo_rescue: float = 0.0, geo_rescue_dist: float = 0.05,
                  use_pallas_proj: Optional[bool] = None,
-                 use_pallas_matcher: bool = False,
+                 use_pallas_matcher: Optional[bool] = None,
                  lifter_prior: str = "mean",
                  prior_gate_px: Optional[float] = None,
                  serve_dtype=None,
@@ -152,10 +152,17 @@ class PoseEstimationPipeline:
         if use_pallas_proj is None:
             use_pallas_proj = jax.default_backend() == "tpu"
         self.use_pallas_proj = bool(use_pallas_proj)
-        # whole-stack VMEM-resident GAT megakernel (ops/gat_kernel.py) —
-        # serving A/B knob, OFF by default until an on-chip win is measured
-        # (RESULTS.md "GAT megakernel A/B"); inference-only (alt-3,
-        # no dropout/residual), subsumes use_pallas_proj when on.
+        # whole-stack VMEM-resident GAT megakernel (ops/gat_kernel.py).
+        # Auto (None): on for TPU inference — measured on-chip win over the
+        # XLA stack (match stage 102.4 → 82.0 µs, full fused frame 280.9 →
+        # 233.0 µs, scores equal to 4e-7; RESULTS.md "GAT megakernel",
+        # scripts/bench_gat_pallas_ab.py).  Inference-only (alt-3, no
+        # dropout/residual — those stay on the XLA path, models/gat.py);
+        # subsumes use_pallas_proj when on.  CPU keeps the XLA path
+        # (pallas interpret mode is debug-speed).
+        if use_pallas_matcher is None:
+            use_pallas_matcher = (jax.default_backend() == "tpu"
+                                  and not matcher_cfg.residual)
         self.use_pallas_matcher = bool(use_pallas_matcher)
         # triangulated-prior variant behind lifter-input fields 10-13
         # (lifting/pack.py): "mean" = reference-exact; "median" for rigs
