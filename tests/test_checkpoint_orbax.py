@@ -193,6 +193,7 @@ def test_concurrent_readers_during_async_saves(tmp_path):
     just-committed checkpoint (the unlocked rmtree+rename interleave
     could)."""
     import threading
+    import time
 
     from mpe3d_tpu.train.checkpoint import read_meta
 
@@ -201,9 +202,12 @@ def test_concurrent_readers_during_async_saves(tmp_path):
     path = str(tmp_path / "ck")
     save_checkpoint(path, trees[0], meta={"i": 0}, backend="orbax")
     stop, reader_errs = threading.Event(), []
+    reader_deadline = time.monotonic() + 120.0   # bounded: a reader can
+    # never spin forever even if stop is lost (round-2 VERDICT: sleepless
+    # readers at 100% CPU starved the 1-core host while a save wedged)
 
     def reader():
-        while not stop.is_set():
+        while not stop.is_set() and time.monotonic() < reader_deadline:
             try:
                 assert checkpoint_exists(path)
                 m = read_meta(path)
@@ -211,6 +215,8 @@ def test_concurrent_readers_during_async_saves(tmp_path):
             except Exception as e:  # noqa: BLE001 — the assertion target
                 reader_errs.append(e)
                 return
+            time.sleep(0.001)      # yield: keep hammering the swap window
+            # without monopolising the single core
 
     threads = [threading.Thread(target=reader) for _ in range(3)]
     for t in threads:
@@ -226,6 +232,94 @@ def test_concurrent_readers_during_async_saves(tmp_path):
     loaded, _, meta = load_checkpoint(path, trees[0])
     _tree_allclose(trees[-1], loaded)
     assert meta["i"] == len(trees) - 1
+
+
+class _WedgedCheckpointer:
+    """Stand-in for the orbax Checkpointer whose save blocks until
+    released — models the round-2 VERDICT failure (a rare
+    orbax/tensorstore interleave on a 1-core host futex-blocked forever
+    inside save, stale tmp dir on disk, training + session hung)."""
+
+    def __init__(self):
+        import threading
+        self.release = threading.Event()
+        self.calls = 0
+
+    def save(self, path, args=None, force=False):
+        self.calls += 1
+        assert self.release.wait(timeout=60), "test leaked a wedged writer"
+
+
+def test_orbax_wedged_save_recovers_via_npz_fallback(tmp_path, monkeypatch):
+    """Watchdog fence: a wedged orbax array write must not hang training —
+    after the deadline the SAME snapshot commits synchronously through the
+    npz backend, wait_for_async_saves returns, and a late completion of
+    the abandoned writer can never resurrect a stale orbax artifact."""
+    import time
+
+    from mpe3d_tpu.train import checkpoint as ck
+
+    wedged = _WedgedCheckpointer()
+    monkeypatch.setattr(ck, "_ORBAX_CKPTR", wedged)
+    monkeypatch.setenv("MPE3D_ORBAX_WATCHDOG_S", "1")
+
+    cfg = LifterConfig(widths=(16,))
+    params = init_lifter(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ck")
+    try:
+        save_checkpoint(path, params, meta={"epoch": 9}, backend="orbax",
+                        wait=False)
+        t0 = time.monotonic()
+        wait_for_async_saves()                       # must NOT hang
+        assert time.monotonic() - t0 < 30
+        assert wedged.calls == 1
+        assert os.path.exists(path + ".npz")          # npz fallback committed
+        assert not os.path.isdir(path + ".orbax")
+        loaded, _, meta = load_checkpoint(path, params)
+        for x, y in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(loaded)):
+            assert np.allclose(np.asarray(x), np.asarray(y))
+        assert meta["epoch"] == 9
+    finally:
+        wedged.release.set()
+    # let the abandoned writer run its fence, then confirm it did not
+    # resurrect any orbax artifact over the npz recovery save
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and any(
+            t.name == "mpe3d-ckpt-orbax-write" for t in
+            __import__("threading").enumerate()):
+        time.sleep(0.05)
+    assert not os.path.isdir(path + ".orbax.next")
+    assert os.path.exists(path + ".npz")
+    _, _, meta = load_checkpoint(path, params)
+    assert meta["epoch"] == 9
+
+
+def test_wait_for_async_saves_deadline_raises_with_stack(tmp_path):
+    """wait_for_async_saves can no longer block unboundedly: a save that
+    does not commit within the deadline raises TimeoutError carrying the
+    saver thread's stack, and the undrained future stays pending."""
+    import threading
+
+    from mpe3d_tpu.train import checkpoint as ck
+
+    release = threading.Event()
+
+    def blocked_task():
+        release.wait(timeout=60)
+
+    path = os.path.abspath(str(tmp_path / "stuck"))
+    fut = ck._save_executor().submit(blocked_task)
+    ck._PENDING_SAVES.append((path, fut))
+    try:
+        with pytest.raises(TimeoutError, match="did not commit within"):
+            wait_for_async_saves(timeout=0.5)
+        # the wedged save is re-tracked so a later wait still sees it
+        assert any(p == path for p, _ in ck._PENDING_SAVES)
+    finally:
+        release.set()
+        fut.result(timeout=60)
+        ck._PENDING_SAVES = [pf for pf in ck._PENDING_SAVES if pf[0] != path]
 
 
 def test_load_checkpoint_missing_raises(tmp_path):
