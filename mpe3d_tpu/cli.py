@@ -168,6 +168,8 @@ def build_pipeline(args, backend: str):
                   "(residual-prior checkpoint; measured −0.03 mm)",
                   file=sys.stderr)
             geo_kw["serve_dtype"] = sd
+    if getattr(args, "no_pallas_matcher", False):
+        geo_kw["use_pallas_matcher"] = False
     if getattr(args, "fused_mlp", False):
         # whole-network pallas serving kernel (ops/fused_mlp.py); opt-in
         # until the on-chip A/B flips the TPU default
@@ -880,6 +882,12 @@ def _add_common(p, models=True):
                        "checkpoints) but measured SLOWER than bf16 at "
                        "serving shapes (RESULTS.md dtype ladder) — an "
                        "HBM-capacity tool, not a latency one")
+        p.add_argument("--no-pallas-matcher", action="store_true",
+                       help="escape hatch: keep the XLA matcher path even "
+                       "on TPU (skips the GAT pallas megakernel, which is "
+                       "otherwise auto-on after a compile probe; for "
+                       "devices/toolchains where the probe itself "
+                       "misbehaves)")
         p.add_argument("--fused-mlp", action="store_true",
                        help="serve the lifter through the whole-network "
                        "pallas kernel (ops/fused_mlp.py): one launch, "

@@ -52,6 +52,49 @@ class PipelineOutput(NamedTuple):
     quality: Optional[np.ndarray] = None
 
 
+_PALLAS_MATCHER_PROBE: Dict[tuple, bool] = {}
+
+
+def _pallas_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
+                             rig_config: RigConfig, n_cameras: int,
+                             slots: int) -> bool:
+    """AOT-compile the GAT pallas megakernel (ops/gat_kernel.py) before
+    auto-enabling it.  The kernel pins ``vmem_limit_bytes`` for v5e-class
+    VMEM (~38 MB footprint); on a TPU generation with less VMEM the
+    compile fails — without this probe the *default* inference path would
+    die at first match with no fallback (round-2 ADVICE).  Probes at the
+    largest serving slot bucket (worst-case activation footprint; weights
+    are bucket-independent).  Cached per (backend, architecture, topology)
+    for the process, and the compile itself lands in the persistent
+    compilation cache, so repeat startups pay nothing."""
+    key = (jax.default_backend(), tuple(matcher_cfg.hidden),
+           tuple(matcher_cfg.heads), rig_config.graph_alternative,
+           n_cameras, slots)
+    hit = _PALLAS_MATCHER_PROBE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        from mpe3d_tpu.ops.gat_kernel import apply_matcher_pallas
+
+        topo = build_topology(n_cameras, slots)
+        d = rig_config.matcher_feature_dim_alt(rig_config.graph_alternative)
+        hf = jax.ShapeDtypeStruct((topo.n_heads, d), jnp.float32)
+        ef = jax.ShapeDtypeStruct((topo.n_pairs, d), jnp.float32)
+        pw = jax.ShapeDtypeStruct((topo.n_pairs,), jnp.float32)
+        jax.jit(lambda p, a, b, w: apply_matcher_pallas(
+            p, a, b, topo, w, matcher_cfg, interpret=False)
+        ).lower(matcher_params, hf, ef, pw).compile()
+        ok = True
+    except Exception as e:  # noqa: BLE001 — any compile rejection falls back
+        import sys
+        print(f"[mpe3d] GAT pallas megakernel failed to compile on this "
+              f"backend ({type(e).__name__}: {e}); serving through the XLA "
+              f"matcher path instead", file=sys.stderr)
+        ok = False
+    _PALLAS_MATCHER_PROBE[key] = ok
+    return ok
+
+
 def pose_quality_px(poses_m: jnp.ndarray, kp: jnp.ndarray,
                     valid: jnp.ndarray, observed: jnp.ndarray,
                     rig: CameraRig,
@@ -162,7 +205,19 @@ class PoseEstimationPipeline:
         # (pallas interpret mode is debug-speed).
         if use_pallas_matcher is None:
             use_pallas_matcher = (jax.default_backend() == "tpu"
-                                  and not matcher_cfg.residual)
+                                  and not matcher_cfg.residual
+                                  and rig_config.graph_alternative != "1")
+            if use_pallas_matcher:
+                # ADVICE r2: the megakernel pins vmem_limit_bytes sized for
+                # v5e-class VMEM — on a smaller-VMEM TPU the auto-on default
+                # would otherwise fail at first match with no fallback.
+                # Probe-compile it at the largest serving bucket (worst-case
+                # VMEM); on rejection fall back to the XLA stack.  Explicit
+                # use_pallas_matcher=True skips the probe and fails loudly.
+                use_pallas_matcher = _pallas_matcher_probe_ok(
+                    matcher_params, matcher_cfg, rig_config,
+                    len(rig_config.matching_camera_indices()),
+                    slot_buckets[-1])
         self.use_pallas_matcher = bool(use_pallas_matcher)
         # triangulated-prior variant behind lifter-input fields 10-13
         # (lifting/pack.py): "mean" = reference-exact; "median" for rigs

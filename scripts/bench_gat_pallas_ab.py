@@ -85,7 +85,10 @@ def main():
         PANOPTIC, rig, 1, n_people=(3, 3), seed=11, noise=noise,
         with_gt=False))), PANOPTIC, max_skeletons=4)
     S, P = 4, 8
-    mi = list(range(len(pipe_xla.match_idx)))
+    # the actual matching-camera indices, NOT range(len(...)): identical on
+    # PANOPTIC (identity map) but a subset/reordered rig would silently
+    # feed wrong rows (round-2 ADVICE)
+    mi = list(pipe_xla.match_idx)
     match_args = [jnp.asarray(fa.kp[mi, :S]), jnp.asarray(fa.valid[mi, :S]),
                   jnp.asarray(fa.prob[mi, :S]),
                   jnp.asarray(fa.in_view[mi, :S]),

@@ -166,6 +166,54 @@ def test_use_pallas_proj_auto_resolution(panoptic_rig):
     assert pipe2.use_pallas_proj is False
 
 
+def test_pallas_matcher_probe_rejection_falls_back(panoptic_rig, capsys):
+    """The auto-on megakernel path must survive a backend that rejects the
+    kernel (round-2 ADVICE: vmem_limit_bytes is sized for v5e-class VMEM;
+    a smaller part would fail the default inference path at compile with
+    no fallback).  The probe compiles the kernel AOT; rejection → XLA
+    path + a stderr note, cached per process."""
+    from mpe3d_tpu import pipeline as plmod
+
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8,), heads=(2,))
+    mp = init_matcher(jax.random.PRNGKey(0), mcfg)
+    # CPU rejects interpret=False pallas_call outright — the same failure
+    # shape as a VMEM-overflow rejection on a small TPU
+    plmod._PALLAS_MATCHER_PROBE.clear()
+    assert plmod._pallas_matcher_probe_ok(mp, mcfg, PANOPTIC, 5, 4) is False
+    assert "XLA matcher path" in capsys.readouterr().err
+    # cached: second call must not re-lower
+    assert plmod._PALLAS_MATCHER_PROBE  # populated
+    assert plmod._pallas_matcher_probe_ok(mp, mcfg, PANOPTIC, 5, 4) is False
+    # explicit False always wins, no probe involved
+    pipe = PoseEstimationPipeline(PANOPTIC, panoptic_rig, mp, mcfg,
+                                  slot_buckets=(4,), person_buckets=(8,),
+                                  use_pallas_matcher=False)
+    assert pipe.use_pallas_matcher is False
+
+
+def test_cli_no_pallas_matcher_flag_threads_through():
+    """--no-pallas-matcher forces use_pallas_matcher=False into the
+    pipeline kwargs (the serving escape hatch when the probe itself
+    misbehaves)."""
+    import argparse
+
+    from mpe3d_tpu import cli
+
+    ns = argparse.Namespace(no_pallas_matcher=True)
+    # build_pipeline assembles geo_kw via getattr; replicate its gate
+    geo_kw = {}
+    if getattr(ns, "no_pallas_matcher", False):
+        geo_kw["use_pallas_matcher"] = False
+    assert geo_kw == {"use_pallas_matcher": False}
+    # and the flag is actually registered on a models subcommand parser
+    p = argparse.ArgumentParser()
+    cli._add_common(p)
+    args = p.parse_args(["--no-pallas-matcher"])
+    assert args.no_pallas_matcher is True
+    assert p.parse_args([]).no_pallas_matcher is False
+
+
 def test_serve_dtype_bf16_pipeline(panoptic_rig):
     """serve_dtype: auto-resolves off on CPU; explicit bf16 stores the
     lifter weights in bfloat16 and produces poses close to fp32 (identical
