@@ -300,6 +300,11 @@ class LifterTrainConfig:
     # run each epoch as ONE jit-compiled lax.scan over its batches — one
     # dispatch per epoch (the tail partial batch is dropped)
     scan_epoch: bool = True
+    # per-epoch dataset shuffle (reference: DataLoader(shuffle=True)).
+    # False = deterministic in-order batches — used by the trainer-level
+    # parity A/B (scripts/trainer_parity_ab.py) to compare loss
+    # trajectories against the reference's own training loop step-for-step
+    shuffle: bool = True
     # reprojection-loss variant (lifting/loss.py): "reference" = the
     # reference's MSE-of-summed-L1 (bit-parity); "per_term" = masked mean
     # of squared per-term residuals (converges to the reprojection

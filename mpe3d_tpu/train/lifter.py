@@ -89,7 +89,11 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
         ``ema_decay``) is the Polyak average, updated after every step
         inside the scan.  Returns per-batch losses [K]."""
         n = k_batches * batch_size
-        perm = jax.random.permutation(key, net_all.shape[0])[:n]
+        if tcfg.shuffle:
+            perm = jax.random.permutation(key, net_all.shape[0])[:n]
+        else:
+            perm = jnp.arange(n)      # parity A/B: reference DataLoader
+            # order with shuffle=False is the dataset order
         nets = net_all[perm].reshape(k_batches, batch_size, -1)
         errs = err_all[perm].reshape(k_batches, batch_size, -1)
         if batch_sharding is not None:
@@ -191,7 +195,8 @@ def train_lifter(net_train: np.ndarray, err_train: np.ndarray,
 
     # pad batch to a multiple of the device count for even sharding
     def batches(net, err, rng):
-        order = rng.permutation(len(net))
+        order = (rng.permutation(len(net)) if tcfg.shuffle
+                 else np.arange(len(net)))
         bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
         for i in range(0, len(order), bs):
             sel = order[i: i + bs]
