@@ -1,0 +1,158 @@
+"""Crowded-frame scale protocol at P=16 (round-2 VERDICT item 5).
+
+The reference's evaluation dies combinatorially past ~7 people (its
+exhaustive permutation assignment, metrics_from_model.py:322-337) and its
+dynamic per-frame graphs grow unboundedly.  This build claims the fix —
+Hungarian assignment above the exhaustive cutoff (eval/pose_metrics.py)
+plus the static (slots, persons) bucket ladder — and these tests measure
+it AT scale: 16 skeleton slots per camera (5×16 topology, 2560 candidate
+pairs), 16-person decode, 16×16 assignment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpe3d_tpu.config import PANOPTIC, MatcherConfig
+from mpe3d_tpu.data.frames import parse_frame
+from mpe3d_tpu.data.synthetic import SceneNoise, generate_frames
+from mpe3d_tpu.matching.decode import decode_person_proposals
+from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
+from mpe3d_tpu.matching.features import build_topology
+from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+
+def _person_sets(persons):
+    return {frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0)
+            for p in persons}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_device_decode_matches_host_p16_topology(seed):
+    """Device ≡ host decode at the P=16 topology (5 cams × 16 slots,
+    2560 pairs) under a low threshold — the maximal-merge regime."""
+    topo = build_topology(5, 16)
+    assert topo.n_pairs == 2560
+    rng = np.random.default_rng(3000 + seed)
+    scores = rng.uniform(0, 1, topo.n_pairs).astype(np.float32)
+    present = rng.random((5, 16)) < 0.85
+    pm = (present.reshape(-1)[topo.e1]
+          & present.reshape(-1)[topo.e2]).astype(np.float32)
+
+    host = decode_person_proposals(scores, pm, topo, min_views=2,
+                                   threshold=0.3)
+    dev_p, dev_m = decode_person_proposals_device(
+        jnp.asarray(scores), jnp.asarray(pm), topo, min_views=2,
+        threshold=0.3)
+    dev = np.asarray(dev_p)[np.asarray(dev_m)]
+    assert _person_sets(host) == _person_sets(dev)
+
+
+def test_best_permutation_p16_matches_scipy():
+    """Hungarian assignment at crowded sizes == scipy's
+    linear_sum_assignment optimum (the exhaustive cross-check tops out at
+    9; scipy is the oracle above it)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from mpe3d_tpu.eval.pose_metrics import best_permutation
+
+    rng = np.random.default_rng(1)
+    for G, R in [(16, 16), (16, 12), (12, 16), (14, 16), (16, 10)]:
+        t = rng.random((G, R))
+        perm = best_permutation(t)
+        ours = sum(t[g, r] for g, r in enumerate(perm) if r < R)
+        # scipy optimum over the same rectangular problem: pad the table
+        # the same way best_permutation treats unassigned rows (cost 0,
+        # i.e. only the min(G, R) real assignments score)
+        gi, ri = linear_sum_assignment(t[:, :R] if G <= R else t.T)
+        opt = t[gi, ri].sum() if G <= R else t.T[gi, ri].sum()
+        assert abs(ours - opt) < 1e-12, (G, R, ours, opt)
+        assert len(set(perm)) == G
+
+
+def test_pose_eval_p16_frame():
+    """A full 16-GT × 16-pred eval frame scores through the Hungarian path
+    in milliseconds and yields perfect metrics for perfect predictions
+    (the reference's exhaustive scan would need 16! ≈ 2e13 permutations)."""
+    import time
+
+    from mpe3d_tpu.eval.pose_metrics import PoseEvalAccumulator
+
+    rng = np.random.default_rng(2)
+    J = 18
+    gt = rng.normal(size=(16, J, 3)) * 1.5
+    PoseEvalAccumulator(PANOPTIC.used_joints).update(   # warm the imports
+        gt[:2], np.ones((2, J), bool), np.ones(2, bool), gt[:2].copy())
+    acc = PoseEvalAccumulator(PANOPTIC.used_joints)
+    t0 = time.perf_counter()
+    acc.update(gt, np.ones((16, J), bool), np.ones(16, bool),
+               gt[::-1].copy())                          # shuffled preds
+    dt = time.perf_counter() - t0
+    assert dt < 0.5, dt                                  # ~0.8 ms steady
+    s = acc.summary()
+    assert s["mpjpe_mm"] < 1e-6
+    assert s["mAP"] > 99.99
+
+
+@pytest.fixture(scope="module")
+def crowded_pipe(panoptic_rig):
+    """Trained demo matcher at the P=16 bucket (triangulation backend —
+    the protocol targets matcher + decode + eval scale, no lifter
+    checkpoint needed)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from mpe3d_tpu.cli import load_models
+
+    mparams, mcfg, _lp, _lc, _pr = load_models(
+        os.path.join(os.path.dirname(__file__), "..", "models_demo"),
+        PANOPTIC)
+    return PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig, mparams, mcfg,
+        backend="triangulation", slot_buckets=(16,), person_buckets=(16,),
+        decode_top_k=0)
+
+
+def test_crowded_pipeline_p16_device_host_decode_agree(crowded_pipe,
+                                                       panoptic_rig):
+    """Through the REAL pipeline at the (16, 16) bucket with the trained
+    matcher on 10-16-person dense scenes: device decode ≡ host decode."""
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.05, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 3, n_people=(10, 16),
+                             seed=21, noise=noise, with_gt=False)
+    pipe = crowded_pipe
+    total = 0
+    try:
+        for f in frames:
+            fa = parse_frame(f, PANOPTIC, max_skeletons=16)
+            pipe.decode_on_device = False
+            host = pipe(fa)
+            pipe.decode_on_device = True
+            dev = pipe(fa)
+            assert _person_sets(host.persons) == _person_sets(dev.persons)
+            total += len(host.persons)
+    finally:
+        pipe.decode_on_device = False
+    assert total >= 10      # the trained matcher finds real people at P=16
+
+
+def test_crowded_pipeline_p16_eval_runs(crowded_pipe, panoptic_rig):
+    """run_pose_metrics handles 10-16-person GT (Hungarian path) at the
+    P=16 bucket end-to-end, raw and deduped protocols."""
+    from mpe3d_tpu.eval.runners import run_pose_metrics
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.03,
+                       spurious_rate=0.0, camera_dropout=0.0)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 3, n_people=(10, 16),
+                             seed=22, noise=noise)
+    rep = run_pose_metrics(frames, PANOPTIC, crowded_pipe, datastep=1,
+                           max_skeletons=16, fused=True, dedup_gt=True)
+    assert rep["n_frames"] == 3
+    assert rep["n_gt"] >= 30
+    assert np.isfinite(rep["mpjpe_mm"])
+    # dense crowding degrades association, but the trained matcher +
+    # triangulation must stay in a sane range on clean-ish synthetic data
+    assert rep["mpjpe_mm"] < 300.0
