@@ -404,7 +404,8 @@ def cmd_sm_metrics(args):
 
     rig_config, rig, pipe = build_pipeline(args, "triangulation")
     report = run_sm_metrics(_load_files(args.testfiles), rig_config, pipe,
-                            datastep=args.datastep)
+                            datastep=args.datastep,
+                            unassigned=getattr(args, "unassigned", "lump"))
     _print_report(report)
 
 
@@ -988,6 +989,15 @@ def make_parser() -> argparse.ArgumentParser:
                        "protocol artifact on dense scenes; data/frames.py::"
                        "dedup_ground_truth).  Default = the reference's "
                        "raw protocol.")
+        if name == "sm-metrics":
+            p.add_argument("--unassigned", default="lump",
+                           choices=["lump", "singleton"],
+                           help="label for heads the decode left "
+                           "unassigned: 'lump' = reference protocol (one "
+                           "shared label — on dense frames this artifact "
+                           "alone depresses ARI); 'singleton' = unique "
+                           "label per unassigned head (the ARI analog of "
+                           "--dedup-gt)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("sm-metrics-without-gt")

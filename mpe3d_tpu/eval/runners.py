@@ -211,9 +211,23 @@ def _head_to_person(persons) -> Dict:
 
 def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
                    pipeline: PoseEstimationPipeline, datastep: int = 12,
-                   max_skeletons: int = 10) -> Dict:
+                   max_skeletons: int = 10,
+                   unassigned: str = "lump") -> Dict:
     """Matching clustering quality vs GT (≙ sm_metrics.py:92-229): per-frame
-    ARI / homogeneity / completeness / V-measure, averaged."""
+    ARI / homogeneity / completeness / V-measure, averaged.
+
+    ``unassigned``: what label heads the decode did NOT assign receive.
+    "lump" = the reference protocol bit-for-bit (every unassigned head
+    shares the single label ``len(persons)``, sm_metrics.py:211-218) —
+    on dense frames this artifact alone caps frame-ARI at ~0.8: two
+    unassigned heads of DIFFERENT GT people score as a (wrong) predicted
+    pair even though the matcher asserted no association.  "singleton" =
+    each unassigned head gets a unique label (the decode's actual claim);
+    the ARI analog of the pose-metric ``dedup_gt`` decomposition — report
+    it alongside, not instead of, the reference row."""
+    if unassigned not in ("lump", "singleton"):
+        raise ValueError(f"unassigned must be 'lump' or 'singleton', "
+                         f"got {unassigned!r}")
     sums = {"ari": 0.0, "homogeneity": 0.0, "completeness": 0.0,
             "v_measure": 0.0}
     n = 0
@@ -238,11 +252,17 @@ def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
         head_to_person = _head_to_person(persons)
         mi_idx = np.asarray(pipeline.match_idx)
         true_l, pred_l = [], []
+        next_singleton = len(persons)
         for (mi, s), gl in sorted(gt_labels.items()):
             if s >= S or not fa.present[mi_idx[mi], s]:
                 continue
             true_l.append(gl)
-            pred_l.append(head_to_person.get((mi, s), len(persons)))
+            p = head_to_person.get((mi, s))
+            if p is None:
+                p = next_singleton
+                if unassigned == "singleton":
+                    next_singleton += 1     # unique label per unassigned head
+            pred_l.append(p)
         if not true_l:
             continue
         rep = clustering_report(true_l, pred_l)

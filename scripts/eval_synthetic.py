@@ -150,6 +150,13 @@ def main():
         report[f"sm_{tag}"] = r
         print(tag, {k: round(v, 4) for k, v in r.items()
                     if isinstance(v, float)})
+        # artifact decomposition: unassigned heads as singletons instead of
+        # the reference's single lumped label (the ARI analog of dedup_gt)
+        r1 = run_sm_metrics(restricted, rig_config, pipe,
+                            datastep=args.datastep, unassigned="singleton")
+        report[f"sm_{tag}_singleton"] = r1
+        print(f"{tag}_singleton", {k: round(v, 4) for k, v in r1.items()
+                                   if isinstance(v, float)})
 
     # --- 3D accuracy -------------------------------------------------------
     for tag, p in (("mlp", pipe), ("triangulation", pipe_tri)):

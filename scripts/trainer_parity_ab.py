@@ -321,9 +321,11 @@ def main():
     }
 
     if args.converge:
-        # packed-MPJPE of both finals, same oracle protocol
-        frames_e = generate_single_person_frames(
-            PANOPTIC, rig, args.n_eval, seed=4242,
+        # packed-MPJPE of both finals, same oracle protocol (WITH GT —
+        # generate_single_person_frames emits the GT-free training format)
+        from mpe3d_tpu.data.synthetic import generate_frames
+        frames_e = generate_frames(
+            PANOPTIC, rig, args.n_eval, n_people=(1, 1), seed=4242,
             noise=SceneNoise(pixel_sigma=1.0, joint_dropout=0.05))
         net_e, _ = build_lifter_dataset(frames_e, PANOPTIC, rig,
                                         augment=False)

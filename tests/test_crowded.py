@@ -139,6 +139,36 @@ def test_crowded_pipeline_p16_device_host_decode_agree(crowded_pipe,
     assert total >= 10      # the trained matcher finds real people at P=16
 
 
+def test_sm_metrics_unassigned_singleton_decomposition(crowded_pipe,
+                                                       panoptic_rig):
+    """The ARI analog of the pose-metric dedup decomposition: 'singleton'
+    gives each unassigned head a unique label (the decode's actual claim)
+    instead of the reference's single lumped label — on dense frames the
+    lump artifact alone depresses ARI.  'lump' stays the default
+    (reference bit-parity)."""
+    import pytest as _pytest
+
+    from mpe3d_tpu.eval.runners import run_sm_metrics
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.05, camera_dropout=0.05)
+    frames = generate_frames(PANOPTIC, panoptic_rig, 4, n_people=(8, 14),
+                             seed=31, noise=noise)
+    lump = run_sm_metrics(frames, PANOPTIC, crowded_pipe, datastep=1,
+                          max_skeletons=16)
+    lump2 = run_sm_metrics(frames, PANOPTIC, crowded_pipe, datastep=1,
+                           max_skeletons=16, unassigned="lump")
+    single = run_sm_metrics(frames, PANOPTIC, crowded_pipe, datastep=1,
+                            max_skeletons=16, unassigned="singleton")
+    assert lump["ari"] == lump2["ari"]          # default unchanged
+    assert np.isfinite(single["ari"])
+    # a singleton claim can only improve (or tie) the grouping score of
+    # heads the matcher declined to associate
+    assert single["ari"] >= lump["ari"] - 1e-9
+    with _pytest.raises(ValueError):
+        run_sm_metrics(frames, PANOPTIC, crowded_pipe, unassigned="nope")
+
+
 def test_crowded_pipeline_p16_eval_runs(crowded_pipe, panoptic_rig):
     """run_pose_metrics handles 10-16-person GT (Hungarian path) at the
     P=16 bucket end-to-end, raw and deduped protocols."""
