@@ -163,9 +163,13 @@ def undistort_points(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
 
 def _hom_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply a [..,4,4] homogeneous transform to [..,3] points -> [..,3].
-    Leading axes broadcast pointwise (einsum, not matmul-batch semantics)."""
-    return jnp.einsum("...ij,...j->...i", T[..., :3, :3], pts,
-                      precision="highest") + T[..., :3, 3]
+    Leading axes broadcast pointwise.  The 3-element contraction is an
+    EXPLICIT broadcast multiply-sum: exact fp32 on the VPU — the einsum
+    (precision="highest") form lowered these tiny contractions onto the
+    MXU as multi-pass 128×128-padded matmuls, measured >10× slower at
+    serving shapes (geometry/triangulate.py round-3 note)."""
+    return (jnp.sum(T[..., :3, :3] * pts[..., None, :], axis=-1)
+            + T[..., :3, 3])
 
 
 def project_points(pts_w: jnp.ndarray, T_wc: jnp.ndarray, K: jnp.ndarray,
@@ -218,9 +222,8 @@ def pixel_rays_world(pix: jnp.ndarray, K_inv: jnp.ndarray,
     """
     ones = jnp.ones_like(pix[..., :1])
     ph = jnp.concatenate([pix, ones], axis=-1)              # [..., 3]
-    v = jnp.einsum("...ij,...j->...i", K_inv, ph, precision="highest")
-    return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v,
-                      precision="highest")
+    v = jnp.sum(K_inv * ph[..., None, :], axis=-1)          # exact fp32 VPU
+    return jnp.sum(T_cw[..., :3, :3] * v[..., None, :], axis=-1)
 
 
 def undistorted_rays_world(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
@@ -234,8 +237,7 @@ def undistorted_rays_world(pix: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
     xn = undistort_points(pix, K, dist, iters=iters)        # [..., 2]
     ones = jnp.ones_like(xn[..., :1])
     v = jnp.concatenate([xn, ones], axis=-1)
-    return jnp.einsum("...ij,...j->...i", T_cw[..., :3, :3], v,
-                      precision="highest")
+    return jnp.sum(T_cw[..., :3, :3] * v[..., None, :], axis=-1)
 
 
 def save_rig_npz(path: str, rig: CameraRig) -> None:

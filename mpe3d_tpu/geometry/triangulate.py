@@ -84,14 +84,18 @@ def triangulate_pair(xn1: jnp.ndarray, xn2: jnp.ndarray,
         xn2[..., 1:2] * P2[..., 2, :] - P2[..., 1, :],
     ], axis=-2)                                              # [..., 4, 4]
     B, d = A[..., :3], A[..., 3]                             # B·x ≈ −d
-    M = jnp.einsum("...ki,...kj->...ij", B, B, precision="highest")
-    x = _solve3x3(M, -jnp.einsum("...ij,...i->...j", B, d,
-                               precision="highest"))
+    # contractions over k=4 as EXPLICIT broadcast multiply-sums: exact fp32
+    # on the VPU.  The previous einsum(precision="highest") form lowered
+    # these tiny contractions onto the MXU as multi-pass 128×128-padded
+    # matmuls — measured 102.5 µs for the vmapped 8-person prior vs 9.2 µs
+    # for this form, SAME results to 2.4e-7 (on-chip A/B, round 3); the
+    # prior triangulation was the single largest stage of the fused
+    # serving frame because of it.
+    M = jnp.sum(B[..., :, :, None] * B[..., :, None, :], axis=-3)
+    x = _solve3x3(M, -jnp.sum(B * d[..., None], axis=-2))
     for _ in range(refine_steps):
-        r = jnp.einsum("...ij,...j->...i", B, x,
-                       precision="highest") + d         # residual
-        x = x + _solve3x3(M, -jnp.einsum("...ij,...i->...j", B, r,
-                                         precision="highest"))
+        r = jnp.sum(B * x[..., None, :], axis=-1) + d   # residual
+        x = x + _solve3x3(M, -jnp.sum(B * r[..., None], axis=-2))
     return x
 
 
@@ -204,10 +208,13 @@ def triangulate_irls(points: jnp.ndarray, valid: jnp.ndarray,
 
     def solve(w):                                             # w: [C, J]
         wj = (w * v)[..., None]                               # [C, J, 1]
-        M = (jnp.einsum("cji,cjk->jik", B1 * wj, B1, precision="highest")
-             + jnp.einsum("cji,cjk->jik", B2 * wj, B2, precision="highest"))
-        b = (jnp.einsum("cji,cj->ji", B1 * wj, d1, precision="highest")
-             + jnp.einsum("cji,cj->ji", B2 * wj, d2, precision="highest"))
+        # explicit VPU multiply-sums, exact fp32 — see triangulate_pair
+        # for the measured einsum("highest")-on-MXU pathology these avoid
+        B1w, B2w = B1 * wj, B2 * wj
+        M = (jnp.sum(B1w[..., :, None] * B1[..., None, :], axis=0)
+             + jnp.sum(B2w[..., :, None] * B2[..., None, :], axis=0))
+        b = (jnp.sum(B1w * d1[..., None], axis=0)
+             + jnp.sum(B2w * d2[..., None], axis=0))
         # Tikhonov floor keeps the adjugate solve finite when < 2 cameras
         # survive (the result is masked by ``ok`` anyway)
         M = M + 1e-8 * jnp.eye(3, dtype=points.dtype)
@@ -216,8 +223,8 @@ def triangulate_irls(points: jnp.ndarray, valid: jnp.ndarray,
     x = solve(jnp.ones_like(v))
     for _ in range(n_iters):
         # geometric residual of x in every camera (normalized coords)
-        xc = jnp.einsum("cik,jk->cji", P_mats[:, :, :3], x,
-                        precision="highest") + P_mats[:, None, :, 3]
+        xc = (jnp.sum(P_mats[:, None, :, :3] * x[None, :, None, :], axis=-1)
+              + P_mats[:, None, :, 3])                    # [C, J, 3]
         z = jnp.maximum(xc[..., 2], 1e-4)
         r = jnp.linalg.norm(xc[..., :2] / z[..., None] - xn, axis=-1)
         w = jnp.minimum(1.0, delta[:, None] / jnp.maximum(r, 1e-12))
