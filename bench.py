@@ -288,6 +288,81 @@ def main() -> int:
     PEAK_BF16_TFLOPS = 197.0               # TPU v5e MXU peak (bf16)
     mfu = train_tflops / PEAK_BF16_TFLOPS * 100.0
 
+    # ---- max-throughput training config (round-3 MFU ladder) ------------
+    # The reference-parity row above pins batch 2096 / fp32 operands.  The
+    # measured ladder (RESULTS "training MFU ladder") shows the optimizer/
+    # activation HBM traffic amortizes with batch, and bf16 matmul
+    # OPERANDS (fp32 master + accum — bit-identical on the MXU, which
+    # rounds operands to bf16 under default precision anyway) halve the
+    # activation bytes the backward re-reads: 44 → 62 % MFU on-chip.
+    bs_best, k_best = (256, 2) if smoke else (8192, 4)
+    tcfg_best = LifterTrainConfig(batch_size=bs_best, compute_dtype="bf16")
+    _, _, epoch_best, _ = make_train_step(pipe.used_rig, rig_config.n_joints,
+                                          lcfg, tcfg_best, tx)
+    n_best = bs_best * k_best
+    netb, errb = jax.jit(lambda k: (
+        jax.random.normal(k, (n_best, lcfg.in_dim)) * 0.3,
+        jnp.abs(jax.random.normal(k, (n_best, rig_config.loss_input_dim)))
+    ))(jax.random.PRNGKey(4))
+    lp_b = {"model": init_lifter(jax.random.PRNGKey(9), lcfg)}
+    os_b = tx.init(lp_b)
+    lp_b, os_b, lb, _ = epoch_best(lp_b, os_b, netb, errb,
+                                   jax.random.PRNGKey(5),
+                                   k_batches=k_best, batch_size=bs_best)
+    float(lb.sum())
+    kb = jax.random.PRNGKey(6)
+    t0 = time.perf_counter()
+    for _ in range(reps_t):
+        kb, k = jax.random.split(kb)
+        lp_b, os_b, lb, _ = epoch_best(lp_b, os_b, netb, errb, k,
+                                       k_batches=k_best, batch_size=bs_best)
+    float(lb.sum())
+    sps_best = reps_t * n_best / (time.perf_counter() - t0)
+    mfu_best = 3.0 * mm_flops_fwd * sps_best / 1e12 / PEAK_BF16_TFLOPS * 100
+
+    # ---- matcher training throughput (round-2 VERDICT item 4) -----------
+    # Scenes/s of the GAT matcher train step at the reference protocol
+    # shapes (composite scenes, S=4 slots).  MFU from XLA's own cost
+    # analysis of the compiled step (the GAT's incidence-matmul FLOPs
+    # depend on topology, so the analytic lifter model doesn't apply).
+    from mpe3d_tpu.matching.features import build_topology
+    from mpe3d_tpu.train.matcher import make_matcher_step
+
+    import dataclasses as _dc
+
+    S_m = 4
+    topo_m = build_topology(len(pipe.match_idx), S_m)
+    tx_m = optax.adamw(1e-4, weight_decay=1e-20)
+    mcfg_t = _dc.replace(mcfg, feat_drop=0.0, attn_drop=0.0)  # no-key step
+    mstep, *_ = make_matcher_step(pipe.match_rig, rig_config, topo_m,
+                                  mcfg_t, tx_m)
+    mp_t = init_matcher(jax.random.PRNGKey(7), mcfg)
+    mo_t = tx_m.init(mp_t)
+    Bm = 8 if smoke else 60
+    Cm, Jm, Em = len(pipe.match_idx), rig_config.n_joints, topo_m.n_pairs
+    kmb = jax.random.PRNGKey(8)
+    mbatch = (jax.random.uniform(kmb, (Bm, Cm, S_m, Jm, 2)) * 500,
+              jnp.ones((Bm, Cm, S_m, Jm)), jnp.ones((Bm, Cm, S_m, Jm)),
+              jnp.ones((Bm, Cm, S_m, Jm), bool), jnp.ones((Bm, Cm, S_m), bool),
+              jnp.zeros((Bm, Em)), jnp.ones((Bm, Em)))
+    mp_t, mo_t, ml = mstep(mp_t, mo_t, mbatch)
+    float(ml)
+    try:
+        cost = jax.jit(lambda p, o, b: mstep(p, o, b)).lower(
+            mp_t, mo_t, mbatch).compile().cost_analysis()
+        m_flops_step = float(cost.get("flops", 0.0))
+    except Exception:
+        m_flops_step = 0.0
+    t0 = time.perf_counter()
+    reps_m = 2 if smoke else 10
+    for _ in range(reps_m):
+        mp_t, mo_t, ml = mstep(mp_t, mo_t, mbatch)
+    float(ml)
+    m_wall = time.perf_counter() - t0
+    m_sps = reps_m * Bm / m_wall
+    m_mfu = (m_flops_step * reps_m / m_wall / 1e12
+             / PEAK_BF16_TFLOPS * 100.0) if m_flops_step else -1.0
+
     # Primary metric: steady-state streaming per-frame latency.  The
     # reference's 51.32 ms is the average over a continuous evaluation loop
     # (metrics_from_model.py:178-300), so the sustained number is the
@@ -313,6 +388,12 @@ def main() -> int:
         "train_tflops": round(train_tflops, 2),
         "train_mfu_pct_bf16peak": round(mfu, 2),
         "train_batch": bs,
+        "train_best_samples_per_s": round(sps_best, 1),
+        "train_best_mfu_pct": round(mfu_best, 2),
+        "train_best_config": f"batch{bs_best}_bf16",
+        "matcher_train_scenes_per_s": round(m_sps, 1),
+        "matcher_train_mfu_pct": round(m_mfu, 2),
+        "matcher_train_batch": Bm,
     }))
     return 0
 

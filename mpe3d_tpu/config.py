@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 # COCO-18 joint vocabulary (reference: skeleton_matching/graph_generator.py:63-67)
 COCO_JOINT_NAMES: Tuple[str, ...] = (
@@ -324,6 +324,13 @@ class LifterTrainConfig:
     # in-loop saves stream the DEVICE tree on a background thread, no
     # blocking device_get; see train/checkpoint.py)
     checkpoint_backend: str = "npz"
+    # matmul operand dtype for the training forward/backward ("bf16" casts
+    # activations AND weight operands to bf16 at the matmul, fp32
+    # accumulation + fp32 master weights/optimizer — the MXU already
+    # rounds operands to bf16 under default precision, so the numerics
+    # are unchanged; the cast halves the activation HBM traffic the
+    # backward pass re-reads.  None = fp32 operands (reference parity).
+    compute_dtype: Optional[str] = None
     # Polyak/EMA weight averaging (0 = off; typical 0.999): a second
     # parameter tree tracks ema = d*ema + (1-d)*params after every step,
     # carried INSIDE the scan-epoch program (one extra tree_map per step,

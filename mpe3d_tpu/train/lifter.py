@@ -54,10 +54,14 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
     """Build the jitted train step.  If ``optimise_matrices``, the rig's
     T_wc/K/dist join the optimized variables (reference :148-154)."""
 
+    import jax.numpy as _jnp
+    cdt = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+           None: None}[tcfg.compute_dtype]
+
     def loss_fn(trainable, static_rig, net, err):
         params = trainable["model"]
         r = trainable.get("rig", static_rig)
-        pred = apply_lifter(params, net, cfg)
+        pred = apply_lifter(params, net, cfg, compute_dtype=cdt)
         return reprojection_loss(pred, err, r, n_joints,
                                  kind=tcfg.loss,
                                  huber_delta=tcfg.huber_delta)
