@@ -45,6 +45,10 @@ def main():
                     "reference's summed-L1-squared stalls at ~2x the DLT "
                     "prior's MPJPE; per_term/huber converge to the "
                     "reprojection least-squares optimum")
+    ap.add_argument("--compute-dtype", default="fp32",
+                    choices=["fp32", "bf16"],
+                    help="training matmul operand dtype (RESULTS MFU "
+                    "ladder: bf16 operands, fp32 master+accum)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="Polyak/EMA weight-averaging decay (0 = off; "
                     "typical 0.999).  Eval/early-stop/checkpoints use the "
@@ -198,7 +202,10 @@ def main():
     tcfg = LifterTrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                              eval_every=10, patience=args.patience,
                              lr=args.lr, loss=args.loss,
-                             ema_decay=args.ema)
+                             ema_decay=args.ema,
+                             compute_dtype=(None if args.compute_dtype
+                                            == "fp32"
+                                            else args.compute_dtype))
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
                        tcfg, params=params, checkpoint_path=ckpt, log=log,
                        stop_flag=lambda: stop["flag"],
