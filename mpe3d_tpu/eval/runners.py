@@ -218,13 +218,17 @@ def run_sm_metrics(frames: List[Dict], rig_config: RigConfig,
 
     ``unassigned``: what label heads the decode did NOT assign receive.
     "lump" = the reference protocol bit-for-bit (every unassigned head
-    shares the single label ``len(persons)``, sm_metrics.py:211-218) —
-    on dense frames this artifact alone caps frame-ARI at ~0.8: two
+    shares the single label ``len(persons)``, sm_metrics.py:211-218):
     unassigned heads of DIFFERENT GT people score as a (wrong) predicted
     pair even though the matcher asserted no association.  "singleton" =
     each unassigned head gets a unique label (the decode's actual claim);
     the ARI analog of the pose-metric ``dedup_gt`` decomposition — report
-    it alongside, not instead of, the reference row."""
+    it alongside, not instead of, the reference row.  Measured on the
+    dense protocol (RESULTS "dense-frame ARI decomposed"): lumping fully
+    explains the HOMOGENEITY loss (→1.0 under singleton — the guaranteed
+    monotone direction; ARI itself is not monotone, since lumping can
+    accidentally pair unassigned heads of the SAME person), while the
+    remaining completeness cap is the ghost-label artifact."""
     if unassigned not in ("lump", "singleton"):
         raise ValueError(f"unassigned must be 'lump' or 'singleton', "
                          f"got {unassigned!r}")

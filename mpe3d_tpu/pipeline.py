@@ -62,11 +62,13 @@ def _pallas_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
     auto-enabling it.  The kernel pins ``vmem_limit_bytes`` for v5e-class
     VMEM (~38 MB footprint); on a TPU generation with less VMEM the
     compile fails — without this probe the *default* inference path would
-    die at first match with no fallback (round-2 ADVICE).  Probes at the
-    largest serving slot bucket (worst-case activation footprint; weights
-    are bucket-independent).  Cached per (backend, architecture, topology)
-    for the process, and the compile itself lands in the persistent
-    compilation cache, so repeat startups pay nothing."""
+    die at first match with no fallback (round-2 ADVICE).  Called lazily
+    from ``_score_core`` for the specific bucket being built (activation
+    footprint scales with slots: the S=16 crowded bucket exceeds the
+    limit even on v5e and must fall back to XLA while S≤10 keeps the
+    kernel).  Cached per (backend, architecture, topology) for the
+    process, and the compile itself lands in the persistent compilation
+    cache, so repeat startups pay nothing."""
     key = (jax.default_backend(), tuple(matcher_cfg.hidden),
            tuple(matcher_cfg.heads), rig_config.graph_alternative,
            n_cameras, slots)
@@ -204,21 +206,25 @@ class PoseEstimationPipeline:
         # subsumes use_pallas_proj when on.  CPU keeps the XLA path
         # (pallas interpret mode is debug-speed).
         if use_pallas_matcher is None:
-            use_pallas_matcher = (jax.default_backend() == "tpu"
-                                  and not matcher_cfg.residual
-                                  and rig_config.graph_alternative != "1")
-            if use_pallas_matcher:
-                # ADVICE r2: the megakernel pins vmem_limit_bytes sized for
-                # v5e-class VMEM — on a smaller-VMEM TPU the auto-on default
-                # would otherwise fail at first match with no fallback.
-                # Probe-compile it at the largest serving bucket (worst-case
-                # VMEM); on rejection fall back to the XLA stack.  Explicit
-                # use_pallas_matcher=True skips the probe and fails loudly.
-                use_pallas_matcher = _pallas_matcher_probe_ok(
-                    matcher_params, matcher_cfg, rig_config,
-                    len(rig_config.matching_camera_indices()),
-                    slot_buckets[-1])
-        self.use_pallas_matcher = bool(use_pallas_matcher)
+            # "auto": resolved PER BUCKET at first use in _score_core — the
+            # megakernel pins vmem_limit_bytes sized for v5e-class VMEM,
+            # and its footprint scales with the slot bucket, so a compile
+            # probe runs for each bucket (ADVICE r2: without it the
+            # default inference path would fail at first match with no
+            # fallback — e.g. the S=16 crowded bucket exceeds the limit
+            # even on v5e and falls back to XLA, measured r3).  Lazy, not
+            # at construction: an eager largest-bucket probe paid a
+            # potentially minutes-long cold remote compile at startup for
+            # a bucket the process might never serve (review finding r3).
+            # Explicit True skips the probe and fails loudly.
+            use_pallas_matcher = ("auto"
+                                  if (jax.default_backend() == "tpu"
+                                      and not matcher_cfg.residual
+                                      and rig_config.graph_alternative
+                                      != "1") else False)
+        self.use_pallas_matcher = (use_pallas_matcher
+                                   if use_pallas_matcher == "auto"
+                                   else bool(use_pallas_matcher))
         # triangulated-prior variant behind lifter-input fields 10-13
         # (lifting/pack.py): "mean" = reference-exact; "median" for rigs
         # with near-degenerate pairs (ARP Lab).  Init-only — MUST match the
@@ -436,10 +442,15 @@ class PoseEstimationPipeline:
         topo_dev = TopologyArrays.from_topology(topo)
         efeats = edge_node_features(
             topo.n_pairs, self.rig_config.matcher_feature_dim_alt(alt))
+        upm = self.use_pallas_matcher
+        if upm == "auto":
+            upm = _pallas_matcher_probe_ok(
+                self.matcher_params, self.matcher_cfg, self.rig_config,
+                len(self.match_idx), slots)
         import dataclasses
         mcfg = dataclasses.replace(
             self.matcher_cfg, use_pallas_proj=self.use_pallas_proj,
-            use_pallas_matcher=self.use_pallas_matcher)
+            use_pallas_matcher=upm)
 
         def core(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,

@@ -241,16 +241,18 @@ def _finalize_orbax(path: str) -> None:
 
 
 def _remove_orbax_artifacts(path: str) -> None:
+    import glob
     import shutil
 
+    token_dirs = glob.glob(path + ".orbax.next-*")
     if not (os.path.isdir(path + ".orbax")
             or os.path.isdir(path + ".orbax.next")
-            or os.path.exists(path + ".json.next")):
+            or os.path.exists(path + ".json.next") or token_dirs):
         return
     with _path_lock(path):
-        for d in (path + ".orbax", path + ".orbax.next"):
+        for d in (path + ".orbax", path + ".orbax.next", *token_dirs):
             if os.path.isdir(d):
-                shutil.rmtree(d)
+                shutil.rmtree(d, ignore_errors=True)
         if os.path.exists(path + ".json.next"):
             os.remove(path + ".json.next")
 
@@ -300,16 +302,39 @@ def _save_orbax(path: str, params, opt_state=None,
         False when the save wedged (round-2 VERDICT: a rare
         orbax/tensorstore interleave on a 1-core host futex-blocked
         forever inside save, leaving a stale ``.orbax-checkpoint-tmp``
-        and hanging training and the whole test session).  The wedged
-        writer thread cannot be killed — it is abandoned (daemonic) and
-        fenced: its ``finally`` destroys its own staging output so a
-        late completion can never finalize a stale snapshot over the
-        recovery save."""
+        and hanging training and the whole test session).
+
+        The writer targets a PER-ATTEMPT staging dir
+        (``<path>.orbax.next-<token>``); only this task thread promotes it
+        to the shared ``<path>.orbax.next`` after an in-deadline
+        completion.  A wedged writer is abandoned (daemonic, stack
+        dumped); its ``finally`` deletes only its OWN token dir — a late
+        wake-up can neither clobber a subsequent save's staging nor
+        install a stale snapshot (review finding: a shared staging path
+        let exactly that destroy the newer checkpoint)."""
+        import shutil
+        import uuid
+
         deadline = _watchdog_seconds()
         ckptr = _orbax_checkpointer()
+        # orphan token dirs (crashed/abandoned writers of PREVIOUS tasks —
+        # tasks serialise on the single-worker executor, and any live
+        # owner of one of these is abandoned by definition)
+        import glob
+        for stale in glob.glob(abspath + ".orbax.next-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        staging_tmp = f"{abspath}.orbax.next-{uuid.uuid4().hex[:8]}"
+
+        def promote():
+            with _path_lock(abspath):
+                if os.path.isdir(abspath + ".orbax.next"):
+                    shutil.rmtree(abspath + ".orbax.next")
+                os.rename(staging_tmp, abspath + ".orbax.next")
+
         if deadline <= 0:
-            ckptr.save(abspath + ".orbax.next",
-                       args=ocp.args.StandardSave(flat), force=True)
+            ckptr.save(staging_tmp, args=ocp.args.StandardSave(flat),
+                       force=True)
+            promote()
             return True
         done = threading.Event()
         abandoned = threading.Event()
@@ -317,21 +342,16 @@ def _save_orbax(path: str, params, opt_state=None,
 
         def write():
             try:
-                ckptr.save(abspath + ".orbax.next",
-                           args=ocp.args.StandardSave(flat), force=True)
+                ckptr.save(staging_tmp, args=ocp.args.StandardSave(flat),
+                           force=True)
             except Exception as e:  # noqa: BLE001 — surfaced via err
                 err.append(e)
             finally:
                 if abandoned.is_set():
-                    # stale late completion: destroy own output so it can
-                    # never be adopted over the newer recovery save
-                    import shutil
-                    try:
-                        with _path_lock(abspath):
-                            if os.path.isdir(abspath + ".orbax.next"):
-                                shutil.rmtree(abspath + ".orbax.next")
-                    except Exception:  # noqa: BLE001 — best-effort fence
-                        pass
+                    # stale late completion: destroy own output (and ONLY
+                    # own output — the token dir) so it can never be
+                    # adopted over the newer recovery save
+                    shutil.rmtree(staging_tmp, ignore_errors=True)
                 done.set()
 
         writer = threading.Thread(target=write, daemon=True,
@@ -340,6 +360,7 @@ def _save_orbax(path: str, params, opt_state=None,
         if done.wait(timeout=deadline):
             if err:
                 raise err[0]
+            promote()
             return True
         abandoned.set()
         import sys
@@ -403,7 +424,10 @@ def wait_for_async_saves(path: Optional[str] = None,
     drain gets a deadline of ``timeout`` seconds (default: per-save
     watchdog × pending count + 60 s slack, ≥120 s; override the total
     with ``MPE3D_CKPT_WAIT_TIMEOUT_S``), after which a ``TimeoutError``
-    carrying the saver thread's live stack is raised."""
+    carrying the saver thread's live stack is raised.  Disabling the
+    watchdog (``MPE3D_ORBAX_WATCHDOG_S=0``) also lifts the derived drain
+    deadline — an explicit "let slow saves run" opt-out stays unbounded
+    here too (an explicit ``timeout`` argument still applies)."""
     import time
 
     global _PENDING_SAVES
@@ -417,27 +441,45 @@ def wait_for_async_saves(path: Optional[str] = None,
         return
     if timeout is None:
         env = os.environ.get("MPE3D_CKPT_WAIT_TIMEOUT_S")
-        timeout = (float(env) if env else
-                   max(120.0, _watchdog_seconds() * len(pending) + 60.0))
-    deadline = time.monotonic() + timeout
+        if env:
+            timeout = float(env)
+        elif _watchdog_seconds() <= 0:
+            # watchdog explicitly disabled (MPE3D_ORBAX_WATCHDOG_S=0 =
+            # "let slow saves run"): the derived drain deadline must not
+            # re-impose a bound the user opted out of
+            timeout = None
+        else:
+            timeout = max(120.0, _watchdog_seconds() * len(pending) + 60.0)
+    deadline = None if timeout is None else time.monotonic() + timeout
     first_err = None
+    wedged = []
     for p, fut in pending:
         try:
-            fut.result(timeout=max(0.0, deadline - time.monotonic()))
+            if deadline is None:
+                fut.result()
+            else:
+                fut.result(timeout=max(0.0, deadline - time.monotonic()))
         except TimeoutError:
-            # saves behind this one stay pending for a later retry
-            _PENDING_SAVES.extend(
-                pf for pf in pending if not pf[1].done())
-            stacks = "\n".join(
-                f"--- {t.name} ---\n{_thread_stack(t)}"
-                for t in threading.enumerate()
-                if t.name.startswith("mpe3d-ckpt"))
-            raise TimeoutError(
-                f"async checkpoint save of {p} did not commit within "
-                f"{timeout:.0f}s; saver thread stack(s):\n{stacks}")
+            wedged.append((p, fut))
+            # keep draining: futures BEHIND the wedged one may be done —
+            # their failures must still surface (done-with-exception
+            # futures would otherwise be dropped silently)
         except Exception as e:  # noqa: BLE001 — surfaced after full drain
             if first_err is None:
                 first_err = e
+    if wedged:
+        # undrained saves stay pending for a later retry
+        _PENDING_SAVES.extend(pf for pf in wedged if not pf[1].done())
+        stacks = "\n".join(
+            f"--- {t.name} ---\n{_thread_stack(t)}"
+            for t in threading.enumerate()
+            if t.name.startswith("mpe3d-ckpt"))
+        extra = (f"; additionally a drained save FAILED: {first_err!r}"
+                 if first_err is not None else "")
+        raise TimeoutError(
+            f"async checkpoint save of {wedged[0][0]} did not commit "
+            f"within {timeout:.0f}s{extra}; saver thread stack(s):\n"
+            f"{stacks}") from first_err
     if first_err is not None:
         raise first_err
 

@@ -55,8 +55,13 @@ def make_train_step(rig: CameraRig, n_joints: int, cfg: LifterConfig,
     T_wc/K/dist join the optimized variables (reference :148-154)."""
 
     import jax.numpy as _jnp
-    cdt = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
-           None: None}[tcfg.compute_dtype]
+    _cdt_map = {"bf16": _jnp.bfloat16, "bfloat16": _jnp.bfloat16,
+                "fp32": None, "float32": None, None: None}
+    if tcfg.compute_dtype not in _cdt_map:
+        raise ValueError(f"compute_dtype must be one of "
+                         f"{sorted(k for k in _cdt_map if k)} or None, "
+                         f"got {tcfg.compute_dtype!r}")
+    cdt = _cdt_map[tcfg.compute_dtype]
 
     def loss_fn(trainable, static_rig, net, err):
         params = trainable["model"]

@@ -91,15 +91,24 @@ def main():
         dedup = run_pose_metrics(frames, PANOPTIC, pipe, datastep=1,
                                  max_skeletons=16, fused=True,
                                  dedup_gt=True)
-        # fused-frame latency at the (16,16) bucket: chained dispatches,
-        # ONE value readback at the end (relay semantics — see CLAUDE.md)
+        # on-device fused-frame time at the (16,16) bucket: chained
+        # differential (benchutil methodology — infer_fused in a wall-
+        # clock loop would measure one ~25 ms relay round trip per
+        # iteration, not the frame; review finding r3)
+        import jax.numpy as jnp
+
+        from mpe3d_tpu.benchutil import chained_frame_us
+
         fa = parse_frame(frames[0], PANOPTIC, max_skeletons=16)
-        pipe.infer_fused(fa)                       # compile + warm
-        iters = 30 if jax.default_backend() == "tpu" else 5
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = pipe.infer_fused(fa)
-        lat_ms = (time.perf_counter() - t0) / iters * 1e3
+        p_max = pipe._p_max(16)
+        core = pipe._fused_fn(16, p_max)
+        chain_args = [jnp.asarray(fa.kp), jnp.asarray(fa.valid),
+                      jnp.asarray(fa.prob), jnp.asarray(fa.in_view),
+                      jnp.asarray(fa.present)]
+        k1, k2 = (2, 6) if jax.default_backend() != "tpu" else (20, 80)
+        lat_us = chained_frame_us(
+            core, (pipe.matcher_params, pipe.lifter_params),
+            chain_args, k1, k2)
         row = {"backend": name,
                "ari": round(sm["ari"], 4),
                "v_measure": round(sm["v_measure"], 4),
@@ -110,7 +119,7 @@ def main():
                              if isinstance(dedup[k], float) else dedup[k])
                          for k in ("mpjpe_mm", "mAP", "mR", "n_gt",
                                    "n_poses")},
-               "fused_frame_ms_p16": round(lat_ms, 3)}
+               "ondevice_frame_us_p16": round(lat_us, 1)}
         report["rows"].append(row)
         print(json.dumps(row), flush=True)
 

@@ -47,7 +47,10 @@ import faulthandler  # noqa: E402
 import signal  # noqa: E402
 import threading  # noqa: E402
 
-_DEFAULT_TEST_TIMEOUT_S = float(os.environ.get("MPE3D_TEST_TIMEOUT_S", "600"))
+# 900 s default: generous enough for session-fixture setup + cold-cache
+# jit compiles after an environment reset (the repo has had three wipes of
+# /tmp/mpe3d_jax_cache), while still bounding any hang to 15 min/test
+_DEFAULT_TEST_TIMEOUT_S = float(os.environ.get("MPE3D_TEST_TIMEOUT_S", "900"))
 
 
 def pytest_configure(config):
@@ -70,10 +73,11 @@ def pytest_runtest_protocol(item, nextitem):
             f"test exceeded the {timeout:.0f}s hard timeout "
             f"(MPE3D_TEST_TIMEOUT_S / @pytest.mark.mpe3d_timeout)")
 
-    # dump every thread's stack 30s before the alarm: if the hang is inside
-    # non-Python code the SIGALRM may only fire at the next bytecode, and
-    # the dump is the diagnostic either way
-    faulthandler.dump_traceback_later(max(timeout - 30.0, 1.0))
+    # dump every thread's stack shortly before the alarm: if the hang is
+    # inside non-Python code the SIGALRM may only fire at the next
+    # bytecode, and the dump is the diagnostic either way.  For short
+    # per-test overrides dump at 80% so passing tests never spew stacks
+    faulthandler.dump_traceback_later(max(timeout - 30.0, timeout * 0.8))
     prev = signal.signal(signal.SIGALRM, on_alarm)
     signal.setitimer(signal.ITIMER_REAL, timeout)
     try:
