@@ -564,6 +564,50 @@ def cmd_show_results(args):
     from mpe3d_tpu.serve import gate_and_track
 
     tracker = _make_tracker(args)
+
+    live_server = None
+    if getattr(args, "live", None) is not None:
+        # LIVE mode (≙ the reference's ANIMATED viewer window,
+        # show_results_from_model.py:78-376): stream each frame to the
+        # browser as the pipeline infers it, at --live-fps; --live-loop
+        # replays the recording forever (Ctrl+C to stop)
+        import time as _time
+
+        from mpe3d_tpu.geometry.camera import cam_centers_world
+        from mpe3d_tpu.viz.live_viewer import LiveViewerServer
+
+        live_server = LiveViewerServer(
+            rig_config,
+            camera_centers=np.asarray(cam_centers_world(rig.T_cw)),
+            host=args.live_host, port=args.live,
+            fps=args.live_fps,
+            title=f"mpe3d_tpu live · {args.backend} · "
+                  f"{os.path.basename(args.testfiles[0])}")
+        print(f"[mpe3d] live viewer at {live_server.url} — open in a "
+              f"browser; Ctrl+C stops", file=sys.stderr)
+        try:
+            loop = True
+            while loop:
+                for fa, gt in zip(fas, frame_gts):
+                    t0 = _time.perf_counter()
+                    out = pipe.infer_fused(fa)
+                    p, q, _, ids, _ = gate_and_track(
+                        out.poses, out.quality,
+                        gate=getattr(args, "quality_gate", None),
+                        tracker=tracker)
+                    live_server.push(
+                        p, gt=(gt.gt3d if (args.showgt and gt) else None),
+                        track_ids=ids,
+                        quality=q if args.show_quality else None)
+                    _time.sleep(max(0.0, 1.0 / args.live_fps
+                                    - (_time.perf_counter() - t0)))
+                loop = args.live_loop
+        except KeyboardInterrupt:
+            pass
+        finally:
+            live_server.close()
+        return
+
     poses, gts, tids, quals = [], [], [], []
     for fa, gt in zip(fas, frame_gts):
         out = pipe(fa)
@@ -1089,6 +1133,17 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-frames", type=int, default=100)
     p.add_argument("--show-quality", action="store_true",
                    help="overlay each pose's quality column (px)")
+    p.add_argument("--live", type=int, default=None, metavar="PORT",
+                   help="LIVE viewer (≙ the reference's animated window): "
+                   "serve the interactive canvas viewer over HTTP on this "
+                   "port (0 = auto) and stream poses to it via SSE as the "
+                   "pipeline infers them — no display/GL stack needed on "
+                   "the TPU host (viz/live_viewer.py)")
+    p.add_argument("--live-host", default="127.0.0.1",
+                   help="live viewer bind address (0.0.0.0 to expose)")
+    p.add_argument("--live-fps", type=int, default=10)
+    p.add_argument("--live-loop", action="store_true",
+                   help="replay the recording forever (Ctrl+C stops)")
     _add_track_flags(p)
     p.set_defaults(fn=cmd_show_results)
 

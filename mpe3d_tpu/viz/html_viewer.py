@@ -99,7 +99,8 @@ def write_html_viewer(frames_poses: List[np.ndarray], rig_config: RigConfig,
     data = json.dumps(payload, separators=(",", ":")).replace("</", "<\\/")
     html = (_TEMPLATE
             .replace("__TITLE__", _html.escape(title))
-            .replace("__DATA__", data))
+            .replace("__DATA__", data)
+            .replace("__LIVE_JS__", ""))   # live mode: viz/live_viewer.py
     with open(out_path, "w") as f:
         f.write(html)
     return out_path
@@ -210,5 +211,6 @@ function tick(t){const sp=+document.getElementById('speed').value;
     fi=(fi+1)%D.frames.length;last=t;draw();}
   requestAnimationFrame(tick);}
 resize();requestAnimationFrame(tick);
+__LIVE_JS__
 </script></body></html>
 """
