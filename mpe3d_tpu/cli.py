@@ -296,9 +296,7 @@ def cmd_train_lifter(args):
                              seed=args.seed, loss=args.loss,
                              checkpoint_backend=args.ckpt_backend,
                              ema_decay=args.ema,
-                             compute_dtype=(None if args.compute_dtype
-                                            == "fp32"
-                                            else args.compute_dtype))
+                             compute_dtype=args.compute_dtype)
     from mpe3d_tpu.train.checkpoint import checkpoint_exists
     ckpt_path = os.path.join(args.modelsdir, "pose_estimator")
     refined_rig_path = os.path.join(args.modelsdir, "refined_rig.npz")
@@ -576,6 +574,9 @@ def cmd_show_results(args):
         from mpe3d_tpu.geometry.camera import cam_centers_world
         from mpe3d_tpu.viz.live_viewer import LiveViewerServer
 
+        if not fas:
+            sys.exit("--live: no frames parsed from the test files")
+        args.live_fps = max(1, args.live_fps)
         live_server = LiveViewerServer(
             rig_config,
             camera_centers=np.asarray(cam_centers_world(rig.T_cw)),
@@ -588,6 +589,11 @@ def cmd_show_results(args):
         try:
             loop = True
             while loop:
+                # fresh tracker per replay: carrying track state across
+                # the wrap seam would EMA-blend end-of-recording poses
+                # into frame 0 (same rationale as serve.py's per-stream
+                # tracker_factory)
+                tracker = _make_tracker(args)
                 for fa, gt in zip(fas, frame_gts):
                     t0 = _time.perf_counter()
                     out = pipe.infer_fused(fa)
@@ -602,6 +608,12 @@ def cmd_show_results(args):
                     _time.sleep(max(0.0, 1.0 / args.live_fps
                                     - (_time.perf_counter() - t0)))
                 loop = args.live_loop
+            # all frames streamed: keep the viewer up — the backlog
+            # replays to any (re)connecting browser; Ctrl+C exits
+            print("[mpe3d] all frames streamed — viewer stays up "
+                  "(Ctrl+C to exit)", file=sys.stderr)
+            while True:
+                _time.sleep(3600)
         except KeyboardInterrupt:
             pass
         finally:

@@ -317,12 +317,22 @@ def _save_orbax(path: str, params, opt_state=None,
 
         deadline = _watchdog_seconds()
         ckptr = _orbax_checkpointer()
-        # orphan token dirs (crashed/abandoned writers of PREVIOUS tasks —
-        # tasks serialise on the single-worker executor, and any live
-        # owner of one of these is abandoned by definition)
+        # orphan token dirs from crashed/abandoned writers.  Within this
+        # process tasks serialise on the single-worker executor, so any
+        # live owner is abandoned by definition — but ANOTHER process may
+        # be mid-save to the same path, so (a) sweep under the
+        # cross-process path lock and (b) only dirs old enough that no
+        # healthy writer can own them (> 2× the watchdog, ≥ 10 min)
         import glob
-        for stale in glob.glob(abspath + ".orbax.next-*"):
-            shutil.rmtree(stale, ignore_errors=True)
+        import time as _time
+        stale_s = max(2 * deadline if deadline > 0 else 0.0, 600.0)
+        with _path_lock(abspath):
+            for stale in glob.glob(abspath + ".orbax.next-*"):
+                try:
+                    if _time.time() - os.path.getmtime(stale) > stale_s:
+                        shutil.rmtree(stale, ignore_errors=True)
+                except OSError:
+                    pass            # already gone / being removed
         staging_tmp = f"{abspath}.orbax.next-{uuid.uuid4().hex[:8]}"
 
         def promote():

@@ -92,18 +92,24 @@ def write_html_viewer(frames_poses: List[np.ndarray], rig_config: RigConfig,
         "axes": [lbl for lbl, _ in rig_config.axes_3d],
         "title": title,
     }
-    # escape the title for the markup, and '</' in the inline JSON: a
-    # title like 'a</script>b.json' (it comes from a file name) would
-    # otherwise terminate the <script> block mid-payload
+    with open(out_path, "w") as f:
+        f.write(build_viewer_html(payload, title))
+    return out_path
+
+
+def build_viewer_html(payload: dict, title: str, live_js: str = "") -> str:
+    """Assemble the viewer page from a payload dict — ONE place for the
+    markup escaping rules (shared with viz/live_viewer.py so the static
+    and live viewers cannot drift).  The title and the '</' sequences in
+    the inline JSON are escaped: a title like 'a</script>b.json' (it
+    comes from a file name) would otherwise terminate the <script> block
+    mid-payload."""
     import html as _html
     data = json.dumps(payload, separators=(",", ":")).replace("</", "<\\/")
-    html = (_TEMPLATE
+    return (_TEMPLATE
             .replace("__TITLE__", _html.escape(title))
             .replace("__DATA__", data)
-            .replace("__LIVE_JS__", ""))   # live mode: viz/live_viewer.py
-    with open(out_path, "w") as f:
-        f.write(html)
-    return out_path
+            .replace("__LIVE_JS__", live_js))
 
 
 _TEMPLATE = """<!DOCTYPE html>

@@ -36,7 +36,8 @@ from typing import List, Optional
 import numpy as np
 
 from mpe3d_tpu.config import COCO_BONES, RigConfig
-from mpe3d_tpu.viz.html_viewer import _HEX_COLORS, _TEMPLATE, _frame_payload
+from mpe3d_tpu.viz.html_viewer import (_HEX_COLORS, _frame_payload,
+                                       build_viewer_html)
 from mpe3d_tpu.viz.viewer import remap_axes
 
 _LIVE_JS = """
@@ -70,7 +71,7 @@ class LiveViewerServer:
                  title: str = "mpe3d_tpu live",
                  max_history: int = 2000):
         self._rig_config = rig_config
-        self._history: List[str] = []
+        self._history: List[tuple] = []     # (event_id, sse_line)
         self._max_history = int(max_history)
         self._clients: List[queue.Queue] = []
         self._lock = threading.Lock()
@@ -82,16 +83,13 @@ class LiveViewerServer:
         payload = {"frames": [], "live": True,
                    "bones": [list(b) for b in COCO_BONES],
                    "colors": _HEX_COLORS, "cams": cams,
-                   "lim": float(lim), "fps": int(fps),
+                   "lim": float(lim), "fps": max(1, int(fps)),
                    "axes": [lbl for lbl, _ in rig_config.axes_3d],
                    "title": title}
-        import html as _html
-        data = json.dumps(payload, separators=(",", ":")).replace("</",
-                                                                  "<\\/")
-        self._html = (_TEMPLATE
-                      .replace("__TITLE__", _html.escape(title))
-                      .replace("__DATA__", data)
-                      .replace("__LIVE_JS__", _LIVE_JS)).encode()
+        self._html = build_viewer_html(payload, title,
+                                       live_js=_LIVE_JS).encode()
+        self._next_id = 0          # SSE event ids: reconnecting clients
+        # send Last-Event-ID and the backlog replay skips what they have
 
         outer = self
 
@@ -114,9 +112,22 @@ class LiveViewerServer:
                     self.send_header("Content-Type", "text/event-stream")
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
-                    q: queue.Queue = queue.Queue()
+                    # browsers send Last-Event-ID on EventSource
+                    # auto-reconnect: replay only what the client lacks
+                    # (a full-backlog replay would duplicate the whole
+                    # timeline client-side on every transient drop)
+                    try:
+                        last_id = int(self.headers.get("Last-Event-ID",
+                                                       "-1"))
+                    except ValueError:
+                        last_id = -1
+                    # bounded: a stalled client loses frames instead of
+                    # growing server memory without limit (only _history
+                    # was bounded before)
+                    q: queue.Queue = queue.Queue(maxsize=1024)
                     with outer._lock:
-                        backlog = list(outer._history)
+                        backlog = [ln for i, ln in outer._history
+                                   if i > last_id]
                         outer._clients.append(q)
                     try:
                         for line in backlog:
@@ -170,23 +181,31 @@ class LiveViewerServer:
         g = (remap_axes(np.asarray(gt, np.float64), self._rig_config)
              if gt is not None and len(gt) else None)
         payload = _frame_payload(disp, g, track_ids, quality)
-        line = "data: " + json.dumps(
-            payload, separators=(",", ":")) + "\n\n"
         with self._lock:
-            self._history.append(line)
+            fid = self._next_id
+            self._next_id += 1
+            line = (f"id: {fid}\ndata: "
+                    + json.dumps(payload, separators=(",", ":")) + "\n\n")
+            self._history.append((fid, line))
             if len(self._history) > self._max_history:
                 # keep the newest frames; scrub history shrinks, the
                 # stream itself is unaffected
                 del self._history[: len(self._history) // 2]
             clients = list(self._clients)
         for q in clients:
-            q.put(line)
+            try:
+                q.put_nowait(line)
+            except queue.Full:
+                pass        # stalled client: drop its frame, not memory
 
     def close(self) -> None:
         with self._lock:
             clients = list(self._clients)
         for q in clients:
-            q.put(None)
+            try:
+                q.put_nowait(None)
+            except queue.Full:
+                pass        # handler dies with the server shutdown below
         self._httpd.shutdown()
         self._httpd.server_close()
         self._thread.join(timeout=10)

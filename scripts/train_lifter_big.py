@@ -203,9 +203,7 @@ def main():
                              eval_every=10, patience=args.patience,
                              lr=args.lr, loss=args.loss,
                              ema_decay=args.ema,
-                             compute_dtype=(None if args.compute_dtype
-                                            == "fp32"
-                                            else args.compute_dtype))
+                             compute_dtype=args.compute_dtype)
     res = train_lifter(net_t, err_t, net_d, err_d, rig_config, rig, lcfg,
                        tcfg, params=params, checkpoint_path=ckpt, log=log,
                        stop_flag=lambda: stop["flag"],
