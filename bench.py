@@ -199,7 +199,12 @@ def main() -> int:
     # elision) and timed as (t_K2 − t_K1)/(K2 − K1) with float() syncs.
     import jax.numpy as jnp
 
+    # the fused program's lifter argument depends on which body serves the
+    # bucket: the whole-frame pallas kernel takes the frame-packed list,
+    # the XLA program the layer tree (pipeline.submit_fused logic)
     core = pipe._fused_fn(4, 8)
+    lparams_bench = (pipe.lifter_params_frame if pipe._frame_kernel_on(4, 8)
+                     else pipe.lifter_params_serve)
     fa0 = frames[0]
     chain_args = [jnp.asarray(fa0.kp[:, :4]), jnp.asarray(fa0.valid[:, :4]),
                   jnp.asarray(fa0.prob[:, :4]),
@@ -209,26 +214,34 @@ def main() -> int:
     from mpe3d_tpu.benchutil import chained_frame_us
 
     K1, K2 = (2, 6) if smoke else (20, 120)
-    model_args = (pipe.matcher_params, pipe.lifter_params)
+    model_args = (pipe.matcher_params, lparams_bench)
     ondevice_us = chained_frame_us(core, model_args, chain_args, K1, K2)
 
     # HBM roofline: the fused frame is weight-streaming-bound (arithmetic
     # intensity ≈ P_max=8 FLOP/byte ≪ the v5e ridge ~240), so light speed
     # is served-parameter bytes over the chip's 819 GB/s HBM bandwidth.
+    # Unique buffers only: the frame-packed list shares its hidden-layer
+    # weights with the layer tree by object identity.
     import numpy as _np
-    wbytes = sum(_np.size(x) * _np.dtype(jnp.asarray(x).dtype).itemsize
-                 for x in jax.tree_util.tree_leaves(model_args))
+    _seen, wbytes = set(), 0
+    for x in jax.tree_util.tree_leaves(model_args):
+        if id(x) not in _seen:
+            _seen.add(id(x))
+            wbytes += _np.size(x) * _np.dtype(jnp.asarray(x).dtype).itemsize
     hbm_floor_us = wbytes / 819e9 * 1e6
 
     # batched on-device per-frame time: infer_batch's core amortizes the
     # weight stream over B frames (the offline-eval throughput mode), so
     # its per-frame time should land far below the single-frame figure.
     BB = 4 if smoke else 32
+    # the batch program is always the XLA variant (weights amortize across
+    # the window) — it takes the LAYER tree regardless of the kernel mode
+    batch_model_args = (pipe.matcher_params, pipe.lifter_params)
     batch_core = pipe._fused_batch_fn(4, 8)
     batch_args = [jnp.asarray(_np.repeat(_np.asarray(a)[None], BB, 0))
                   for a in chain_args]
     ondevice_batched_us = chained_frame_us(
-        batch_core, model_args, batch_args, K1, K2) / BB
+        batch_core, batch_model_args, batch_args, K1, K2) / BB
 
     # ---- training throughput / MFU (scan-epoch lifter trainer) ----------
     # Reference batch 2096 (train_pose_estimator.py:6).  The dataset is

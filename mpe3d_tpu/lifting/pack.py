@@ -167,6 +167,43 @@ def pack_lifter_input(kp: jnp.ndarray, valid: jnp.ndarray, prob: jnp.ndarray,
     return net.reshape(-1), include
 
 
+def pack_slot_fields09(kp: jnp.ndarray, valid: jnp.ndarray,
+                       prob: jnp.ndarray, observed: jnp.ndarray,
+                       rig: CameraRig, image_size: Tuple[float, float]
+                       ) -> jnp.ndarray:
+    """Per-(camera, slot) lifter-input fields 0-9, prior fields zeroed.
+
+    The whole-frame kernel (ops/frame_kernel.py) precomputes the
+    observation-dependent feature fields for EVERY detection slot before
+    the kernel runs, then gathers the decoded person's slots in-kernel
+    (the person-independent part of :func:`pack_lifter_input` — same
+    formulas, so gather-then-pack ≡ pack-then-gather pointwise; the
+    person-dependent triangulated prior fields 10-13 stay zero here and
+    are filled in-kernel).
+
+    kp: [C, S, J, 2] raw pixels; valid/prob: [C, S, J]; observed:
+    [C, S, J] bool.  ``rig`` restricted to the used cameras.
+    Returns [C, S, J, 14] float32.
+    """
+    C, S, J, _ = kp.shape
+    W, H = image_size
+    m = observed.astype(kp.dtype)[..., None]                     # [C, S, J, 1]
+
+    nx = (kp[..., 0:1] - W / 2.0) / (W / 2.0)
+    ny = (kp[..., 1:2] - H / 2.0) / (H / 2.0)
+    f03 = jnp.concatenate([valid[..., None], nx, ny, prob[..., None]],
+                          axis=-1) * m                           # [C, S, J, 4]
+    centers = cam_centers_world(rig.T_cw)                        # [C, 3]
+    f46 = jnp.broadcast_to(centers[:, None, None, :] / 10.0,
+                           (C, S, J, 3)) * m
+    rays = undistorted_rays_world(kp, rig.K[:, None, None],
+                                  rig.dist[:, None, None],
+                                  rig.T_cw[:, None, None])       # [C, S, J, 3]
+    f79 = rays / 10.0 * m
+    zeros4 = jnp.zeros((C, S, J, 4), kp.dtype)
+    return jnp.concatenate([f03, f46, f79, zeros4], axis=-1)
+
+
 def apply_camera_dropout(net_input: jnp.ndarray, cam_keep: jnp.ndarray,
                          n_joints: int) -> jnp.ndarray:
     """Zero feature fields 0-9 of dropped cameras, keep the triangulated

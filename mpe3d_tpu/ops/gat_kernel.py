@@ -55,6 +55,86 @@ def _layer_dims(cfg: MatcherConfig):
     return dims
 
 
+def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
+                     cfg: MatcherConfig, H: int):
+    """The whole GAT stack on in-register/VMEM VALUES — shared by the
+    matcher megakernel below and the whole-frame kernel
+    (ops/frame_kernel.py), so their scores are identical by construction.
+
+    x: [H+E, Din]; pw: [E, 1]; inc1/inc2: [E, H]; inc1T/inc2T: [H, E];
+    ``layer_vals``: per layer (w1, b1, w2, b2, alf, arf, seg, rep) values.
+    Returns score logits [E, 1]."""
+    dims = _layer_dims(cfg)
+    alpha = cfg.alpha
+    slope = cfg.hidden_slope
+    n_layers = len(dims)
+
+    def leaky(v, a):
+        return jnp.where(v > 0, v, a * v)
+
+    live = pw > 0
+    neg = jnp.float32(-jnp.inf)
+
+    for l, (d_in, d_out, nh) in enumerate(dims):
+        (w1, b1, w2, b2, alf, arf, seg, rep) = layer_vals[l]
+        F = nh * d_out
+
+        h1 = leaky(_mm(x, w1) + b1, alpha)
+        z = _mm(h1, w2) + b2                         # [H+E, F]
+        a1 = _mm(z * alf, seg)                       # [H+E, nh]
+        a2 = _mm(z * arf, seg)
+        zh, ze = z[:H], z[H:]
+        a1h, a2h = a1[:H], a2[:H]
+        a1e, a2e = a1[H:], a2[H:]
+
+        zh_e1, zh_e2 = _mm(inc1, zh), _mm(inc2, zh)  # [E, F]
+        a1h_e1, a1h_e2 = _mm(inc1, a1h), _mm(inc2, a1h)
+        a2h_e1, a2h_e2 = _mm(inc1, a2h), _mm(inc2, a2h)
+
+        # edge-node destinations: softmax over {self, head1, head2}
+        l0 = leaky(a1e + a2e, alpha)
+        l1 = leaky(a1h_e1 + a2e, alpha)
+        l2 = leaky(a1h_e2 + a2e, alpha)
+        mx = jnp.maximum(l0, jnp.maximum(l1, l2))
+        e0 = jnp.exp(l0 - mx)
+        e1 = jnp.exp(l1 - mx)
+        e2 = jnp.exp(l2 - mx)
+        s = e0 + e1 + e2
+        out_e = (_mm(e0 / s, rep) * ze + _mm(e1 / s, rep) * zh_e1
+                 + _mm(e2 / s, rep) * zh_e2)         # [E, F]
+
+        # head destinations: self + incident edge-nodes (exact
+        # per-destination max-shift; unrolled masked max over E)
+        ls = leaky(a1h + a2h, alpha)                 # [H, nh]
+        l1h = leaky(a1e + a2h_e1, alpha)             # [E, nh]
+        l2h = leaky(a1e + a2h_e2, alpha)
+        l1m = jnp.where(live, l1h, neg)
+        l2m = jnp.where(live, l2h, neg)
+        rows = []
+        for h in range(H):
+            m1 = jnp.max(jnp.where(inc1[:, h:h + 1] > 0, l1m, neg),
+                         axis=0, keepdims=True)      # [1, nh]
+            m2 = jnp.max(jnp.where(inc2[:, h:h + 1] > 0, l2m, neg),
+                         axis=0, keepdims=True)
+            rows.append(jnp.maximum(ls[h:h + 1],
+                                    jnp.maximum(m1, m2)))
+        m = jnp.concatenate(rows, axis=0)            # [H, nh]
+        es = jnp.exp(ls - m)
+        x1 = jnp.exp(l1m - _mm(inc1, m)) * pw        # [E, nh]
+        x2 = jnp.exp(l2m - _mm(inc2, m)) * pw
+        denom = es + _mm(inc1T, x1) + _mm(inc2T, x2)  # [H, nh]
+        num = (_mm(es, rep) * zh
+               + _mm(inc1T, _mm(x1, rep) * ze)
+               + _mm(inc2T, _mm(x2, rep) * ze))      # [H, F]
+        out_h = num / _mm(denom, rep)
+
+        if l < n_layers - 1:
+            x = jnp.concatenate([leaky(out_h, slope),
+                                 leaky(out_e, slope)], axis=0)
+        else:
+            return out_e                             # [E, 1] logits
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "H", "E", "interpret"))
 def _gat_megakernel(flat_inputs, cfg: MatcherConfig, H: int, E: int,
@@ -65,85 +145,17 @@ def _gat_megakernel(flat_inputs, cfg: MatcherConfig, H: int, E: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    dims = _layer_dims(cfg)
-    alpha = cfg.alpha
-    slope = cfg.hidden_slope
-    n_layers = len(dims)
+    n_layers = len(_layer_dims(cfg))
 
     def kernel(*refs):
         x_ref, pw_ref, inc1_ref, inc2_ref, inc1T_ref, inc2T_ref = refs[:6]
         lrefs = refs[6:-1]
         o_ref = refs[-1]
-
-        def leaky(v, a):
-            return jnp.where(v > 0, v, a * v)
-
-        x = x_ref[:]                                     # [H+E, Din]
-        pw = pw_ref[:]                                   # [E, 1]
-        inc1, inc2 = inc1_ref[:], inc2_ref[:]            # [E, H]
-        inc1T, inc2T = inc1T_ref[:], inc2T_ref[:]        # [H, E]
-        live = pw > 0
-        neg = jnp.float32(-jnp.inf)
-
-        for l, (d_in, d_out, nh) in enumerate(dims):
-            (w1, b1, w2, b2, alf, arf, seg, rep) = (
-                r[:] for r in lrefs[8 * l:8 * (l + 1)])
-            F = nh * d_out
-
-            h1 = leaky(_mm(x, w1) + b1, alpha)
-            z = _mm(h1, w2) + b2                         # [H+E, F]
-            a1 = _mm(z * alf, seg)                       # [H+E, nh]
-            a2 = _mm(z * arf, seg)
-            zh, ze = z[:H], z[H:]
-            a1h, a2h = a1[:H], a2[:H]
-            a1e, a2e = a1[H:], a2[H:]
-
-            zh_e1, zh_e2 = _mm(inc1, zh), _mm(inc2, zh)  # [E, F]
-            a1h_e1, a1h_e2 = _mm(inc1, a1h), _mm(inc2, a1h)
-            a2h_e1, a2h_e2 = _mm(inc1, a2h), _mm(inc2, a2h)
-
-            # edge-node destinations: softmax over {self, head1, head2}
-            l0 = leaky(a1e + a2e, alpha)
-            l1 = leaky(a1h_e1 + a2e, alpha)
-            l2 = leaky(a1h_e2 + a2e, alpha)
-            mx = jnp.maximum(l0, jnp.maximum(l1, l2))
-            e0 = jnp.exp(l0 - mx)
-            e1 = jnp.exp(l1 - mx)
-            e2 = jnp.exp(l2 - mx)
-            s = e0 + e1 + e2
-            out_e = (_mm(e0 / s, rep) * ze + _mm(e1 / s, rep) * zh_e1
-                     + _mm(e2 / s, rep) * zh_e2)         # [E, F]
-
-            # head destinations: self + incident edge-nodes (exact
-            # per-destination max-shift; unrolled masked max over E)
-            ls = leaky(a1h + a2h, alpha)                 # [H, nh]
-            l1h = leaky(a1e + a2h_e1, alpha)             # [E, nh]
-            l2h = leaky(a1e + a2h_e2, alpha)
-            l1m = jnp.where(live, l1h, neg)
-            l2m = jnp.where(live, l2h, neg)
-            rows = []
-            for h in range(H):
-                m1 = jnp.max(jnp.where(inc1[:, h:h + 1] > 0, l1m, neg),
-                             axis=0, keepdims=True)      # [1, nh]
-                m2 = jnp.max(jnp.where(inc2[:, h:h + 1] > 0, l2m, neg),
-                             axis=0, keepdims=True)
-                rows.append(jnp.maximum(ls[h:h + 1],
-                                        jnp.maximum(m1, m2)))
-            m = jnp.concatenate(rows, axis=0)            # [H, nh]
-            es = jnp.exp(ls - m)
-            x1 = jnp.exp(l1m - _mm(inc1, m)) * pw        # [E, nh]
-            x2 = jnp.exp(l2m - _mm(inc2, m)) * pw
-            denom = es + _mm(inc1T, x1) + _mm(inc2T, x2)  # [H, nh]
-            num = (_mm(es, rep) * zh
-                   + _mm(inc1T, _mm(x1, rep) * ze)
-                   + _mm(inc2T, _mm(x2, rep) * ze))      # [H, F]
-            out_h = num / _mm(denom, rep)
-
-            if l < n_layers - 1:
-                x = jnp.concatenate([leaky(out_h, slope),
-                                     leaky(out_e, slope)], axis=0)
-            else:
-                o_ref[:] = out_e                         # [E, 1] logits
+        layer_vals = [tuple(r[:] for r in lrefs[8 * l:8 * (l + 1)])
+                      for l in range(n_layers)]
+        o_ref[:] = gat_stack_values(
+            x_ref[:], pw_ref[:], inc1_ref[:], inc2_ref[:],
+            inc1T_ref[:], inc2T_ref[:], layer_vals, cfg, H)
 
     vmem = {} if interpret else {"memory_space": pltpu.VMEM}
     # the default scoped-VMEM cap is 16 MB; the whole stack (weights ~8 MB
@@ -171,6 +183,24 @@ def _static_tables(cfg: MatcherConfig):
             seg[h * d_out:(h + 1) * d_out, h] = 1.0
         tabs.append((seg, seg.T.copy()))
     return tabs
+
+
+def gat_layer_arrays(params: Dict[str, Any], cfg: MatcherConfig):
+    """Per-layer (w1, b1, w2, b2, alf, arf, seg, rep) array tuples in the
+    kernel's expected shapes — shared by the megakernel wrapper below and
+    the whole-frame kernel's operand packing (ops/frame_kernel.py)."""
+    out = []
+    for layer, (seg, rep), (d_in, d_out, nh) in zip(
+            params["layers"], _static_tables(cfg), _layer_dims(cfg)):
+        F = nh * d_out
+        b1 = layer.get("b1", jnp.zeros((d_in,), jnp.float32))
+        b2 = layer.get("b2", jnp.zeros((F,), jnp.float32))
+        out.append((layer["w1"], b1.reshape(1, d_in),
+                    layer["w2"], b2.reshape(1, F),
+                    layer["attn_l"].reshape(1, F),
+                    layer["attn_r"].reshape(1, F),
+                    jnp.asarray(seg), jnp.asarray(rep)))
+    return out
 
 
 def apply_matcher_pallas(params: Dict[str, Any], head_feats: jnp.ndarray,

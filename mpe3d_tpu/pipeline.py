@@ -53,6 +53,7 @@ class PipelineOutput(NamedTuple):
 
 
 _PALLAS_MATCHER_PROBE: Dict[tuple, bool] = {}
+_FRAME_KERNEL_PROBE: Dict[tuple, bool] = {}
 
 
 def _pallas_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
@@ -94,6 +95,52 @@ def _pallas_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
               f"matcher path instead", file=sys.stderr)
         ok = False
     _PALLAS_MATCHER_PROBE[key] = ok
+    return ok
+
+
+def _frame_kernel_probe_ok(pipe: "PoseEstimationPipeline", slots: int,
+                           p_max: int) -> bool:
+    """AOT-compile the whole-frame kernel program (ops/frame_kernel.py)
+    for one (slots, p_max) bucket before auto-enabling it — same rationale
+    as the GAT megakernel probe above: the kernel pins a VMEM budget sized
+    for v5e-class parts and its footprint scales with the bucket and the
+    lifter size, so rejection must fall back to the XLA path instead of
+    failing the default serving path.  Cached per process; the compile
+    lands in the persistent cache."""
+    import jax.numpy as _jnp
+
+    key = ("frame", jax.default_backend(), tuple(pipe.matcher_cfg.hidden),
+           tuple(pipe.matcher_cfg.heads), tuple(pipe.lifter_cfg.widths),
+           str(pipe.serve_dtype), pipe.rig_config.name,
+           len(pipe.used_idx), slots, p_max)
+    hit = _FRAME_KERNEL_PROBE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        from mpe3d_tpu.ops.frame_kernel import build_frame_program
+
+        prog = build_frame_program(pipe, slots, p_max, interpret=False)
+        C_all = pipe.rig_config.n_cameras
+        J = pipe.rig_config.n_joints
+        s = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)  # noqa: E731
+        struct = jax.tree_util.tree_map(
+            lambda x: s(jnp.shape(x), _jnp.asarray(x).dtype),
+            (pipe.matcher_params, pipe.lifter_params_frame))
+        jax.jit(prog).lower(
+            *struct,
+            s((C_all, slots, J, 2), _jnp.float32),
+            s((C_all, slots, J), _jnp.float32),
+            s((C_all, slots, J), _jnp.float32),
+            s((C_all, slots, J), _jnp.bool_),
+            s((C_all, slots), _jnp.bool_)).compile()
+        ok = True
+    except Exception as e:  # noqa: BLE001 — any compile rejection falls back
+        import sys
+        print(f"[mpe3d] whole-frame kernel failed to compile for bucket "
+              f"S={slots}/P={p_max} ({type(e).__name__}: {e}); serving the "
+              f"two-stage XLA program instead", file=sys.stderr)
+        ok = False
+    _FRAME_KERNEL_PROBE[key] = ok
     return ok
 
 
@@ -163,6 +210,7 @@ class PoseEstimationPipeline:
                  prior_gate_px: Optional[float] = None,
                  serve_dtype=None,
                  use_fused_mlp: Optional[bool] = None,
+                 use_frame_kernel: Optional[bool] = None,
                  tri_variant: str = "median"):
         self.rig_config = rig_config
         self.rig = rig
@@ -365,6 +413,30 @@ class PoseEstimationPipeline:
         self.image_size = (float(rig_config.image_width),
                            float(rig_config.image_height))
         self._topos: Dict[int, PairTopology] = {}
+
+        # Whole-frame pallas kernel (ops/frame_kernel.py): ONE launch runs
+        # match + decode + pack + lift, issuing the lifter weight DMAs at
+        # kernel entry so the dominant HBM weight stream rides UNDER the
+        # match/decode/pack compute instead of after it (round-3 ledger:
+        # the two terms are ~80 µs each and serialized in the two-fusion
+        # XLA program).  Auto (None): per-bucket compile probe on TPU for
+        # supported configs (frame_kernel_supported), XLA path otherwise;
+        # True forces (fails loudly), False disables.  The packed serving
+        # list shares the hidden-layer weight buffers with
+        # ``lifter_params`` (only layer 0 is re-laid out), so it adds one
+        # small buffer, not a second copy of the model.
+        if use_frame_kernel is None:
+            use_frame_kernel = "auto"
+        self.use_frame_kernel = use_frame_kernel
+        self.lifter_params_frame = None
+        if use_frame_kernel is not False and self.lifter_params is not None:
+            from mpe3d_tpu.ops.frame_kernel import (frame_kernel_supported,
+                                                    pack_frame_serving)
+            if frame_kernel_supported(self):
+                self.lifter_params_frame = jax.device_put(
+                    pack_frame_serving(self.lifter_params,
+                                       len(self.used_idx),
+                                       rig_config.n_joints))
 
         # Per-INSTANCE jit caches: functools.lru_cache on a method keys on
         # (self, …) in a class-level cache, which would pin discarded
@@ -583,13 +655,41 @@ class PoseEstimationPipeline:
 
         return run
 
-    def _fused_fn(self, slots: int, p_max: int):
-        return self._fused_impl(slots, p_max, self._geo_key)
+    def _frame_kernel_on(self, slots: int, p_max: int) -> bool:
+        """Resolve whether THIS bucket serves through the whole-frame
+        pallas kernel.  Cheap (dict lookups after the first probe) and
+        re-evaluated on every `_fused_fn` call, so mutating a gating knob
+        (e.g. prior_gate_px) on a live pipeline falls back to the XLA
+        path on the next dispatch."""
+        if self.use_frame_kernel is False or self.lifter_params_frame is None:
+            return False
+        from mpe3d_tpu.ops.frame_kernel import frame_kernel_supported
+        if not frame_kernel_supported(self):
+            return False
+        if self.use_frame_kernel is True:       # forced: fail loudly
+            return True
+        return (jax.default_backend() == "tpu"
+                and _frame_kernel_probe_ok(self, slots, p_max))
 
-    def _fused_impl(self, slots: int, p_max: int, geo_key):
+    def _fused_fn(self, slots: int, p_max: int):
+        return self._fused_impl(slots, p_max, self._geo_key,
+                                self._frame_kernel_on(slots, p_max))
+
+    def _fused_impl(self, slots: int, p_max: int, geo_key,
+                    use_kernel: bool = False):
         """ONE compiled program: features + GAT + on-device greedy decode +
         per-person gather + 3D backend.  Single dispatch + single readback
-        per frame — the latency north star (SURVEY.md §7 step 5)."""
+        per frame — the latency north star (SURVEY.md §7 step 5).
+
+        ``use_kernel=True`` swaps the program body for the whole-frame
+        pallas kernel (ops/frame_kernel.py — same outputs, weight stream
+        overlapped under the match compute); its ``lparams`` argument is
+        then the frame-packed serving list (``lifter_params_frame``), not
+        the layer tree."""
+        if use_kernel:
+            from mpe3d_tpu.ops.frame_kernel import build_frame_program
+            return jax.jit(build_frame_program(self, slots, p_max))
+
         from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
 
         topo = self.topology(slots)
@@ -665,8 +765,13 @@ class PoseEstimationPipeline:
 
     def _fused_batch_impl(self, slots: int, p_max: int, geo_key):
         """vmap of the fused program over a frame batch — offline-eval
-        throughput mode (the whole test set in a handful of dispatches)."""
-        single = self._fused_fn(slots, p_max)
+        throughput mode (the whole test set in a handful of dispatches).
+
+        Always the XLA variant: the batch path amortizes the lifter
+        weight stream across frames through XLA's own scheduling, while
+        vmapping the whole-frame kernel would re-stream weights per
+        frame (and vmapped scratch/DMA semantics are unsupported)."""
+        single = self._fused_impl(slots, p_max, geo_key, False)
 
         @jax.jit
         def run(mparams, lparams, kp, valid, prob, observed, present):
@@ -750,7 +855,7 @@ class PoseEstimationPipeline:
         mparams, lparams = self.matcher_params, self.lifter_params
         claim = self._next_serve_device()
         if claim is not None:
-            d, (mparams, _, lparams) = claim
+            d, (mparams, _, lparams, _) = claim
             args = [jax.device_put(np.ascontiguousarray(a), d)
                     for a in stacked]
         else:
@@ -789,16 +894,19 @@ class PoseEstimationPipeline:
         devices = tuple(devices if devices is not None
                         else jax.local_devices())
         self._serve_devices = devices
-        # per-device (matcher, fused-path lifter, batch-path lifter).  The
-        # batch path keeps the unpacked serving tree (XLA layer matmuls —
-        # weights amortize across the window, see submit_batch); when the
-        # fused-MLP packing is off the two alias, replicate once.
+        # per-device (matcher, fused-path lifter, batch-path lifter,
+        # frame-kernel lifter).  The batch path keeps the unpacked serving
+        # tree (XLA layer matmuls — weights amortize across the window,
+        # see submit_batch); when the fused-MLP packing is off the two
+        # alias, replicate once.
         def _rep(d):
             m = jax.device_put(self.matcher_params, d)
             ls = jax.device_put(self.lifter_params_serve, d)
             lb = (ls if self.lifter_params_serve is self.lifter_params
                   else jax.device_put(self.lifter_params, d))
-            return m, ls, lb
+            lf = (None if self.lifter_params_frame is None
+                  else jax.device_put(self.lifter_params_frame, d))
+            return m, ls, lb, lf
         self._serve_params = tuple(_rep(d) for d in devices)
         self._serve_rr = 0
         # concurrent streams (serve --max-clients > 1) submit from several
@@ -887,6 +995,12 @@ class PoseEstimationPipeline:
             serve_aliases = serve_tree is lifter_params
             new_l = jax.device_put(lifter_params)
             new_ls = new_l if serve_aliases else jax.device_put(serve_tree)
+            new_lf = None
+            if self.lifter_params_frame is not None:
+                from mpe3d_tpu.ops.frame_kernel import pack_frame_serving
+                new_lf = jax.device_put(pack_frame_serving(
+                    lifter_params, len(self.used_idx),
+                    self.rig_config.n_joints))
 
         # all transfers done and validated — now swap.  Attribute writes
         # are atomic; a concurrent submit during the swap can at worst mix
@@ -896,6 +1010,7 @@ class PoseEstimationPipeline:
         if new_l is not None:
             self.lifter_params = new_l
             self.lifter_params_serve = new_ls
+            self.lifter_params_frame = new_lf
         if getattr(self, "_serve_devices", None):
             # re-replicate onto the serving devices (enable_multi_device_
             # serving); _serve_params is swapped as one tuple, and the
@@ -905,7 +1020,9 @@ class PoseEstimationPipeline:
                 ls = jax.device_put(self.lifter_params_serve, d)
                 lb = (ls if self.lifter_params_serve is self.lifter_params
                       else jax.device_put(self.lifter_params, d))
-                return m, ls, lb
+                lf = (None if self.lifter_params_frame is None
+                      else jax.device_put(self.lifter_params_frame, d))
+                return m, ls, lb, lf
             self._serve_params = tuple(_rep(d) for d in self._serve_devices)
 
     def submit_fused(self, frame: FrameArrays):
@@ -921,13 +1038,17 @@ class PoseEstimationPipeline:
         mi_all = frame.present.sum(axis=1).max()
         S = self._bucket(max(1, int(mi_all)))
         p_max = self._p_max(S)
-        mparams, lparams = self.matcher_params, self.lifter_params_serve
+        use_fk = self._frame_kernel_on(S, p_max)
+        mparams = self.matcher_params
+        lparams = (self.lifter_params_frame if use_fk
+                   else self.lifter_params_serve)
         args = (_slot_view(frame.kp, S), _slot_view(frame.valid, S),
                 _slot_view(frame.prob, S), _slot_view(frame.in_view, S),
                 _slot_view(frame.present, S))
         claim = self._next_serve_device()
         if claim is not None:
-            d, (mparams, lparams, _) = claim
+            d, (mparams, ls, _, lf) = claim
+            lparams = lf if use_fk else ls
             args = tuple(jax.device_put(np.ascontiguousarray(a), d)
                          for a in args)
         else:

@@ -1,0 +1,148 @@
+"""On-chip A/B: whole-frame pallas kernel vs the fused XLA program.
+
+Builds the bench.py serving configuration (PANOPTIC, trained demo matcher
+when present, 29 M-param lifter, S=4/P=8 buckets, bf16 serving), verifies
+the kernel's outputs against the XLA fused path on real frames, then
+measures both with the chained-differential methodology (benchutil).
+
+    python scripts/bench_frame_kernel.py [--dtype bf16|int8] [--verify-only]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--verify-only", action="store_true")
+    ap.add_argument("--k", type=int, nargs=2, default=(20, 120))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+    from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
+                                          synthetic_ring_rig)
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.ops.frame_kernel import (build_frame_program,
+                                            frame_kernel_supported,
+                                            pack_frame_serving)
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    rig_config = PANOPTIC
+    rig = synthetic_ring_rig(rig_config)
+    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
+    demo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models_demo", "widefield",
+        "skeleton_matching")
+    try:
+        from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                                load_checkpoint,
+                                                matcher_config_from_meta,
+                                                read_meta)
+        if checkpoint_exists(demo):
+            mcfg = matcher_config_from_meta(read_meta(demo), mcfg)
+            mparams, _, _ = load_checkpoint(
+                demo, init_matcher(jax.random.PRNGKey(0), mcfg))
+            print("[ab] trained demo matcher loaded")
+    except Exception as e:  # noqa: BLE001
+        print(f"[ab] matcher load skipped: {e}")
+
+    serve_dtype = jnp.bfloat16 if args.dtype == "bf16" else "int8"
+    pipe = PoseEstimationPipeline(
+        rig_config, rig, mparams, mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,), serve_dtype=serve_dtype)
+    assert frame_kernel_supported(pipe), "config not kernel-supported"
+
+    print(f"[ab] backend={jax.default_backend()} dtype={args.dtype}")
+    lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
+                               rig_config.n_joints)
+    lflat = jax.device_put(lflat)
+
+    t0 = time.time()
+    prog = build_frame_program(pipe, 4, 8, interpret=False)
+    xla = pipe._fused_fn(4, 8)
+
+    noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    wire = generate_frames(rig_config, rig, 8, n_people=(2, 3), seed=11,
+                           noise=noise, with_gt=False)
+    frames = [parse_frame(f, rig_config, max_skeletons=4) for f in wire]
+
+    def fargs(fa):
+        return tuple(jnp.asarray(a) for a in
+                     (fa.kp[:, :4], fa.valid[:, :4], fa.prob[:, :4],
+                      fa.in_view[:, :4], fa.present[:, :4]))
+
+    # ---- verify ---------------------------------------------------------
+    def person_sets(persons, mask=None):
+        it = persons if mask is None else persons[mask]
+        return {frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0)
+                for p in it}
+
+    nchecked = 0
+    max_pose = max_score = 0.0
+    for fa in frames:
+        a = fargs(fa)
+        kposes, kpersons, kmask, kscores, kq = jax.device_get(
+            prog(pipe.matcher_params, lflat, *a))
+        xposes, xpersons, xmask, xscores, xq = jax.device_get(
+            xla(pipe.matcher_params, pipe.lifter_params, *a))
+        ks = person_sets(kpersons, kmask)
+        xs = person_sets(np.asarray(xpersons)[np.asarray(xmask)])
+        assert ks == xs, (ks, xs)
+        max_score = max(max_score, float(np.abs(kscores - xscores).max()))
+        xmap = {frozenset((c, int(s)) for c, s in enumerate(p) if s >= 0): i
+                for i, p in enumerate(np.asarray(xpersons))}
+        for i in range(int(kmask.sum())):
+            j = xmap[frozenset((c, int(s))
+                               for c, s in enumerate(kpersons[i]) if s >= 0)]
+            max_pose = max(max_pose,
+                           float(np.abs(kposes[i] - xposes[j]).max()))
+            nchecked += 1
+    print(f"[ab] verified {nchecked} persons over {len(frames)} frames: "
+          f"max pose diff {max_pose:.3e} m, max score diff {max_score:.3e} "
+          f"(compile+verify {time.time()-t0:.1f}s)")
+    if args.verify_only:
+        return
+
+    # ---- measure --------------------------------------------------------
+    from mpe3d_tpu.benchutil import chained_frame_us
+
+    fa0 = frames[0]
+    chain_args = list(fargs(fa0))
+    k1, k2 = args.k
+    xla_us = chained_frame_us(xla, (pipe.matcher_params, pipe.lifter_params),
+                              chain_args, k1, k2)
+    print(f"[ab] XLA fused frame:   {xla_us:8.1f} us")
+    kern_us = chained_frame_us(prog, (pipe.matcher_params, lflat),
+                               chain_args, k1, k2)
+    print(f"[ab] whole-frame kernel:{kern_us:8.1f} us   "
+          f"({xla_us / kern_us:.2f}x)")
+
+    wbytes = sum(np.size(x) * np.dtype(jnp.asarray(x).dtype).itemsize
+                 for x in jax.tree_util.tree_leaves(
+                     (pipe.matcher_params, lflat)))
+    floor_us = wbytes / 819e9 * 1e6
+    print(f"[ab] served bytes {wbytes/2**20:.1f} MB, analytic stream floor "
+          f"{floor_us:.1f} us -> roofline {100*floor_us/kern_us:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
