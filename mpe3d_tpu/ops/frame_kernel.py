@@ -228,6 +228,91 @@ def _solve3x3_component(M, b):
     return [x0, x1, x2]
 
 
+def _select_rank_component(values, valid, target, big):
+    """Counting selection on a static list of [P, J] planes: the element
+    whose ascending rank (invalid → ``big``, ties broken by list index —
+    value-identical to a sort, which mosaic lacks) equals ``target``
+    ([P, J] plane).  Returns the selected value plane."""
+    masked = [jnp.where(v > 0.5, x, big) for x, v in zip(values, valid)]
+    out = None
+    for q, vq in enumerate(masked):
+        rank = None
+        for qp, vqp in enumerate(masked):
+            less = ((vqp < vq) | ((vqp == vq) & (qp < q))).astype(vq.dtype)
+            rank = less if rank is None else rank + less
+        pick = jnp.where(rank == target, vq, 0.0)
+        out = pick if out is None else out + pick
+    return out
+
+
+def _irls_component(xns, tobs, cam_consts, n_iters: int = 5,
+                    delta_px: float = 4.0):
+    """geometry/triangulate.py::triangulate_irls on [P, J] component
+    planes.  xns: per-camera (x, y) undistorted normalized planes; tobs:
+    per-camera validity planes.  Returns ([x, y, z], ok_float)."""
+    Cu = len(xns)
+    v = [(t > 0.5).astype(t.dtype) for t in tobs]
+    B1, d1, B2, d2, deltas, Pmats = [], [], [], [], [], []
+    for cu in range(Cu):
+        cc = cam_consts[cu]
+        fmean = (cc[0] + cc[1]) * 0.5
+        deltas.append(delta_px / fmean)
+        Pm = cc[9:21]
+        Pmats.append(Pm)
+        p0 = Pm[0:4]
+        p1r = Pm[4:8]
+        p2r = Pm[8:12]
+        xnx, xny = xns[cu]
+        B1.append([xnx * p2r[k] - p0[k] for k in range(3)])
+        d1.append(xnx * p2r[3] - p0[3])
+        B2.append([xny * p2r[k] - p1r[k] for k in range(3)])
+        d2.append(xny * p2r[3] - p1r[3])
+
+    def solve(w):
+        M, bvec = {}, [0.0, 0.0, 0.0]
+        for a in range(3):
+            for c in range(3):
+                M[a, c] = 0.0
+        for cu in range(Cu):
+            wj = w[cu] * v[cu]
+            for a in range(3):
+                for c in range(3):
+                    M[a, c] = M[a, c] + wj * (B1[cu][a] * B1[cu][c]
+                                              + B2[cu][a] * B2[cu][c])
+                bvec[a] = bvec[a] + wj * (B1[cu][a] * d1[cu]
+                                          + B2[cu][a] * d2[cu])
+        for a in range(3):
+            M[a, a] = M[a, a] + 1e-8
+        return _solve3x3_component(M, [-b for b in bvec])
+
+    ones = [jnp.ones_like(v[0]) for _ in range(Cu)]
+    x = solve(ones)
+    for _ in range(n_iters):
+        w, wz, wb, xc2s = [], [], [], []
+        for cu in range(Cu):
+            Pm = Pmats[cu]
+            xc = [Pm[4 * k] * x[0] + Pm[4 * k + 1] * x[1]
+                  + Pm[4 * k + 2] * x[2] + Pm[4 * k + 3] for k in range(3)]
+            z = jnp.maximum(xc[2], 1e-4)
+            rx = xc[0] / z - xns[cu][0]
+            ry = xc[1] / z - xns[cu][1]
+            r = jnp.sqrt(rx * rx + ry * ry)
+            wc = jnp.minimum(1.0, deltas[cu] / jnp.maximum(r, 1e-12))
+            w.append(wc)
+            wz.append(jnp.where(r > 10.0 * deltas[cu], 0.0, wc))
+            xc2s.append(xc[2])
+        nz = sum(((wzc > 0) & (vc > 0)).astype(wzc.dtype)
+                 for wzc, vc in zip(wz, v))
+        w = [jnp.where(nz >= 3, wzc, wc) for wzc, wc in zip(wz, w)]
+        wb = [jnp.where(xc2 > 1e-4, wc, 0.0) for xc2, wc in zip(xc2s, w)]
+        nzb = sum(((wbc > 0) & (vc > 0)).astype(wbc.dtype)
+                  for wbc, vc in zip(wb, v))
+        w = [jnp.where(nzb >= 2, wbc, wc) for wbc, wc in zip(wb, w)]
+        x = solve(w)
+    ok = (sum(v) > 1.5).astype(x[0].dtype)
+    return x, ok
+
+
 def _tri_pair_component(xn1, xn2, P1, P2, refine_steps: int = 2):
     """geometry/triangulate.py::triangulate_pair on [P, J] planes.
     xn1/xn2: (x, y) undistorted normalized planes; P1/P2: 12 static floats
@@ -268,12 +353,14 @@ def _tri_pair_component(xn1, xn2, P1, P2, refine_steps: int = 2):
     static_argnames=("mcfg", "H", "E", "C", "S", "J", "Cu", "P",
                      "min_views", "threshold", "k_cap", "kinds", "dims",
                      "alpha_l", "out_dim", "used_pos", "cam_consts",
-                     "interpret"))
+                     "prior", "gate_px", "interpret"))
 def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
                        C: int, S: int, J: int, Cu: int, P: int,
                        min_views: int, threshold: float, k_cap: int,
                        kinds, dims, alpha_l: float, out_dim: int,
-                       used_pos, cam_consts, interpret: bool = False):
+                       used_pos, cam_consts, prior: str = "mean",
+                       gate_px: Optional[float] = None,
+                       interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -481,27 +568,75 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
             gv_ref[cu * P:(cu + 1) * P, :] = g["v"][-1]
             go_ref[cu * P:(cu + 1) * P, :] = g["o"][-1]
 
-        # ---- 6. triangulated prior (mean over camera pairs) --------------
+        # ---- 6. triangulated prior (lifting/pack.py variants) ------------
         iota_jr = fiota((1, J), 1)
         jointgate = (iota_jr > 0.5).astype(f32)          # joint-0 quirk
         tobs = [g["o"][cu] * jointgate for cu in range(Cu)]
         xns = [_undistort_component(g["x"][cu], g["y"][cu], cam_consts[cu])
                for cu in range(Cu)]
-        sx = sy = sz = sn = jnp.zeros((P, J), f32)
-        for (ci, cj) in pairs:
-            X = _tri_pair_component(xns[ci], xns[cj],
-                                    cam_consts[ci][9:21],
-                                    cam_consts[cj][9:21])
-            pv = ((tobs[ci] > 0.5) & (tobs[cj] > 0.5)).astype(f32)
-            sx = sx + X[0] * pv
-            sy = sy + X[1] * pv
-            sz = sz + X[2] * pv
-            sn = sn + pv
-        denom = jnp.maximum(sn, 1.0)
-        okf = (sn > 0.5).astype(f32)
-        prx = sx / denom * okf / 10.0
-        pry = sy / denom * okf / 10.0
-        prz = sz / denom * okf / 10.0
+        if prior == "irls":
+            X, okf = _irls_component(xns, tobs, cam_consts)
+            # triangulate_irls returns where(ok, x, 0)
+            xg, yg, zg = X[0] * okf, X[1] * okf, X[2] * okf
+        else:
+            pts, pvs = [], []
+            for (ci, cj) in pairs:
+                pts.append(_tri_pair_component(xns[ci], xns[cj],
+                                               cam_consts[ci][9:21],
+                                               cam_consts[cj][9:21]))
+                pvs.append(((tobs[ci] > 0.5)
+                            & (tobs[cj] > 0.5)).astype(f32))
+            n_valid = sum(pvs)
+            if prior == "median":
+                # coordinate-median pair filter (triangulate_median_
+                # filtered: check_axis 0, reference median sorted[n//2])
+                big = float(np.finfo(np.float32).max)
+                target = jnp.floor(n_valid / 2.0)
+                median = _select_rank_component([p[0] for p in pts], pvs,
+                                                target, big)
+                keep = [pv * (jnp.abs(p[0] - median) < 0.05).astype(f32)
+                        for p, pv in zip(pts, pvs)]
+            else:                                        # "mean"
+                keep = pvs
+            sn = sum(keep)
+            denom = jnp.maximum(sn, 1.0)
+            okf = (n_valid > 0.5).astype(f32)
+            xg = sum(p[0] * k for p, k in zip(pts, keep)) / denom * okf
+            yg = sum(p[1] * k for p, k in zip(pts, keep)) / denom * okf
+            zg = sum(p[2] * k for p, k in zip(pts, keep)) / denom * okf
+
+        if gate_px is not None:
+            # per-joint prior-quality gate (pack_lifter_input
+            # prior_gate_px): reproject the (ok-masked) prior into every
+            # packed camera, reject joints whose masked LOWER-MEDIAN
+            # residual exceeds the gate
+            ds, mgs = [], []
+            for cu in range(Cu):
+                cc = cam_consts[cu]
+                Pm = cc[9:21]
+                pc = [Pm[4 * k] * xg + Pm[4 * k + 1] * yg
+                      + Pm[4 * k + 2] * zg + Pm[4 * k + 3]
+                      for k in range(3)]
+                z = pc[2]
+                z = jnp.where(jnp.abs(z) < 1e-4,
+                              jnp.where(z < 0, -1e-4, 1e-4), z)
+                x0, y0 = pc[0] / z, pc[1] / z
+                r2 = x0 * x0 + y0 * y0
+                fd = 1.0 + r2 * (cc[4] + r2 * (cc[5] + r2 * cc[8]))
+                u = x0 * fd * cc[0] + cc[2]
+                vpx = y0 * fd * cc[1] + cc[3]
+                du = jnp.clip(g["x"][cu] - u, -1e5, 1e5)
+                dv = jnp.clip(g["y"][cu] - vpx, -1e5, 1e5)
+                ds.append(jnp.sqrt(du * du + dv * dv))
+                mgs.append(g["o"][cu])                   # include mask
+            nv = sum(mgs)
+            tgt = jnp.maximum(jnp.ceil(nv / 2.0) - 1.0, 0.0)
+            resid = _select_rank_component(ds, mgs, tgt, jnp.inf)
+            okf = okf * (1.0 - ((nv > 0) & (resid > gate_px)).astype(f32))
+
+        prx = xg * okf / 10.0
+        pry = yg * okf / 10.0
+        prz = zg * okf / 10.0
 
         ek = ins[i_ek][:]                                # [4J, BW]
         def expand(vals, k):
@@ -598,8 +733,7 @@ def frame_kernel_supported(pipe) -> bool:
             and pipe.rig_config.graph_alternative == "3"
             and not pipe.matcher_cfg.residual
             and not pipe._geo_active()
-            and pipe.lifter_prior == "mean"
-            and pipe.prior_gate_px is None
+            and pipe.lifter_prior in ("mean", "median", "irls")
             and pipe.person_buckets[-1] <= M_TILE
             and pipe.serve_dtype is not None)
 
@@ -727,7 +861,11 @@ def build_frame_program(pipe, slots: int, p_max: int,
             P=p_max, min_views=min_views, threshold=threshold,
             k_cap=k_cap, kinds=kinds, dims=dims,
             alpha_l=lcfg.negative_slope, out_dim=lcfg.out_dim,
-            used_pos=used_pos, cam_consts=cam_consts, interpret=interpret)
+            used_pos=used_pos, cam_consts=cam_consts,
+            prior=pipe.lifter_prior,
+            gate_px=(None if pipe.prior_gate_px is None
+                     else float(pipe.prior_gate_px)),
+            interpret=interpret)
 
         poses = mlp_out[:p_max]
         if lcfg.residual_prior:

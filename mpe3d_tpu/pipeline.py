@@ -112,7 +112,8 @@ def _frame_kernel_probe_ok(pipe: "PoseEstimationPipeline", slots: int,
     key = ("frame", jax.default_backend(), tuple(pipe.matcher_cfg.hidden),
            tuple(pipe.matcher_cfg.heads), tuple(pipe.lifter_cfg.widths),
            str(pipe.serve_dtype), pipe.rig_config.name,
-           len(pipe.used_idx), slots, p_max)
+           len(pipe.used_idx), slots, p_max,
+           pipe.lifter_prior, pipe.prior_gate_px)
     hit = _FRAME_KERNEL_PROBE.get(key)
     if hit is not None:
         return hit

@@ -77,7 +77,9 @@ def main():
 
     t0 = time.time()
     prog = build_frame_program(pipe, 4, 8, interpret=False)
-    xla = pipe._fused_fn(4, 8)
+    # the explicit XLA variant: _fused_fn would auto-resolve to the kernel
+    # on TPU now that the pipeline wiring is in
+    xla = pipe._fused_impl(4, 8, pipe._geo_key, False)
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)

@@ -105,6 +105,38 @@ def test_frame_kernel_int8(panoptic_rig):
                          pose_atol=2e-2) > 0
 
 
+@pytest.mark.parametrize("variant", [
+    {"lifter_prior": "median"},
+    {"lifter_prior": "irls"},
+    {"prior_gate_px": 8.0},
+    {"lifter_prior": "median", "prior_gate_px": 8.0},
+])
+def test_frame_kernel_prior_variants(panoptic_rig, variant):
+    """The trained-serving configs — median/IRLS priors and the
+    prior-quality gate — match the XLA fused path through the kernel's
+    component-form geometry (counting selection replaces sorts)."""
+    mcfg = MatcherConfig(in_dim=PANOPTIC.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(widths=(64, 64))
+    pipe = PoseEstimationPipeline(
+        PANOPTIC, panoptic_rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,),
+        threshold=0.05, decode_top_k=0, serve_dtype=jnp.bfloat16,
+        **variant)
+    assert frame_kernel_supported(pipe)
+    lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
+                               PANOPTIC.n_joints)
+    prog = build_frame_program(pipe, 4, 8, interpret=True)
+    # poison one camera's detections so the gate path actually fires
+    frames = _frames(panoptic_rig, n=3, seed=31)
+    if "prior_gate_px" in variant:
+        for fa in frames:
+            fa.kp[1, :, 5] += 200.0
+    assert _check_frames(pipe, prog, lflat, frames) > 0
+
+
 def test_frame_kernel_empty_frame(panoptic_rig):
     pipe = _mk_pipe(panoptic_rig)
     lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
@@ -201,12 +233,6 @@ def test_frame_kernel_supported_gates(panoptic_rig):
     """Unsupported configs are declined (they keep the XLA path)."""
     pipe = _mk_pipe(panoptic_rig)
     assert frame_kernel_supported(pipe)
-    pipe.prior_gate_px = 8.0
-    assert not frame_kernel_supported(pipe)
-    pipe.prior_gate_px = None
-    pipe.lifter_prior = "median"
-    assert not frame_kernel_supported(pipe)
-    pipe.lifter_prior = "mean"
     pipe.geo_rescue = 0.5
     assert not frame_kernel_supported(pipe)
     pipe.geo_rescue = 0.0
