@@ -104,21 +104,21 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                  + _mm(e2 / s, rep) * zh_e2)         # [E, F]
 
         # head destinations: self + incident edge-nodes (exact
-        # per-destination max-shift; unrolled masked max over E)
+        # per-destination max-shift).  ONE rank-3 masked max per
+        # incidence replaces the former per-head unrolled loop (H×2
+        # serial reduce ops per layer — a measurable slice of the
+        # compute-bound match stage); same elements, so the shift — and
+        # therefore every score — is bit-identical.
         ls = leaky(a1h + a2h, alpha)                 # [H, nh]
         l1h = leaky(a1e + a2h_e1, alpha)             # [E, nh]
         l2h = leaky(a1e + a2h_e2, alpha)
         l1m = jnp.where(live, l1h, neg)
         l2m = jnp.where(live, l2h, neg)
-        rows = []
-        for h in range(H):
-            m1 = jnp.max(jnp.where(inc1[:, h:h + 1] > 0, l1m, neg),
-                         axis=0, keepdims=True)      # [1, nh]
-            m2 = jnp.max(jnp.where(inc2[:, h:h + 1] > 0, l2m, neg),
-                         axis=0, keepdims=True)
-            rows.append(jnp.maximum(ls[h:h + 1],
-                                    jnp.maximum(m1, m2)))
-        m = jnp.concatenate(rows, axis=0)            # [H, nh]
+        m1 = jnp.max(jnp.where(inc1T[:, :, None] > 0, l1m[None, :, :],
+                               neg), axis=1)         # [H, nh]
+        m2 = jnp.max(jnp.where(inc2T[:, :, None] > 0, l2m[None, :, :],
+                               neg), axis=1)
+        m = jnp.maximum(ls, jnp.maximum(m1, m2))     # [H, nh]
         es = jnp.exp(ls - m)
         x1 = jnp.exp(l1m - _mm(inc1, m)) * pw        # [E, nh]
         x2 = jnp.exp(l2m - _mm(inc2, m)) * pw
