@@ -353,14 +353,14 @@ def _tri_pair_component(xn1, xn2, P1, P2, refine_steps: int = 2):
     static_argnames=("mcfg", "H", "E", "C", "S", "J", "Cu", "P",
                      "min_views", "threshold", "k_cap", "kinds", "dims",
                      "alpha_l", "out_dim", "used_pos", "cam_consts",
-                     "prior", "gate_px", "interpret"))
+                     "prior", "gate_px", "stage", "interpret"))
 def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
                        C: int, S: int, J: int, Cu: int, P: int,
                        min_views: int, threshold: float, k_cap: int,
                        kinds, dims, alpha_l: float, out_dim: int,
                        used_pos, cam_consts, prior: str = "mean",
                        gate_px: Optional[float] = None,
-                       interpret: bool = False):
+                       stage: str = "full", interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -425,6 +425,31 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
                                   layer_vals, mcfg, H)
         s_eff = jax.nn.sigmoid(logits) * pw              # [E, 1]
         scores_ref[:] = s_eff
+
+        # ``stage`` truncation points for the in-kernel ledger
+        # (scripts/bench_frame_kernel.py --stages): every output ref is
+        # still written (zeros) and every issued DMA awaited, so partial
+        # variants are well-formed programs whose chained-time DELTAS
+        # isolate decode / gather+pack / MLP-tail costs.
+        def _finish_early(skip_persons=False, skip_net=False):
+            if not skip_persons:
+                persons_ref[:] = jnp.full((P, C), -1, jnp.int32)
+                pmask_ref[:] = jnp.zeros((P, 1), f32)
+            if not skip_net:
+                net_ref[:] = jnp.zeros((M_TILE, k0p), f32)
+                for r in (gx_ref, gy_ref, gv_ref, go_ref):
+                    r[:] = jnp.zeros((Cu * P, J), f32)
+            # the "poses" output must DEPEND on the computed stage —
+            # a constant zero would let the chained-timing harness's
+            # loop body simplify to identity and elide the kernel
+            out_ref[:] = jnp.broadcast_to(jnp.sum(s_eff) * 1e-9,
+                                          (M_TILE, out_dim))
+            for d in dmas:
+                d.wait()
+
+        if stage == "gat":
+            _finish_early()
+            return
 
         # ---- 3. greedy decode (decode_device.py semantics) --------------
         e1f, e2f = ins[i_dec][:], ins[i_dec + 1][:]      # [E, 1] f32 ids
@@ -537,6 +562,10 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
         pmask = (iota_pc < n_persons).astype(f32)
         pmask_ref[:] = pmask
 
+        if stage == "decode":
+            _finish_early(skip_persons=True)
+            return
+
         # ---- 5. per-person gather (rank-3 broadcast-sums) ---------------
         net_ref[:] = jnp.zeros((M_TILE, k0p), f32)
         iota_sr = fiota((1, S), 1)
@@ -647,6 +676,10 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
                  + expand(pry, 2) + expand(prz, 3))      # [P, BW]
         for cu in range(Cu):
             net_ref[0:P, cu * bw:(cu + 1) * bw] = blocks[cu] + plane
+
+        if stage == "pack":
+            _finish_early(skip_persons=True, skip_net=True)
+            return
 
         # ---- 7. MLP with resident weights --------------------------------
         acts = (act0, act1)
@@ -764,7 +797,8 @@ def parse_frame_flat(flat) -> Tuple[Tuple[str, ...], Tuple]:
 
 
 def build_frame_program(pipe, slots: int, p_max: int,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        stage: str = "full"):
     """Build the traced (mparams, lflat, kp, valid, prob, observed,
     present) → (poses, persons, person_mask, scores, quality) program:
     XLA prologue (features, per-slot field blocks), the whole-frame
@@ -865,7 +899,7 @@ def build_frame_program(pipe, slots: int, p_max: int,
             prior=pipe.lifter_prior,
             gate_px=(None if pipe.prior_gate_px is None
                      else float(pipe.prior_gate_px)),
-            interpret=interpret)
+            stage=stage, interpret=interpret)
 
         poses = mlp_out[:p_max]
         if lcfg.residual_prior:

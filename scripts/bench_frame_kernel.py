@@ -20,6 +20,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--verify-only", action="store_true")
+    ap.add_argument("--stages", action="store_true",
+                    help="in-kernel ledger: chain-time the gat/decode/"
+                         "pack/full truncation variants; deltas isolate "
+                         "each phase (every variant still issues+awaits "
+                         "the weight DMAs)")
     ap.add_argument("--k", type=int, nargs=2, default=(20, 120))
     args = ap.parse_args()
 
@@ -130,6 +135,17 @@ def main():
     fa0 = frames[0]
     chain_args = list(fargs(fa0))
     k1, k2 = args.k
+
+    if args.stages:
+        prev = 0.0
+        for st in ("gat", "decode", "pack", "full"):
+            p = build_frame_program(pipe, 4, 8, interpret=False, stage=st)
+            us = chained_frame_us(p, (pipe.matcher_params, lflat),
+                                  chain_args, k1, k2)
+            print(f"[ab] stage {st:7s}: {us:8.1f} us   "
+                  f"(delta {us - prev:+7.1f})")
+            prev = us
+        return
     xla_us = chained_frame_us(xla, (pipe.matcher_params, pipe.lifter_params),
                               chain_args, k1, k2)
     print(f"[ab] XLA fused frame:   {xla_us:8.1f} us")
