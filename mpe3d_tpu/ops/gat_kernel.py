@@ -104,21 +104,41 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                  + _mm(e2 / s, rep) * zh_e2)         # [E, F]
 
         # head destinations: self + incident edge-nodes (exact
-        # per-destination max-shift).  ONE rank-3 masked max per
-        # incidence replaces the former per-head unrolled loop (H×2
-        # serial reduce ops per layer — a measurable slice of the
-        # compute-bound match stage); same elements, so the shift — and
-        # therefore every score — is bit-identical.
+        # per-destination max-shift).  Two forms, bit-identical (same
+        # elements reduced):
+        #   * small buckets: ONE rank-3 masked max per incidence — fewer
+        #     serial ops than the per-head loop;
+        #   * large buckets: the per-head unrolled loop — the rank-3
+        #     temporary lane-pads nh→128 (H·E·128·4 B per incidence,
+        #     25.6 MB at S=10), so the loop is kept as the defensive
+        #     form there.  Measured (scripts/check_frame_kernel_buckets
+        #     .py): at S=10 Mosaic's scoped-VMEM demand is ~identical
+        #     under both forms (195 MB megakernel / 142 MB frame kernel
+        #     — over the 128 MB part either way, probe → XLA fallback),
+        #     so the gate costs nothing and protects nothing measurable
+        #     today; it matters if scheduling improves.
         ls = leaky(a1h + a2h, alpha)                 # [H, nh]
         l1h = leaky(a1e + a2h_e1, alpha)             # [E, nh]
         l2h = leaky(a1e + a2h_e2, alpha)
         l1m = jnp.where(live, l1h, neg)
         l2m = jnp.where(live, l2h, neg)
-        m1 = jnp.max(jnp.where(inc1T[:, :, None] > 0, l1m[None, :, :],
-                               neg), axis=1)         # [H, nh]
-        m2 = jnp.max(jnp.where(inc2T[:, :, None] > 0, l2m[None, :, :],
-                               neg), axis=1)
-        m = jnp.maximum(ls, jnp.maximum(m1, m2))     # [H, nh]
+        E = int(pw.shape[0])
+        if H * E * 128 * 4 <= 8 * 1024 * 1024:       # padded rank-3 bytes
+            m1 = jnp.max(jnp.where(inc1T[:, :, None] > 0, l1m[None, :, :],
+                                   neg), axis=1)     # [H, nh]
+            m2 = jnp.max(jnp.where(inc2T[:, :, None] > 0, l2m[None, :, :],
+                                   neg), axis=1)
+            m = jnp.maximum(ls, jnp.maximum(m1, m2))  # [H, nh]
+        else:
+            rows = []
+            for h in range(H):
+                m1 = jnp.max(jnp.where(inc1[:, h:h + 1] > 0, l1m, neg),
+                             axis=0, keepdims=True)  # [1, nh]
+                m2 = jnp.max(jnp.where(inc2[:, h:h + 1] > 0, l2m, neg),
+                             axis=0, keepdims=True)
+                rows.append(jnp.maximum(ls[h:h + 1],
+                                        jnp.maximum(m1, m2)))
+            m = jnp.concatenate(rows, axis=0)        # [H, nh]
         es = jnp.exp(ls - m)
         x1 = jnp.exp(l1m - _mm(inc1, m)) * pw        # [E, nh]
         x2 = jnp.exp(l2m - _mm(inc2, m)) * pw

@@ -65,9 +65,10 @@ def _pallas_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
     compile fails — without this probe the *default* inference path would
     die at first match with no fallback (round-2 ADVICE).  Called lazily
     from ``_score_core`` for the specific bucket being built (activation
-    footprint scales with slots: the S=16 crowded bucket exceeds the
-    limit even on v5e and must fall back to XLA while S≤10 keeps the
-    kernel).  Cached per (backend, architecture, topology) for the
+    footprint scales with slots: measured on v5e the kernel holds for
+    S ≤ 4 buckets; S = 10 already demands ~195 MB scoped VMEM and falls
+    back to XLA like S = 16 — scripts/check_frame_kernel_buckets.py).
+    Cached per (backend, architecture, topology) for the
     process, and the compile itself lands in the persistent compilation
     cache, so repeat startups pay nothing."""
     key = (jax.default_backend(), tuple(matcher_cfg.hidden),

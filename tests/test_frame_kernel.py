@@ -229,6 +229,26 @@ def test_pipeline_forced_frame_kernel(panoptic_rig):
     assert checked > 0
 
 
+def test_frame_kernel_stage_variants(panoptic_rig):
+    """The measurement-only stage truncations (bench_frame_kernel
+    --stages) stay consistent with the full program where they overlap:
+    scores at every stage, persons/mask from 'decode' on."""
+    pipe = _mk_pipe(panoptic_rig)
+    lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
+                               PANOPTIC.n_joints)
+    fa = _frames(panoptic_rig, n=1, seed=41)[0]
+    full = jax.device_get(build_frame_program(
+        pipe, 4, 8, interpret=True)(pipe.matcher_params, lflat, *_args(fa)))
+    for st in ("gat", "decode", "pack"):
+        part = jax.device_get(build_frame_program(
+            pipe, 4, 8, interpret=True, stage=st)(
+                pipe.matcher_params, lflat, *_args(fa)))
+        np.testing.assert_allclose(part[3], full[3], atol=1e-7)  # scores
+        if st != "gat":
+            assert np.array_equal(part[1], full[1])              # persons
+            assert np.array_equal(part[2], full[2])              # mask
+
+
 def test_frame_kernel_supported_gates(panoptic_rig):
     """Unsupported configs are declined (they keep the XLA path)."""
     pipe = _mk_pipe(panoptic_rig)
