@@ -26,6 +26,13 @@ def main():
                          "each phase (every variant still issues+awaits "
                          "the weight DMAs)")
     ap.add_argument("--k", type=int, nargs=2, default=(20, 120))
+    ap.add_argument("--demo", default=None,
+                    help="serve a trained demo directory (matcher + "
+                         "lifter + prior meta), e.g. "
+                         "models_demo/pan_irls_bf16")
+    ap.add_argument("--gate", type=float, default=None,
+                    help="prior_gate_px for the pipeline (recommended 8 "
+                         "with prior-dropout-trained demo checkpoints)")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +55,12 @@ def main():
 
     rig_config = PANOPTIC
     rig = synthetic_ring_rig(rig_config)
+    if "--demo" in sys.argv:
+        # trained demo checkpoints pair with the reference calibration
+        tm = "/root/reference/tm_panoptic.pickle"
+        if os.path.exists(tm):
+            from mpe3d_tpu.geometry import rig_from_files
+            rig = rig_from_files(rig_config, tm)
     mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
                         out_dim=rig_config.n_joints * 3)
@@ -69,10 +82,38 @@ def main():
         print(f"[ab] matcher load skipped: {e}")
 
     serve_dtype = jnp.bfloat16 if args.dtype == "bf16" else "int8"
+    lparams_init = init_lifter(jax.random.PRNGKey(1), lcfg)
+    lifter_prior = "mean"
+    if args.demo:
+        import json
+
+        from mpe3d_tpu.train.checkpoint import load_checkpoint, read_meta
+        lroot = os.path.join(args.demo, "pose_estimator")
+        with open(lroot + ".json") as f:
+            meta = json.load(f)
+        from mpe3d_tpu.config import LifterConfig as _LC
+        lc = dict(meta.get("lifter_config", {}))
+        lc["widths"] = tuple(lc.get("widths", lcfg.widths))
+        lcfg = _LC(**lc)
+        lparams_init, _, _ = load_checkpoint(
+            lroot, init_lifter(jax.random.PRNGKey(1), lcfg))
+        lifter_prior = meta.get("prior", "mean")
+        mroot = os.path.join(args.demo, "skeleton_matching")
+        try:
+            from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                                    matcher_config_from_meta)
+            if checkpoint_exists(mroot):
+                mcfg = matcher_config_from_meta(read_meta(mroot), mcfg)
+                mparams, _, _ = load_checkpoint(
+                    mroot, init_matcher(jax.random.PRNGKey(0), mcfg))
+        except Exception as e:  # noqa: BLE001
+            print(f"[ab] demo matcher load skipped: {e}")
+        print(f"[ab] demo={args.demo} prior={lifter_prior} "
+              f"residual={lcfg.residual_prior}")
     pipe = PoseEstimationPipeline(
-        rig_config, rig, mparams, mcfg,
-        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
-        slot_buckets=(4,), person_buckets=(8,), serve_dtype=serve_dtype)
+        rig_config, rig, mparams, mcfg, lparams_init, lcfg,
+        slot_buckets=(4,), person_buckets=(8,), serve_dtype=serve_dtype,
+        lifter_prior=lifter_prior, prior_gate_px=args.gate)
     assert frame_kernel_supported(pipe), "config not kernel-supported"
 
     print(f"[ab] backend={jax.default_backend()} dtype={args.dtype}")
