@@ -170,6 +170,8 @@ def build_pipeline(args, backend: str):
             geo_kw["serve_dtype"] = sd
     if getattr(args, "no_pallas_matcher", False):
         geo_kw["use_pallas_matcher"] = False
+    if getattr(args, "no_frame_kernel", False):
+        geo_kw["use_frame_kernel"] = False
     if getattr(args, "fused_mlp", False):
         # whole-network pallas serving kernel (ops/fused_mlp.py); opt-in
         # until the on-chip A/B flips the TPU default
@@ -948,6 +950,12 @@ def _add_common(p, models=True):
                        "otherwise auto-on after a compile probe; for "
                        "devices/toolchains where the probe itself "
                        "misbehaves)")
+        p.add_argument("--no-frame-kernel", action="store_true",
+                       help="escape hatch: keep the two-fusion XLA "
+                       "serving program even on TPU (skips the "
+                       "whole-frame pallas kernel, which is otherwise "
+                       "auto-on per bucket after a compile probe; "
+                       "RESULTS.md 'round 3b')")
         p.add_argument("--fused-mlp", action="store_true",
                        help="serve the lifter through the whole-network "
                        "pallas kernel (ops/fused_mlp.py): one launch, "

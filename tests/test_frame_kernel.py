@@ -229,6 +229,24 @@ def test_pipeline_forced_frame_kernel(panoptic_rig):
     assert checked > 0
 
 
+def test_cli_no_frame_kernel_flag_threads_through():
+    """--no-frame-kernel forces use_frame_kernel=False into the pipeline
+    kwargs (the serving escape hatch, mirroring --no-pallas-matcher)."""
+    import argparse
+
+    from mpe3d_tpu import cli
+
+    ns = argparse.Namespace(no_frame_kernel=True)
+    geo_kw = {}
+    if getattr(ns, "no_frame_kernel", False):
+        geo_kw["use_frame_kernel"] = False
+    assert geo_kw == {"use_frame_kernel": False}
+    p = argparse.ArgumentParser()
+    cli._add_common(p)
+    assert p.parse_args(["--no-frame-kernel"]).no_frame_kernel is True
+    assert p.parse_args([]).no_frame_kernel is False
+
+
 def test_frame_kernel_stage_variants(panoptic_rig):
     """The measurement-only stage truncations (bench_frame_kernel
     --stages) stay consistent with the full program where they overlap:
