@@ -229,6 +229,38 @@ def test_pipeline_forced_frame_kernel(panoptic_rig):
     assert checked > 0
 
 
+def test_frame_kernel_arplab_topology():
+    """The 6-camera ARP Lab rig (15 camera pairs, 1512-dim lifter input,
+    K0p = 6*256) through the kernel matches the XLA fused path — covers
+    the non-PANOPTIC static topology paths (pair loops, block layout)."""
+    from mpe3d_tpu.config import ARPLAB
+    from mpe3d_tpu.data.synthetic import synthetic_ring_rig
+
+    rig = synthetic_ring_rig(ARPLAB)
+    mcfg = MatcherConfig(in_dim=ARPLAB.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(in_dim=ARPLAB.lifter_input_dim,
+                        out_dim=ARPLAB.n_joints * 3, widths=(64, 64))
+    pipe = PoseEstimationPipeline(
+        ARPLAB, rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,),
+        threshold=0.05, decode_top_k=0, serve_dtype=jnp.bfloat16,
+        lifter_prior="median")
+    assert frame_kernel_supported(pipe)
+    lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
+                               ARPLAB.n_joints)
+    prog = build_frame_program(pipe, 4, 8, interpret=True)
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = [parse_frame(f, ARPLAB, max_skeletons=4)
+              for f in generate_frames(ARPLAB, rig, 3, n_people=(1, 3),
+                                       seed=17, noise=noise,
+                                       with_gt=False)]
+    assert _check_frames(pipe, prog, lflat, frames) > 0
+
+
 def test_cli_no_frame_kernel_flag_threads_through():
     """--no-frame-kernel forces use_frame_kernel=False into the pipeline
     kwargs (the serving escape hatch, mirroring --no-pallas-matcher)."""
