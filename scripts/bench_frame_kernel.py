@@ -26,6 +26,8 @@ def main():
                          "each phase (every variant still issues+awaits "
                          "the weight DMAs)")
     ap.add_argument("--k", type=int, nargs=2, default=(20, 120))
+    ap.add_argument("--rig", default="PANOPTIC",
+                    choices=["PANOPTIC", "ARPLAB"])
     ap.add_argument("--demo", default=None,
                     help="serve a trained demo directory (matcher + "
                          "lifter + prior meta), e.g. "
@@ -53,11 +55,13 @@ def main():
                                             pack_frame_serving)
     from mpe3d_tpu.pipeline import PoseEstimationPipeline
 
-    rig_config = PANOPTIC
+    from mpe3d_tpu.config import get_rig
+    rig_config = get_rig(args.rig)
     rig = synthetic_ring_rig(rig_config)
-    if "--demo" in sys.argv:
+    if args.demo:
         # trained demo checkpoints pair with the reference calibration
-        tm = "/root/reference/tm_panoptic.pickle"
+        tm = ("/root/reference/tm_arp.pickle" if args.rig == "ARPLAB"
+              else "/root/reference/tm_panoptic.pickle")
         if os.path.exists(tm):
             from mpe3d_tpu.geometry import rig_from_files
             rig = rig_from_files(rig_config, tm)
