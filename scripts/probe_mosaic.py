@@ -12,6 +12,23 @@ Design decisions gated on this (see docs/ARCHITECTURE.md):
   * candidate field extraction: masked-reduce scalars vs SMEM tables
   * prior-plane assembly: stack+reshape lane-merge vs static expansion
     matrices (the Ek broadcast-sum form needs neither)
+
+Measured on the real v5e (2026-08-22 session, jax in this image):
+
+    dyn_fori                 OK    dynamic fori_loop trip counts work
+    dyn_fori_vmem_scalar     OK    bound from an in-kernel reduction too
+    argmax_extract           OK    iterated-argmax decode is viable
+    scalar_select_broadcast  OK    0-d scalars drive vector selects
+    rank3_bcast_reduce       OK    gather/pack as rank-3 multiply-sums
+    expand_matrix            OK    prior scatter via static 0/1 matrices
+    stack_reshape            FAIL  no lane-merge reshape (avoided)
+    unaligned_store          OK    non-128-aligned lane slices store fine
+    entry_dma_fanout         OK    the weight-stream overlap pattern
+    int_vector_ops           OK    int32 compares/selects
+    cumsum                   FAIL  no cumsum (dense LE-mask instead)
+
+(An f32 broadcasted_iota also fails verification — tpu.iota is
+integer-only; build int32 and cast.)
 """
 
 import sys
