@@ -114,7 +114,12 @@ def _frame_kernel_probe_ok(pipe: "PoseEstimationPipeline", slots: int,
            tuple(pipe.matcher_cfg.heads), tuple(pipe.lifter_cfg.widths),
            str(pipe.serve_dtype), pipe.rig_config.name,
            len(pipe.used_idx), slots, p_max,
-           pipe.lifter_prior, pipe.prior_gate_px)
+           pipe.lifter_prior, pipe.prior_gate_px,
+           # baked statics that don't affect compile success today but
+           # would silently share a stale verdict if the kernel ever
+           # gated on them (round-3 ADVICE)
+           pipe.rig_config.min_number_of_views, pipe.threshold,
+           pipe._decode_top_k_eff, pipe.lifter_cfg.residual_prior)
     hit = _FRAME_KERNEL_PROBE.get(key)
     if hit is not None:
         return hit
@@ -660,9 +665,10 @@ class PoseEstimationPipeline:
     def _frame_kernel_on(self, slots: int, p_max: int) -> bool:
         """Resolve whether THIS bucket serves through the whole-frame
         pallas kernel.  Cheap (dict lookups after the first probe) and
-        re-evaluated on every `_fused_fn` call, so mutating a gating knob
-        (e.g. prior_gate_px) on a live pipeline falls back to the XLA
-        path on the next dispatch."""
+        re-evaluated on every `_fused_fn` call; together with `_knob_key`
+        in the program cache key, mutating a gating knob (e.g.
+        prior_gate_px) on a live pipeline compiles a fresh program with
+        the new value on the next dispatch."""
         if self.use_frame_kernel is False or self.lifter_params_frame is None:
             return False
         from mpe3d_tpu.ops.frame_kernel import frame_kernel_supported
@@ -673,12 +679,22 @@ class PoseEstimationPipeline:
         return (jax.default_backend() == "tpu"
                 and _frame_kernel_probe_ok(self, slots, p_max))
 
+    def _knob_key(self):
+        """Baked statics NOT already covered by `_geo_key` (threshold,
+        gate, top-k, tri variant live there).  Part of the `_fused_impl`
+        cache key so mutating one on a live pipeline (e.g.
+        ``pipe.lifter_prior = "irls"``) compiles a fresh program on the
+        next dispatch instead of silently reusing one with the old value
+        baked in (round-3 ADVICE)."""
+        return (self.lifter_prior, self.compute_dtype)
+
     def _fused_fn(self, slots: int, p_max: int):
         return self._fused_impl(slots, p_max, self._geo_key,
-                                self._frame_kernel_on(slots, p_max))
+                                self._frame_kernel_on(slots, p_max),
+                                self._knob_key())
 
     def _fused_impl(self, slots: int, p_max: int, geo_key,
-                    use_kernel: bool = False):
+                    use_kernel: bool = False, knob_key=None):
         """ONE compiled program: features + GAT + on-device greedy decode +
         per-person gather + 3D backend.  Single dispatch + single readback
         per frame — the latency north star (SURVEY.md §7 step 5).
@@ -687,7 +703,10 @@ class PoseEstimationPipeline:
         pallas kernel (ops/frame_kernel.py — same outputs, weight stream
         overlapped under the match compute); its ``lparams`` argument is
         then the frame-packed serving list (``lifter_params_frame``), not
-        the layer tree."""
+        the layer tree.  ``knob_key`` is unused in the body — it exists
+        purely to key the per-instance lru_cache on the baked gating
+        knobs (see `_knob_key`)."""
+        del knob_key
         if use_kernel:
             from mpe3d_tpu.ops.frame_kernel import build_frame_program
             return jax.jit(build_frame_program(self, slots, p_max))
@@ -763,9 +782,11 @@ class PoseEstimationPipeline:
         return run
 
     def _fused_batch_fn(self, slots: int, p_max: int):
-        return self._fused_batch_impl(slots, p_max, self._geo_key)
+        return self._fused_batch_impl(slots, p_max, self._geo_key,
+                                      self._knob_key())
 
-    def _fused_batch_impl(self, slots: int, p_max: int, geo_key):
+    def _fused_batch_impl(self, slots: int, p_max: int, geo_key,
+                          knob_key=None):
         """vmap of the fused program over a frame batch — offline-eval
         throughput mode (the whole test set in a handful of dispatches).
 
@@ -773,7 +794,7 @@ class PoseEstimationPipeline:
         weight stream across frames through XLA's own scheduling, while
         vmapping the whole-frame kernel would re-stream weights per
         frame (and vmapped scratch/DMA semantics are unsupported)."""
-        single = self._fused_impl(slots, p_max, geo_key, False)
+        single = self._fused_impl(slots, p_max, geo_key, False, knob_key)
 
         @jax.jit
         def run(mparams, lparams, kp, valid, prob, observed, present):
