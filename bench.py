@@ -61,6 +61,114 @@ def _start_watchdog(seconds: float):
     return t
 
 
+def build_bench_pipe():
+    """The bench's pipeline + synthetic frame set, shared with
+    scripts/ondevice_frame_probe.py so the per-session latency probes
+    measure EXACTLY the configuration the main bench measures."""
+    import os as _os
+
+    import jax
+
+    from mpe3d_tpu.config import PANOPTIC, LifterConfig, MatcherConfig
+    from mpe3d_tpu.data.frames import parse_frame
+    from mpe3d_tpu.data.synthetic import (SceneNoise, generate_frames,
+                                          synthetic_ring_rig)
+    from mpe3d_tpu.models.gat import init_matcher
+    from mpe3d_tpu.models.mlp import init_lifter
+    from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+    rig_config = PANOPTIC
+    # the reference calibration when present: the demo matcher below is
+    # TRAINED on it — paired with the synthetic ring rig its scores
+    # collapse to ~0 and the decode loop runs ZERO trips (best-case, not
+    # serving; round-4 finding).  Ring rig only as the no-fixture fallback.
+    rig = synthetic_ring_rig(rig_config)
+    _tm = "/root/reference/tm_panoptic.pickle"
+    if _os.path.exists(_tm):
+        from mpe3d_tpu.geometry import rig_from_files
+        rig = rig_from_files(rig_config, _tm)
+    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
+    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
+                        out_dim=rig_config.n_joints * 3)
+    # the TRAINED demo matcher when available: a random-init matcher's
+    # ~0.5 sigmoid scores mark half of all candidate pairs eligible, so
+    # the decode's dynamic trip count always hits the K cap — worst-case,
+    # not the serving regime the reference's 51.32 ms was measured in.
+    # Compute cost is otherwise weight-value-independent.
+    mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
+    _demo = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "models_demo", "widefield", "skeleton_matching")
+    try:
+        from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
+                                                load_checkpoint,
+                                                matcher_config_from_meta,
+                                                read_meta)
+        if checkpoint_exists(_demo):
+            mcfg = matcher_config_from_meta(read_meta(_demo), mcfg)
+            mparams, _, _ = load_checkpoint(
+                _demo, init_matcher(jax.random.PRNGKey(0), mcfg))
+    except Exception:
+        pass                      # random init keeps the bench contract
+    pipe = PoseEstimationPipeline(
+        rig_config, rig,
+        mparams, mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,))
+    return pipe, rig_config, rig, mcfg, lcfg
+
+
+def measure_ondevice_frame_us(pipe, frames, smoke: bool) -> float:
+    """The honest on-device per-frame chained differential (see below)."""
+    import jax.numpy as jnp
+
+    from mpe3d_tpu.benchutil import chained_frame_us
+
+    core = pipe._fused_fn(4, 8)
+    lparams_bench = (pipe.lifter_params_frame if pipe._frame_kernel_on(4, 8)
+                     else pipe.lifter_params_serve)
+    fa0 = frames[0]
+    chain_args = [jnp.asarray(fa0.kp[:, :4]), jnp.asarray(fa0.valid[:, :4]),
+                  jnp.asarray(fa0.prob[:, :4]),
+                  jnp.asarray(fa0.in_view[:, :4]),
+                  jnp.asarray(fa0.present[:, :4])]
+    K1, K2 = (2, 6) if smoke else (20, 120)
+    model_args = (pipe.matcher_params, lparams_bench)
+    return chained_frame_us(core, model_args, chain_args, K1, K2), model_args
+
+
+def _session_probes(k: int, timeout_s: float = 600.0):
+    """Run up to ``k`` SEQUENTIAL fresh-process probes of the on-device
+    frame time (scripts/ondevice_frame_probe.py), one relay session each.
+
+    Round-3 finding (RESULTS "session spread"): the relay's effective
+    stream rate varies ±25 % across sessions, so any single-session
+    number over- or under-states the kernel.  Sequential because two
+    concurrent TPU processes through the relay queue-stall each other
+    (CLAUDE.md).  Returns the list of measured µs (may be short: a probe
+    that hangs or dies is dropped)."""
+    import os
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "ondevice_frame_probe.py")
+    out = []
+    for _ in range(k):
+        try:
+            r = subprocess.run([sys.executable, script], timeout=timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                for line in reversed(r.stdout.strip().splitlines()):
+                    try:
+                        d = json.loads(line)
+                        out.append(float(d["ondevice_frame_us"]))
+                        break
+                    except (json.JSONDecodeError, KeyError):
+                        continue
+        except subprocess.TimeoutExpired:
+            pass
+    return out
+
+
 def main() -> int:
     smoke = "--smoke" in sys.argv
     backend = "cpu_smoke" if smoke else "device"
@@ -92,36 +200,7 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/tmp/mpe3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    rig_config = PANOPTIC
-    rig = synthetic_ring_rig(rig_config)
-    mcfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
-    lcfg = LifterConfig(in_dim=rig_config.lifter_input_dim,
-                        out_dim=rig_config.n_joints * 3)
-    # the TRAINED demo matcher when available: a random-init matcher's
-    # ~0.5 sigmoid scores mark half of all candidate pairs eligible, so
-    # the decode's dynamic trip count always hits the K cap — worst-case,
-    # not the serving regime the reference's 51.32 ms was measured in.
-    # Compute cost is otherwise weight-value-independent.
-    import os as _os
-    mparams = init_matcher(jax.random.PRNGKey(0), mcfg)
-    _demo = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                          "models_demo", "widefield", "skeleton_matching")
-    try:
-        from mpe3d_tpu.train.checkpoint import (checkpoint_exists,
-                                                load_checkpoint,
-                                                matcher_config_from_meta,
-                                                read_meta)
-        if checkpoint_exists(_demo):
-            mcfg = matcher_config_from_meta(read_meta(_demo), mcfg)
-            mparams, _, _ = load_checkpoint(
-                _demo, init_matcher(jax.random.PRNGKey(0), mcfg))
-    except Exception:
-        pass                      # random init keeps the bench contract
-    pipe = PoseEstimationPipeline(
-        rig_config, rig,
-        mparams, mcfg,
-        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
-        slot_buckets=(4,), person_buckets=(8,))
+    pipe, rig_config, rig, mcfg, lcfg = build_bench_pipe()
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
@@ -202,20 +281,20 @@ def main() -> int:
     # the fused program's lifter argument depends on which body serves the
     # bucket: the whole-frame pallas kernel takes the frame-packed list,
     # the XLA program the layer tree (pipeline.submit_fused logic)
-    core = pipe._fused_fn(4, 8)
-    lparams_bench = (pipe.lifter_params_frame if pipe._frame_kernel_on(4, 8)
-                     else pipe.lifter_params_serve)
-    fa0 = frames[0]
-    chain_args = [jnp.asarray(fa0.kp[:, :4]), jnp.asarray(fa0.valid[:, :4]),
-                  jnp.asarray(fa0.prob[:, :4]),
-                  jnp.asarray(fa0.in_view[:, :4]),
-                  jnp.asarray(fa0.present[:, :4])]
+    ondevice_us_own, model_args = measure_ondevice_frame_us(pipe, frames,
+                                                            smoke)
 
-    from mpe3d_tpu.benchutil import chained_frame_us
-
-    K1, K2 = (2, 6) if smoke else (20, 120)
-    model_args = (pipe.matcher_params, lparams_bench)
-    ondevice_us = chained_frame_us(core, model_args, chain_args, K1, K2)
+    # session-robust headline (round-3 VERDICT #5): the relay's effective
+    # rate varies ±25 % across sessions, so the headline is the MEDIAN of
+    # this session + 2 sequential fresh-process probes (persistent compile
+    # cache makes repeats cheap).  All raw values are reported.
+    sessions = [ondevice_us_own]
+    if not smoke:
+        sessions += _session_probes(2)
+    sessions_sorted = sorted(sessions)
+    ondevice_us = sessions_sorted[len(sessions_sorted) // 2]
+    spread_pct = (100.0 * (max(sessions) - min(sessions)) / ondevice_us
+                  if ondevice_us > 0 else -1.0)
 
     # HBM roofline: the fused frame is weight-streaming-bound (arithmetic
     # intensity ≈ P_max=8 FLOP/byte ≪ the v5e ridge ~240), so light speed
@@ -333,11 +412,19 @@ def main() -> int:
     sps_best = reps_t * n_best / (time.perf_counter() - t0)
     mfu_best = 3.0 * mm_flops_fwd * sps_best / 1e12 / PEAK_BF16_TFLOPS * 100
 
-    # ---- matcher training throughput (round-2 VERDICT item 4) -----------
-    # Scenes/s of the GAT matcher train step at the reference protocol
-    # shapes (composite scenes, S=4 slots).  MFU from XLA's own cost
-    # analysis of the compiled step (the GAT's incidence-matmul FLOPs
-    # depend on topology, so the analytic lifter model doesn't apply).
+    # ---- matcher training throughput (round-3 VERDICT item 2) -----------
+    # Scenes/s of the GAT matcher trainer through the SAME scan-chained
+    # epoch program ``train_matcher`` runs (one dispatch per epoch, scene
+    # bank device-resident).  The round-3 bench timed 10 INDIVIDUAL step
+    # dispatches after a readback — through the relay each dispatch costs
+    # ~25 ms RTT (CLAUDE.md), so that loop measured the relay, not the
+    # trainer (BENCH_r03: 425.8 scenes/s / 0.41 "MFU").  MFU from XLA's
+    # own cost analysis of the compiled epoch (the GAT's incidence-matmul
+    # FLOPs depend on topology, so the analytic lifter model doesn't
+    # apply).  Two ladder rows, mirroring the lifter's: the reference-
+    # parity config (fp32 "highest" matmuls — serving-score numerics) and
+    # the max-throughput config (bigger batch, bf16 matmul operands via
+    # MatcherConfig.matmul_precision="default").
     from mpe3d_tpu.matching.features import build_topology
     from mpe3d_tpu.train.matcher import make_matcher_step
 
@@ -346,35 +433,54 @@ def main() -> int:
     S_m = 4
     topo_m = build_topology(len(pipe.match_idx), S_m)
     tx_m = optax.adamw(1e-4, weight_decay=1e-20)
-    mcfg_t = _dc.replace(mcfg, feat_drop=0.0, attn_drop=0.0)  # no-key step
-    mstep, *_ = make_matcher_step(pipe.match_rig, rig_config, topo_m,
-                                  mcfg_t, tx_m)
-    mp_t = init_matcher(jax.random.PRNGKey(7), mcfg)
-    mo_t = tx_m.init(mp_t)
-    Bm = 8 if smoke else 60
     Cm, Jm, Em = len(pipe.match_idx), rig_config.n_joints, topo_m.n_pairs
-    kmb = jax.random.PRNGKey(8)
-    mbatch = (jax.random.uniform(kmb, (Bm, Cm, S_m, Jm, 2)) * 500,
-              jnp.ones((Bm, Cm, S_m, Jm)), jnp.ones((Bm, Cm, S_m, Jm)),
-              jnp.ones((Bm, Cm, S_m, Jm), bool), jnp.ones((Bm, Cm, S_m), bool),
-              jnp.zeros((Bm, Em)), jnp.ones((Bm, Em)))
-    mp_t, mo_t, ml = mstep(mp_t, mo_t, mbatch)
-    float(ml)
-    try:
-        cost = jax.jit(lambda p, o, b: mstep(p, o, b)).lower(
-            mp_t, mo_t, mbatch).compile().cost_analysis()
-        m_flops_step = float(cost.get("flops", 0.0))
-    except Exception:
-        m_flops_step = 0.0
-    t0 = time.perf_counter()
-    reps_m = 2 if smoke else 10
-    for _ in range(reps_m):
-        mp_t, mo_t, ml = mstep(mp_t, mo_t, mbatch)
-    float(ml)
-    m_wall = time.perf_counter() - t0
-    m_sps = reps_m * Bm / m_wall
-    m_mfu = (m_flops_step * reps_m / m_wall / 1e12
-             / PEAK_BF16_TFLOPS * 100.0) if m_flops_step else -1.0
+
+    def matcher_row(batch, k_batches, precision):
+        mcfg_t = _dc.replace(mcfg, feat_drop=0.0, attn_drop=0.0,
+                             matmul_precision=precision)
+        _, _, _, mepoch, _ = make_matcher_step(pipe.match_rig, rig_config,
+                                               topo_m, mcfg_t, tx_m)
+        n = batch * k_batches
+        kmb = jax.random.PRNGKey(8)
+        bank = jax.jit(lambda k: (
+            jax.random.uniform(k, (n, Cm, S_m, Jm, 2)) * 500,
+            jnp.ones((n, Cm, S_m, Jm)), jnp.ones((n, Cm, S_m, Jm)),
+            jnp.ones((n, Cm, S_m, Jm), bool),
+            jnp.ones((n, Cm, S_m), bool),
+            jnp.zeros((n, Em)), jnp.ones((n, Em))))(kmb)
+        mp = init_matcher(jax.random.PRNGKey(7), mcfg_t)
+        mo = tx_m.init(mp)
+        try:
+            cost = mepoch.lower(mp, mo, bank, kmb, k_batches=k_batches,
+                                batch_size=batch).compile().cost_analysis()
+            flops_ep = float(cost.get("flops", 0.0))
+        except Exception:
+            flops_ep = 0.0
+        mp, mo, ml = mepoch(mp, mo, bank, kmb, k_batches=k_batches,
+                            batch_size=batch)          # warm (compile)
+        float(ml.sum())
+        mk = jax.random.PRNGKey(10)
+        reps = 1 if smoke else 4
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            mk, k = jax.random.split(mk)
+            mp, mo, ml = mepoch(mp, mo, bank, k, k_batches=k_batches,
+                                batch_size=batch)
+        float(ml.sum())
+        wall = time.perf_counter() - t0
+        sps = reps * n / wall
+        mfu = (flops_ep * reps / wall / 1e12
+               / PEAK_BF16_TFLOPS * 100.0) if flops_ep else -1.0
+        return sps, mfu
+
+    if smoke:
+        m_sps, m_mfu = matcher_row(8, 2, "highest")
+        m_sps_best, m_mfu_best = matcher_row(16, 2, "default")
+        Bm, Bm_best = 8, 16
+    else:
+        m_sps, m_mfu = matcher_row(60, 16, "highest")
+        m_sps_best, m_mfu_best = matcher_row(512, 8, "default")
+        Bm, Bm_best = 60, 512
 
     # Primary metric: steady-state streaming per-frame latency.  The
     # reference's 51.32 ms is the average over a continuous evaluation loop
@@ -394,6 +500,8 @@ def main() -> int:
         "serve_frame_ms": round(serve_ms, 3),
         "batched_throughput_fps": round(fps, 1),
         "ondevice_frame_us": round(ondevice_us, 1),
+        "ondevice_frame_us_sessions": [round(u, 1) for u in sessions],
+        "ondevice_frame_spread_pct": round(spread_pct, 1),
         "served_weight_mb": round(wbytes / 2**20, 2),
         "hbm_roofline_pct": round(100.0 * hbm_floor_us / ondevice_us, 1),
         "ondevice_batched_frame_us": round(ondevice_batched_us, 1),
@@ -407,6 +515,9 @@ def main() -> int:
         "matcher_train_scenes_per_s": round(m_sps, 1),
         "matcher_train_mfu_pct": round(m_mfu, 2),
         "matcher_train_batch": Bm,
+        "matcher_train_best_scenes_per_s": round(m_sps_best, 1),
+        "matcher_train_best_mfu_pct": round(m_mfu_best, 2),
+        "matcher_train_best_config": f"batch{Bm_best}_bf16",
     }))
     return 0
 

@@ -239,6 +239,13 @@ class MatcherConfig:
     # whole-stack VMEM-resident megakernel at inference (ops/gat_kernel.py);
     # serving knob like use_pallas_proj, not part of the architecture
     use_pallas_matcher: bool = False
+    # matmul operand precision for the XLA GAT path.  "highest" (default)
+    # keeps fp32 operands — serving parity: bf16 rounding visibly moves
+    # scores near the 0.5 decision threshold (models/gat.py).  "default"
+    # lets the MXU take bf16 operands (fp32 accumulate) — the training-
+    # throughput configuration (bench.py matcher ladder); not a serving
+    # knob.
+    matmul_precision: str = "highest"
 
     @property
     def n_layers(self) -> int:

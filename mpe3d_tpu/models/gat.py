@@ -134,7 +134,8 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
                nh: int, d_out: int, alpha: float,
                use_pallas: bool = False, residual: bool = False,
                drop_key=None, feat_drop: float = 0.0,
-               attn_drop: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               attn_drop: float = 0.0,
+               precision: str = "highest") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One attention layer.  xh: [H, Din] head feats, xe: [E, Din] edge-node
     feats, pair_w: [E] softmax weight per pair (0 = absent, 2 = duplicated).
     Returns (out_h [H, nh, d_out], out_e [E, nh, d_out]).
@@ -163,10 +164,12 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
         xh = _dropout(kh, xh, feat_drop)
         xe = _dropout(ke, xe, feat_drop)
 
-    # fp32 operands on the MXU ("highest"): the matcher is latency-bound,
-    # not FLOP-bound, and bf16 operand rounding (TPU default) visibly moves
-    # scores near the 0.5 decision threshold.
-    mm = lambda a, b: jnp.dot(a, b, precision="highest",
+    # fp32 operands on the MXU ("highest") by default: the matcher is
+    # latency-bound at serving, not FLOP-bound, and bf16 operand rounding
+    # (TPU default) visibly moves scores near the 0.5 decision threshold.
+    # cfg.matmul_precision="default" relaxes this for the training-
+    # throughput configuration (bf16 operands, fp32 accumulate).
+    mm = lambda a, b: jnp.dot(a, b, precision=precision,
                               preferred_element_type=jnp.float32)
 
     def proj(x):
@@ -189,7 +192,7 @@ def _gat_layer(layer: Params, xh: jnp.ndarray, xe: jnp.ndarray,
     z_all = proj(jnp.concatenate([xh, xe], axis=0))      # [H+E, nh, d]
     a_lr = jnp.stack([layer["attn_l"], layer["attn_r"]], axis=-1)
     att_all = jnp.einsum("nhd,hdk->nhk", z_all, a_lr,
-                         precision="highest")            # [H+E, nh, 2]
+                         precision=precision)            # [H+E, nh, 2]
     zh, ze = z_all[:H], z_all[H:]
     a1h, a2h = att_all[:H, :, 0], att_all[:H, :, 1]
     a1e, a2e = att_all[H:, :, 0], att_all[H:, :, 1]
@@ -310,7 +313,9 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
                             use_pallas=cfg.use_pallas_proj,
                             residual=cfg.residual and l > 0,
                             drop_key=lkey, feat_drop=cfg.feat_drop,
-                            attn_drop=cfg.attn_drop)
+                            attn_drop=cfg.attn_drop,
+                            precision=getattr(cfg, "matmul_precision",
+                                              "highest"))
         if l < n - 1:
             xh = jax.nn.leaky_relu(oh.reshape(-1, nh * d_out), cfg.hidden_slope)
             xe = jax.nn.leaky_relu(oe.reshape(-1, nh * d_out), cfg.hidden_slope)
