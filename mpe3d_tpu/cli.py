@@ -222,13 +222,25 @@ def cmd_train_matcher(args):
                               batch_size=args.batch_size, seed=args.seed,
                               checkpoint_backend=args.ckpt_backend)
     cfg = MatcherConfig(in_dim=rig_config.matcher_feature_dim)
-    train = build_matcher_scenes([load_frames(p) for p in args.trainset],
-                                 rig_config, topo, limit=tcfg.limit,
-                                 seed=tcfg.seed)
+    train = bank = None
+    if getattr(args, "device_synth", False):
+        from mpe3d_tpu.train.matcher_synth import build_scene_bank
+        bank = build_scene_bank([load_frames(p) for p in args.trainset],
+                                rig_config)
+        n_bank = int(bank.kp.shape[0])
+        print(f"device-synth bank: {n_bank} frames, "
+              f"{int(bank.aug_frame.shape[0])} augmented entries; "
+              f"{tcfg.limit} scenes/epoch synthesized on device")
+    else:
+        train = build_matcher_scenes([load_frames(p) for p in args.trainset],
+                                     rig_config, topo, limit=tcfg.limit,
+                                     seed=tcfg.seed)
     dev = build_matcher_scenes([load_frames(p) for p in args.devset],
                                rig_config, topo, limit=tcfg.limit,
                                seed=tcfg.seed + 1)
-    print(f"train scenes: {len(train)}, dev scenes: {len(dev)}")
+    print(f"train scenes: "
+          f"{'on-device synth' if bank is not None else len(train)}, "
+          f"dev scenes: {len(dev)}")
     out = os.path.join(args.modelsdir, "skeleton_matching")
     params = opt_state = None
     if getattr(args, "resume", False):
@@ -255,7 +267,7 @@ def cmd_train_matcher(args):
               f"opt_state={'yes' if opt_state is not None else 'no'})")
     res = train_matcher(train, dev, rig_config, rig, topo, cfg, tcfg,
                         checkpoint_path=out, params=params,
-                        opt_state=opt_state)
+                        opt_state=opt_state, synth_bank=bank)
     print(f"best dev loss {res.best_val_loss:.6f} after {res.epochs_run} "
           f"epochs → {out} [{tcfg.checkpoint_backend}]")
     if args.testset:
@@ -988,6 +1000,11 @@ def make_parser() -> argparse.ArgumentParser:
                    help="checkpoint format: 'npz' = synchronous flat npz; "
                    "'orbax' = async background saves, sharded-aware "
                    "(train/checkpoint.py).  Loading auto-detects either.")
+    p.add_argument("--device-synth", action="store_true",
+                   help="synthesize training composites ON DEVICE each "
+                   "epoch (jax RNG over a resident recording bank, "
+                   "train/matcher_synth.py) instead of pre-building "
+                   "--limit host scenes; the dev set stays host-built")
     p.set_defaults(fn=cmd_train_matcher)
 
     p = sub.add_parser("train-lifter")

@@ -55,6 +55,69 @@ def _layer_dims(cfg: MatcherConfig):
     return dims
 
 
+def _chunked_head_max(inc1, inc2, l1m, l2m, H: int, E: int, nh: int):
+    """Per-head masked max over incident edges, chunked over E-blocks.
+
+    Returns (m1, m2) [H, nh] = max over edges e with inc{1,2}[e, h] > 0 of
+    l{1,2}m[e] — element-identical to the one-shot rank-3 form (fp max is
+    associative/commutative), but each step's padded rank-3 temporary is
+    bounded at [B, H, 128] fp32 instead of [H, E, 128].  Two forms,
+    selected by the GAT_HEAD_MAX_FORM env knob at trace time: ``unroll``
+    (default — static slices; few short-lived temporaries per chunk) and
+    ``fori`` (lax.fori_loop + dynamic row slices — provable buffer reuse,
+    but Mosaic on v5e does not lower dynamic_slice on values yet, so it
+    is only usable where that lands).
+    """
+    import os
+
+    # bound each [B, H(sublane-pad 8), 128(lane-pad)] fp32 temp at ~8 MB
+    B = 128
+    hp = ((H + 7) // 8) * 8
+    while B * 2 * hp * 128 * 4 <= 8 * 1024 * 1024 and B * 2 < E:
+        B *= 2
+    n_chunks = -(-E // B)
+    Ep = n_chunks * B
+    neg = jnp.float32(-jnp.inf)
+
+    def pad_rows(a, fill):
+        if Ep == E:
+            return a
+        tail = jnp.full((Ep - E, a.shape[1]), fill, a.dtype)
+        return jnp.concatenate([a, tail], axis=0)
+
+    i1, i2 = pad_rows(inc1, 0.0), pad_rows(inc2, 0.0)
+    p1, p2 = pad_rows(l1m, neg), pad_rows(l2m, neg)
+
+    def block_max(i1c, i2c, p1c, p2c):
+        t1 = jnp.max(jnp.where(i1c[:, :, None] > 0, p1c[:, None, :], neg),
+                     axis=0)[:, :nh]                 # [H, nh]
+        t2 = jnp.max(jnp.where(i2c[:, :, None] > 0, p2c[:, None, :], neg),
+                     axis=0)[:, :nh]
+        return t1, t2
+
+    # Mosaic (measured on v5e, round 4) does not lower dynamic_slice on
+    # values — the fori form is kept for backends that grow support, but
+    # the statically-unrolled chunk loop is the default
+    form = os.environ.get("GAT_HEAD_MAX_FORM", "unroll")
+    if form == "unroll" or n_chunks == 1:
+        m1 = m2 = None
+        for c in range(n_chunks):
+            sl = slice(c * B, (c + 1) * B)
+            t1, t2 = block_max(i1[sl], i2[sl], p1[sl], p2[sl])
+            m1 = t1 if m1 is None else jnp.maximum(m1, t1)
+            m2 = t2 if m2 is None else jnp.maximum(m2, t2)
+        return m1, m2
+
+    def body(c, carry):
+        m1, m2 = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * B, B, 0)  # noqa: E731
+        t1, t2 = block_max(sl(i1), sl(i2), sl(p1), sl(p2))
+        return jnp.maximum(m1, t1), jnp.maximum(m2, t2)
+
+    init = (jnp.full((H, nh), neg), jnp.full((H, nh), neg))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
 def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                      cfg: MatcherConfig, H: int):
     """The whole GAT stack on in-register/VMEM VALUES — shared by the
@@ -103,20 +166,29 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
         out_e = (_mm(e0 / s, rep) * ze + _mm(e1 / s, rep) * zh_e1
                  + _mm(e2 / s, rep) * zh_e2)         # [E, F]
 
+        if l == n_layers - 1:
+            return out_e                             # [E, 1] logits —
+            # the head-destination branch below is dead for the final
+            # layer (only edge scores leave the stack); skipping it
+            # drops one full head-softmax pass from the critical path
+
+
+
         # head destinations: self + incident edge-nodes (exact
-        # per-destination max-shift).  Two forms, bit-identical (same
-        # elements reduced):
-        #   * small buckets: ONE rank-3 masked max per incidence — fewer
-        #     serial ops than the per-head loop;
-        #   * large buckets: the per-head unrolled loop — the rank-3
-        #     temporary lane-pads nh→128 (H·E·128·4 B per incidence,
-        #     25.6 MB at S=10), so the loop is kept as the defensive
-        #     form there.  Measured (scripts/check_frame_kernel_buckets
-        #     .py): at S=10 Mosaic's scoped-VMEM demand is ~identical
-        #     under both forms (195 MB megakernel / 142 MB frame kernel
-        #     — over the 128 MB part either way, probe → XLA fallback),
-        #     so the gate costs nothing and protects nothing measurable
-        #     today; it matters if scheduling improves.
+        # per-destination max-shift).  Three forms, bit-identical (the
+        # same element set is max-reduced; fp max is order-independent):
+        #   * small buckets: ONE rank-3 masked max per incidence — the
+        #     padded temporary is [H, E, 128] fp32 (nh lane-pads to 128);
+        #   * large buckets: a CHUNKED running max over E-blocks — each
+        #     step's rank-3 temporary is bounded at ~[H, B, 128] while
+        #     the carried max stays [H, nh].  This replaced the round-3
+        #     per-head unrolled loop (H×2 masked-max temporaries per
+        #     layer), whose dead-temp pile was the dominant term in the
+        #     S=10/16 scoped-VMEM blowups (142-195 MB measured,
+        #     check_frame_kernel_buckets.py round 3) — the chunked form
+        #     keeps O(1) temporaries live regardless of E (form choice
+        #     and the Mosaic dynamic_slice limitation: _chunked_head_max
+        #     docstring; probes: scripts/probe_big_buckets.py).
         ls = leaky(a1h + a2h, alpha)                 # [H, nh]
         l1h = leaky(a1e + a2h_e1, alpha)             # [E, nh]
         l2h = leaky(a1e + a2h_e2, alpha)
@@ -130,15 +202,8 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                                    neg), axis=1)
             m = jnp.maximum(ls, jnp.maximum(m1, m2))  # [H, nh]
         else:
-            rows = []
-            for h in range(H):
-                m1 = jnp.max(jnp.where(inc1[:, h:h + 1] > 0, l1m, neg),
-                             axis=0, keepdims=True)  # [1, nh]
-                m2 = jnp.max(jnp.where(inc2[:, h:h + 1] > 0, l2m, neg),
-                             axis=0, keepdims=True)
-                rows.append(jnp.maximum(ls[h:h + 1],
-                                        jnp.maximum(m1, m2)))
-            m = jnp.concatenate(rows, axis=0)        # [H, nh]
+            m1, m2 = _chunked_head_max(inc1, inc2, l1m, l2m, H, E, nh)
+            m = jnp.maximum(ls, jnp.maximum(m1, m2))  # [H, nh]
         es = jnp.exp(ls - m)
         x1 = jnp.exp(l1m - _mm(inc1, m)) * pw        # [E, nh]
         x2 = jnp.exp(l2m - _mm(inc2, m)) * pw
@@ -148,11 +213,8 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                + _mm(inc2T, _mm(x2, rep) * ze))      # [H, F]
         out_h = num / _mm(denom, rep)
 
-        if l < n_layers - 1:
-            x = jnp.concatenate([leaky(out_h, slope),
-                                 leaky(out_e, slope)], axis=0)
-        else:
-            return out_e                             # [E, 1] logits
+        x = jnp.concatenate([leaky(out_h, slope),
+                             leaky(out_e, slope)], axis=0)
 
 
 @functools.partial(jax.jit,

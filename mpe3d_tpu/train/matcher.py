@@ -196,13 +196,16 @@ def make_matcher_step(rig: CameraRig, rig_config: RigConfig,
     return step, eval_step, scene_scores, epoch_step, eval_epoch
 
 
-def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
+def train_matcher(train_scenes: Optional[MatcherScenes],
+                  dev_scenes: MatcherScenes,
                   rig_config: RigConfig, rig: CameraRig, topo: PairTopology,
                   cfg: Optional[MatcherConfig] = None,
                   tcfg: Optional[MatcherTrainConfig] = None,
                   mesh=None, checkpoint_path: Optional[str] = None,
                   params: Optional[Dict] = None,
                   opt_state=None,
+                  synth_bank=None,
+                  synth_scenes_per_epoch: Optional[int] = None,
                   log: Callable[[str], None] = print) -> MatcherTrainResult:
     """Full matcher training loop with dev early stopping.
 
@@ -211,6 +214,14 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
     saves checkpoints but can never resume, train_skeleton_matching.py:230;
     this deliberately exceeds it — SURVEY §5).  Checkpoints include the
     optimizer state so ``load_checkpoint`` round-trips both.
+
+    ``synth_bank`` (a train/matcher_synth.py::SceneBank): synthesize the
+    training composites ON DEVICE inside the epoch scan (jax RNG) instead
+    of streaming host-built scenes — ``train_scenes`` may then be None
+    and every epoch draws ``synth_scenes_per_epoch`` fresh scenes
+    (default: the host dataset size convention, tcfg.limit).  The dev set
+    stays host-built (the golden-parity synthesizer).  Requires
+    tcfg.scan_epoch.
     """
     cfg = cfg or MatcherConfig(in_dim=rig_config.matcher_feature_dim)
     tcfg = tcfg or MatcherTrainConfig()
@@ -235,8 +246,45 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
         mesh, jax.sharding.PartitionSpec(None, "data"))
     # scene tensors uploaded ONCE, device-resident for all epochs
     bs = max(tcfg.batch_size // n_dev * n_dev, n_dev)
-    k_batches = len(train_scenes) // bs
-    if tcfg.scan_epoch and k_batches > 0:
+    epoch_step_bank, bank_res = None, None
+    if synth_bank is not None:
+        if not tcfg.scan_epoch:
+            raise ValueError("synth_bank requires tcfg.scan_epoch")
+        from mpe3d_tpu.train.matcher_synth import synth_scenes
+
+        n_epoch_scenes = synth_scenes_per_epoch or tcfg.limit
+        k_batches = max(n_epoch_scenes // bs, 1)
+        bank_res = tuple(replicate(mesh, a)
+                         for a in synth_bank.device_arrays())
+        segs, tops = synth_bank.file_segments, synth_bank.top_sets
+        shard1 = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))
+
+        @functools.partial(jax.jit,
+                           static_argnames=("k_batches", "batch_size"),
+                           donate_argnames=("params", "opt_state"))
+        def epoch_step_bank(params, opt_state, bank_res, key,
+                            k_batches, batch_size):
+            """One dispatch per epoch: every batch is synthesized on
+            device from the bank inside the scan body, then stepped."""
+            def body(carry, k):
+                p, o = carry
+                ks, dk = jax.random.split(k)
+                batch = synth_scenes(bank_res, ks, batch_size, topo,
+                                     segs, tops)
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(b, shard1)
+                    for b in batch)
+                p, o, loss = step(p, o, batch,
+                                  dk if dropout_on else None)
+                return (p, o), loss
+            keys = jax.random.split(key, k_batches)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
+    else:
+        k_batches = len(train_scenes) // bs
+    if synth_bank is None and tcfg.scan_epoch and k_batches > 0:
         scenes_res = tuple(replicate(mesh, jnp.asarray(f)) for f in (
             train_scenes.kp, train_scenes.valid, train_scenes.prob,
             train_scenes.observed, train_scenes.present,
@@ -282,7 +330,13 @@ def train_matcher(train_scenes: MatcherScenes, dev_scenes: MatcherScenes,
         for epoch in range(tcfg.epochs):
             # keep losses on device until epoch end (readbacks are expensive
             # through remote-TPU relays; see pipeline.py)
-            if tcfg.scan_epoch and k_batches > 0:
+            if epoch_step_bank is not None:
+                epoch_key, k = jax.random.split(epoch_key)
+                params, opt_state, losses_d = epoch_step_bank(
+                    params, opt_state, bank_res, k, k_batches=k_batches,
+                    batch_size=bs)
+                train_loss = float(jnp.mean(losses_d))
+            elif tcfg.scan_epoch and k_batches > 0:
                 epoch_key, k = jax.random.split(epoch_key)
                 params, opt_state, losses_d = epoch_step(
                     params, opt_state, scenes_res, k, k_batches=k_batches,

@@ -221,75 +221,16 @@ def test_matcher_import_matches_torch_gat2_replica(tmp_path):
     import jax
     import jax.numpy as jnp
     import torch
-    import torch.nn.functional as F
-    from torch import nn
 
     from mpe3d_tpu.config import MatcherConfig
+    from mpe3d_tpu.convert.gat2_replica import (build_gat2_replica,
+                                                build_real_graph)
     from mpe3d_tpu.convert.torch_import import load_reference_matcher
     from mpe3d_tpu.matching.features import build_topology
     from mpe3d_tpu.models.gat import TopologyArrays, apply_matcher
 
     torch.manual_seed(0)
     in_dim, hidden, heads, alpha = 16, (8, 6), (2, 3), 0.15
-
-    class Layer(nn.Module):
-        def __init__(self, din, dout, nh, residual):
-            super().__init__()
-            self.fc1 = nn.Linear(din, din, bias=True)
-            self.fc2 = nn.Linear(din, nh * dout, bias=True)
-            self.attn_l = nn.Parameter(torch.empty(nh, dout, 1))
-            self.attn_r = nn.Parameter(torch.empty(nh, dout, 1))
-            for p in (self.fc1.weight, self.fc2.weight,
-                      self.attn_l, self.attn_r):
-                nn.init.xavier_normal_(p.data, gain=1.414)
-            self.nh, self.dout = nh, dout
-            if residual and din != dout:
-                self.res_fc = nn.Linear(din, nh * dout, bias=True)
-                nn.init.xavier_normal_(self.res_fc.weight.data, gain=1.414)
-            self.residual = residual
-
-        def forward(self, x, src, dst):
-            N = x.shape[0]
-            z = self.fc2(F.leaky_relu(self.fc1(x), alpha)).reshape(
-                N, self.nh, self.dout)
-            a1 = torch.einsum("nhd,hd->nh", z, self.attn_l[..., 0])
-            a2 = torch.einsum("nhd,hd->nh", z, self.attn_r[..., 0])
-            logits = F.leaky_relu(a1[src] + a2[dst], alpha)      # [Et, nh]
-            out = torch.zeros_like(z)
-            for d in sorted(set(dst)):                 # per-dst edge_softmax
-                sel = [k for k, dd in enumerate(dst) if dd == d]
-                att = torch.softmax(logits[sel], dim=0)          # [k, nh]
-                out[d] = torch.einsum("kh,khd->hd", att,
-                                      z[[src[k] for k in sel]])
-            if self.residual:
-                if hasattr(self, "res_fc"):
-                    out = out + self.res_fc(x).reshape(N, self.nh, self.dout)
-                else:
-                    out = out + x.unsqueeze(1)
-            return out
-
-    class GAT2Replica(nn.Module):
-        def __init__(self, residual):
-            super().__init__()
-            dims, d_in = [], in_dim
-            for l in range(len(hidden)):
-                dims.append((d_in, hidden[l], heads[l]))
-                d_in = hidden[l] * heads[l]
-            dims.append((d_in, 1, 1))
-            self.dims = dims
-            self.layers = nn.ModuleList(
-                [Layer(din, dout, nh, residual and li > 0)
-                 for li, (din, dout, nh) in enumerate(dims)])
-
-        def forward(self, x, src, dst):
-            h = x
-            for li, (din, dout, nh) in enumerate(self.dims):
-                out = self.layers[li](h, src, dst)
-                if li < len(self.dims) - 1:
-                    h = F.leaky_relu(out.reshape(len(x), nh * dout), 0.01)
-                else:
-                    h = out.reshape(len(x))
-            return torch.sigmoid(h)
 
     # alt-3 scene: 3 cameras × 2 slots, one absent head
     C, S = 3, 2
@@ -305,24 +246,13 @@ def test_matcher_import_matches_torch_gat2_replica(tmp_path):
     pair_mask = (head_mask[topo.e1] & head_mask[topo.e2]).astype(np.float32)
 
     # the torch graph holds only REAL nodes/pairs (like DGL builds it)
-    real_heads = np.nonzero(head_mask)[0]
-    remap = {int(h): i for i, h in enumerate(real_heads)}
-    real_pairs = [k for k in range(topo.n_pairs) if pair_mask[k] > 0]
-    H = len(real_heads)
+    real_heads, src, dst, real_pairs, H = build_real_graph(
+        topo, head_mask, pair_mask)
     x = np.concatenate([feats_h[real_heads], feats_e[:len(real_pairs)]])
-    src, dst = [], []
-    for h in range(H):
-        src.append(h)
-        dst.append(h)
-    for i, k in enumerate(real_pairs):
-        e = H + i
-        h1, h2 = remap[int(topo.e1[k])], remap[int(topo.e2[k])]
-        for s, d in ((h1, e), (e, h1), (h2, e), (e, h2), (e, e)):
-            src.append(s)
-            dst.append(d)
 
     for residual in (False, True):
-        model = GAT2Replica(residual)
+        model = build_gat2_replica(in_dim, hidden, heads, alpha=alpha,
+                                   residual=residual)
         with torch.no_grad():
             ref_scores = model(torch.from_numpy(x), src, dst).numpy()
         torch.save(model.state_dict(), tmp_path / "m.tch")
