@@ -206,7 +206,35 @@ def _sidecar_stale(path: str) -> bool:
             or os.path.getmtime(side) < os.path.getmtime(emb))
 
 
+def _nproc() -> int:
+    """jax process count (1 when jax.distributed is not initialised)."""
+    try:
+        return jax.process_count()
+    except Exception:  # noqa: BLE001 — backend not initialised yet
+        return 1
+
+
+def _mp_barrier(tag: str) -> None:
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
 def _finalize_orbax(path: str) -> None:
+    """Multi-process-aware wrapper around :func:`_finalize_orbax_local`:
+    under ``jax.distributed`` the staging swap is a filesystem rename on
+    a directory every process reads, so only process 0 performs it and
+    everyone barriers before touching the result.  Collective — in
+    multiprocess runs ALL processes must call this (load_checkpoint and
+    the multiprocess save path do)."""
+    if _nproc() > 1:
+        if jax.process_index() == 0:
+            _finalize_orbax_local(path)
+        _mp_barrier(f"mpe3d-ckpt-finalize:{path}")
+        return
+    _finalize_orbax_local(path)
+
+
+def _finalize_orbax_local(path: str) -> None:
     """Swap a COMMITTED staging save into place: `<path>.orbax.next/` →
     `<path>.orbax/`, WITH its meta.  The meta travels INSIDE the staging
     dir (`_mpe3d_meta.json`, moved in from `<path>.json.next` under the
@@ -278,6 +306,49 @@ def _watchdog_seconds() -> float:
     return float(os.environ.get("MPE3D_ORBAX_WATCHDOG_S", "300"))
 
 
+def _save_orbax_multiprocess(abspath: str, flat: Dict[str, Any],
+                             meta: Dict[str, Any]) -> None:
+    """Collective sharded save under ``jax.distributed``: every process
+    writes its addressable shards of the SAME staging directory
+    (``<path>.orbax.next-mp``), then process 0 alone promotes and
+    finalizes, with global-device barriers fencing each filesystem
+    transition.  Synchronous by construction (see _save_orbax).  The
+    single-process watchdog/npz fallback does not apply here: an npz
+    snapshot cannot represent non-addressable shards (np.asarray on a
+    cross-process array raises), and abandoning a wedged COLLECTIVE
+    writer on one process would deadlock the others — a wedged
+    multi-process save surfaces as the job-level hang it is.
+    Exercised by scripts/multiprocess_mesh.py + its opt-in test."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    pid = jax.process_index()
+    staging = abspath + ".orbax.next-mp"
+    if pid == 0:
+        _finalize_orbax_local(abspath)    # adopt any committed predecessor
+        _write_meta_at(abspath + ".json.next", meta)
+        with _path_lock(abspath):
+            if os.path.isdir(staging):    # crashed predecessor
+                shutil.rmtree(staging)
+    _mp_barrier(f"mpe3d-ckpt-mp-pre:{abspath}")
+    ckptr = _orbax_checkpointer()
+    ckptr.save(staging, args=ocp.args.StandardSave(flat), force=True)
+    # ckptr.save returns on every process only once the primary committed
+    # the directory (orbax's own barrier); fence anyway before the swap
+    _mp_barrier(f"mpe3d-ckpt-mp-post:{abspath}")
+    if pid == 0:
+        with _path_lock(abspath):
+            if os.path.isdir(abspath + ".orbax.next"):
+                shutil.rmtree(abspath + ".orbax.next")
+            os.rename(staging, abspath + ".orbax.next")
+        _finalize_orbax_local(abspath)
+        with _path_lock(abspath):
+            if os.path.exists(abspath + ".npz"):
+                os.remove(abspath + ".npz")
+    _mp_barrier(f"mpe3d-ckpt-mp-done:{abspath}")
+
+
 def _save_orbax(path: str, params, opt_state=None,
                 meta: Optional[Dict[str, Any]] = None,
                 wait: bool = True) -> None:
@@ -296,6 +367,18 @@ def _save_orbax(path: str, params, opt_state=None,
     # mutation-time metadata paired with submit-time arrays
     meta = dict(meta or {})
     abspath = os.path.abspath(path)
+
+    if _nproc() > 1:
+        # multi-process save is a COLLECTIVE (every process writes its
+        # own addressable shards into ONE shared staging dir; orbax
+        # barriers internally and the primary commits) — it must run
+        # inline in the caller's thread, synchronously on every process:
+        # per-process staging dirs would each hold only that process's
+        # shards, and a saver-thread collective could interleave with
+        # main-thread collectives.  wait=False degrades to synchronous
+        # here by design.
+        _save_orbax_multiprocess(abspath, flat, meta)
+        return
 
     def _orbax_write_with_watchdog() -> bool:
         """Run ``ckptr.save`` under a deadline.  Returns True on success;
