@@ -239,6 +239,10 @@ class MatcherConfig:
     # whole-stack VMEM-resident megakernel at inference (ops/gat_kernel.py);
     # serving knob like use_pallas_proj, not part of the architecture
     use_pallas_matcher: bool = False
+    # grid-tiled pallas stack (ops/gat_tiled.py) — the crowded-bucket
+    # (S=10/16) serving form, where the single-body megakernel exceeds
+    # physical VMEM via Mosaic register-spill slots; serving knob
+    use_tiled_matcher: bool = False
     # matmul operand precision for the XLA GAT path.  "highest" (default)
     # keeps fp32 operands — serving parity: bf16 rounding visibly moves
     # scores near the 0.5 decision threshold (models/gat.py).  "default"

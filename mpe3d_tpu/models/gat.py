@@ -300,6 +300,12 @@ def apply_matcher(params: Params, head_feats: jnp.ndarray,
         from mpe3d_tpu.ops.gat_kernel import apply_matcher_pallas
         return apply_matcher_pallas(params, head_feats, edge_feats, topo,
                                     pair_w, cfg)
+    if cfg.use_tiled_matcher and dropout_key is None and not cfg.residual:
+        # grid-tiled stack: the crowded-bucket serving form (VMEM bounded
+        # per edge block; ops/gat_tiled.py)
+        from mpe3d_tpu.ops.gat_tiled import apply_matcher_tiled
+        return apply_matcher_tiled(params, head_feats, edge_feats, topo,
+                                   pair_w, cfg)
     dims = _layer_dims(cfg)
     xh, xe = head_feats, edge_feats
     n = len(dims)

@@ -353,21 +353,37 @@ def _tri_pair_component(xn1, xn2, P1, P2, refine_steps: int = 2):
     static_argnames=("mcfg", "H", "E", "C", "S", "J", "Cu", "P",
                      "min_views", "threshold", "k_cap", "kinds", "dims",
                      "alpha_l", "out_dim", "used_pos", "cam_consts",
-                     "prior", "gate_px", "stage", "interpret"))
+                     "prior", "gate_px", "stage", "interpret", "skip_gat"))
 def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
                        C: int, S: int, J: int, Cu: int, P: int,
                        min_views: int, threshold: float, k_cap: int,
                        kinds, dims, alpha_l: float, out_dim: int,
                        used_pos, cam_consts, prior: str = "mean",
                        gate_px: Optional[float] = None,
-                       stage: str = "full", interpret: bool = False):
+                       stage: str = "full", interpret: bool = False,
+                       skip_gat: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from mpe3d_tpu.ops.gat_kernel import _layer_dims, gat_stack_values
 
-    n_gat = len(_layer_dims(mcfg))
+    gat_dims = _layer_dims(mcfg)
+    n_gat = len(gat_dims)
     n_mlp = len(kinds)
+    # GAT layers >= 1 stream their big matrices (w1 [d,d], w2 [d,F])
+    # HBM->VMEM under layer 0's compute instead of sitting in the serial
+    # pallas input prologue; layer 0 stays a VMEM input (nothing runs
+    # before it).  ~3 MB of the ~7.5 MB fp32 GAT prologue moves off the
+    # critical path (round-3 VERDICT #4 stream-wall item).
+    #
+    # ``skip_gat`` (the crowded-bucket SPLIT variant): the GAT stack runs
+    # OUTSIDE as the grid-tiled pallas program (ops/gat_tiled.py — the
+    # single-body stack exceeds VMEM at S=10/16 via Mosaic register-spill
+    # slots) and the masked sigmoid scores enter as an operand; this
+    # kernel then runs decode + pack + lift with the lifter weight DMAs
+    # issued at entry, so the ~60 MB weight stream hides under the
+    # DECODE compute instead of the match compute.
+    n_gb = 0 if skip_gat else 2 * (n_gat - 1)
     bw = frame_block_width(J)
     k0p = Cu * bw
     assert dims[0][0] == k0p, (dims[0], k0p)
@@ -377,18 +393,22 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
     f32 = jnp.float32
 
     # operand layout (indices into refs)
-    i_gat0 = 6
-    i_dec = i_gat0 + 8 * n_gat   # e1f, e2f, cam1f, cam2f, hcam_r, hcam_c,
+    i_gat0 = 2 if skip_gat else 6    # skip_gat: [s_eff, pw] lead instead
+    i_dec = i_gat0 + (0 if skip_gat else 8 * n_gat)
+    # decode operands:               e1f, e2f, cam1f, cam2f, hcam_r, hcam_c,
     i_gath = i_dec + 7           # hslot_r | F09, kpx, kpy, kval, kobs
     i_ek = i_gath + 5            # | ek4
     i_mlp = i_ek + 1
     n_out = 9
 
     def kernel(*refs):
-        ins = refs[:-(n_out + n_mlp + 3)]
-        # scratch: wbufs (n_mlp), act0, act1, sem
-        scr = refs[len(refs) - (n_mlp + 3):]
-        wbufs, act0, act1, sem = scr[:n_mlp], scr[-3], scr[-2], scr[-1]
+        n_scr = n_mlp + n_gb + 3
+        ins = refs[:-(n_out + n_scr)]
+        # scratch: wbufs (n_mlp), gbufs (n_gb), act0, act1, sem
+        scr = refs[len(refs) - n_scr:]
+        wbufs = scr[:n_mlp]
+        gbufs = scr[n_mlp:n_mlp + n_gb]
+        act0, act1, sem = scr[-3], scr[-2], scr[-1]
         outs = refs[len(ins):len(ins) + n_out]
         (scores_ref, persons_ref, pmask_ref, net_ref, out_ref,
          gx_ref, gy_ref, gv_ref, go_ref) = outs
@@ -407,23 +427,51 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
                 mlp_aux.append(mrefs[off + 1:off + 2])   # b
                 off += 2
 
-        # ---- 1. issue ALL lifter weight DMAs before any compute --------
+        # ---- 1. issue ALL weight DMAs before any compute ---------------
+        # GAT layers >= 1 first (consumed within a few µs by the stack),
+        # then the lifter layers (consumed only after match+decode+pack)
+        gat_dmas = []
+        if not skip_gat:
+            for l in range(1, n_gat):
+                for j, off in enumerate((0, 2)):         # w1, w2
+                    gat_dmas.append(pltpu.make_async_copy(
+                        ins[i_gat0 + 8 * l + off],
+                        gbufs[2 * (l - 1) + j],
+                        sem.at[n_mlp + 2 * (l - 1) + j]))
         dmas = [pltpu.make_async_copy(w_hbm[l], wbufs[l], sem.at[l])
                 for l in range(n_mlp)]
+        for d in gat_dmas:
+            d.start()
         for d in dmas:
             d.start()
 
         # ---- 2. GAT stack (shared body => scores identical) ------------
-        x_all = ins[0][:]
-        pw = ins[1][:]                                   # [E, 1] pair mask
-        inc1, inc2 = ins[2][:], ins[3][:]
-        inc1T, inc2T = ins[4][:], ins[5][:]
-        layer_vals = [tuple(r[:] for r in ins[i_gat0 + 8 * l:
-                                              i_gat0 + 8 * (l + 1)])
-                      for l in range(n_gat)]
-        logits = gat_stack_values(x_all, pw, inc1, inc2, inc1T, inc2T,
-                                  layer_vals, mcfg, H)
-        s_eff = jax.nn.sigmoid(logits) * pw              # [E, 1]
+        if skip_gat:
+            s_eff = ins[0][:]                            # masked sigmoids
+            pw = ins[1][:]                               # [E, 1] pair mask
+        else:
+            x_all = ins[0][:]
+            pw = ins[1][:]                               # [E, 1] pair mask
+            inc1, inc2 = ins[2][:], ins[3][:]
+            inc1T, inc2T = ins[4][:], ins[5][:]
+
+            def layer_tuple(l):
+                base = ins[i_gat0 + 8 * l: i_gat0 + 8 * (l + 1)]
+                if l == 0:
+                    return tuple(r[:] for r in base)
+
+                def lv(l=l, base=base):
+                    # first use of this layer's weights: wait its DMAs
+                    gat_dmas[2 * (l - 1)].wait()
+                    gat_dmas[2 * (l - 1) + 1].wait()
+                    return (gbufs[2 * (l - 1)][:], base[1][:],
+                            gbufs[2 * (l - 1) + 1][:], base[3][:],
+                            base[4][:], base[5][:], base[6][:], base[7][:])
+                return lv
+            layer_vals = [layer_tuple(l) for l in range(n_gat)]
+            logits = gat_stack_values(x_all, pw, inc1, inc2, inc1T, inc2T,
+                                      layer_vals, mcfg, H)
+            s_eff = jax.nn.sigmoid(logits) * pw          # [E, 1]
         scores_ref[:] = s_eff
 
         # ``stage`` truncation points for the in-kernel ledger
@@ -711,7 +759,14 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
     # ---- pallas_call assembly ------------------------------------------
     vm = {} if interpret else {"memory_space": pltpu.VMEM}
     anym = {} if interpret else {"memory_space": pltpu.ANY}
-    in_specs = [pl.BlockSpec(**vm) for _ in range(i_mlp)]
+    in_specs = []
+    for idx in range(i_mlp):
+        spec = vm
+        if not skip_gat and i_gat0 <= idx < i_gat0 + 8 * n_gat:
+            l, off = divmod(idx - i_gat0, 8)
+            if l >= 1 and off in (0, 2):                 # w1/w2: HBM+DMA
+                spec = anym
+        in_specs.append(pl.BlockSpec(**spec))
     for kind in kinds:
         in_specs.append(pl.BlockSpec(**anym))            # weights: HBM
         n_aux = 3 if kind == "q" else 1
@@ -719,9 +774,13 @@ def _frame_kernel_call(flat_inputs, *, mcfg: MatcherConfig, H: int, E: int,
 
     wdtypes = [jnp.int8 if k == "q" else jnp.bfloat16 for k in kinds]
     scratch = [pltpu.VMEM(dims[l], wdtypes[l]) for l in range(n_mlp)]
+    if not skip_gat:
+        for (d_in, d_out, nh) in gat_dims[1:]:
+            scratch.append(pltpu.VMEM((d_in, d_in), jnp.float32))
+            scratch.append(pltpu.VMEM((d_in, nh * d_out), jnp.float32))
     scratch += [pltpu.VMEM((M_TILE, nmax), jnp.float32),
                 pltpu.VMEM((M_TILE, nmax), jnp.float32),
-                pltpu.SemaphoreType.DMA((n_mlp,))]
+                pltpu.SemaphoreType.DMA((n_mlp + n_gb,))]
 
     out_shape = (
         jax.ShapeDtypeStruct((E, 1), jnp.float32),       # scores
@@ -798,7 +857,7 @@ def parse_frame_flat(flat) -> Tuple[Tuple[str, ...], Tuple]:
 
 def build_frame_program(pipe, slots: int, p_max: int,
                         interpret: Optional[bool] = None,
-                        stage: str = "full"):
+                        stage: str = "full", matcher: str = "inkernel"):
     """Build the traced (mparams, lflat, kp, valid, prob, observed,
     present) → (poses, persons, person_mask, scores, quality) program:
     XLA prologue (features, per-slot field blocks), the whole-frame
@@ -807,7 +866,12 @@ def build_frame_program(pipe, slots: int, p_max: int,
     ``lflat`` is the frame-packed serving list (pack_frame_serving).
     Semantics ≡ pipeline._fused_impl's XLA program for supported configs
     (tests/test_frame_kernel.py).
-    """
+
+    ``matcher``: "inkernel" (the GAT stack runs inside the whole-frame
+    kernel — small buckets) or "tiled" (the SPLIT crowded-bucket
+    variant: the grid-tiled GAT programs of ops/gat_tiled.py score the
+    pairs, and the kernel runs decode+pack+lift with the lifter weight
+    stream hidden under the decode)."""
     from mpe3d_tpu.lifting.pack import pack_slot_fields09
     from mpe3d_tpu.matching.decode import reference_pair_order
     from mpe3d_tpu.matching.features import (build_topology,
@@ -858,6 +922,8 @@ def build_frame_program(pipe, slots: int, p_max: int,
     used_rig = pipe.used_rig
     image_size = pipe.image_size
 
+    skip_gat = matcher == "tiled"
+
     def run(mparams, lflat, kp, valid, prob, observed, present):
         kinds, dims = parse_frame_flat(lflat)
         km, vm_ = kp[match_sel], valid[match_sel]
@@ -879,11 +945,23 @@ def build_frame_program(pipe, slots: int, p_max: int,
         kval = vu.reshape(Cu * S, J)
         kobs = ou.reshape(Cu * S, J).astype(jnp.float32)
 
-        flat = [x_all, pm.reshape(E, 1).astype(jnp.float32),
-                jnp.asarray(inc1), jnp.asarray(inc2),
-                jnp.asarray(inc1.T.copy()), jnp.asarray(inc2.T.copy())]
-        for lv in gat_layer_arrays(mparams, mcfg):
-            flat += list(lv)
+        pwc = pm.reshape(E, 1).astype(jnp.float32)
+        if skip_gat:
+            from mpe3d_tpu.ops.gat_tiled import gat_stack_tiled
+            # efeats rows are the shared alt-3 one-hot -> layer 0's edge
+            # projection computes once (gat_tiled edge_const)
+            logits = gat_stack_tiled(
+                x_all, pwc, jnp.asarray(inc1), jnp.asarray(inc2),
+                gat_layer_arrays(mparams, mcfg), mcfg, H,
+                interpret=interpret, edge_const=True)
+            s_eff = jax.nn.sigmoid(logits.reshape(E, 1)) * pwc
+            flat = [s_eff, pwc]
+        else:
+            flat = [x_all, pwc,
+                    jnp.asarray(inc1), jnp.asarray(inc2),
+                    jnp.asarray(inc1.T.copy()), jnp.asarray(inc2.T.copy())]
+            for lv in gat_layer_arrays(mparams, mcfg):
+                flat += list(lv)
         flat += [e1f, e2f, cam1f, cam2f, hcam_r, hcam_c, hslot_r]
         flat += [f09, kpx, kpy, kval, kobs]
         flat += [ek4]
@@ -899,7 +977,7 @@ def build_frame_program(pipe, slots: int, p_max: int,
             prior=pipe.lifter_prior,
             gate_px=(None if pipe.prior_gate_px is None
                      else float(pipe.prior_gate_px)),
-            stage=stage, interpret=interpret)
+            stage=stage, interpret=interpret, skip_gat=skip_gat)
 
         poses = mlp_out[:p_max]
         if lcfg.residual_prior:

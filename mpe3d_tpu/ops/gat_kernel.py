@@ -118,6 +118,43 @@ def _chunked_head_max(inc1, inc2, l1m, l2m, H: int, E: int, nh: int):
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def _perlane_head_max(inc1, inc2, l1m, l2m, H: int, nh: int):
+    """Per-head masked max via PER-COMPONENT [E, H] selects — the
+    lane-efficient form: H rides the 128-lane axis at high occupancy,
+    where the rank-3 [·, H, nh→128] forms waste 100·(1-nh/128) % of
+    every lane op (measured on-chip: that waste dominated the tiled
+    stack's wall at S=16, ops/gat_tiled.py).  Exact (same element set
+    max-reduced; fp max is order-independent).  Returns (m1, m2)
+    [H, nh]; the [nh, H] rows are transposed through one exact 0/1
+    identity matmul (products x·1, single nonzero per sum)."""
+    neg = jnp.float32(-jnp.inf)
+    # heads with no live incident edge max to -inf; the 0/1 identity
+    # matmul below would turn that into NaN (0·-inf), so clamp to the
+    # most-negative FINITE fp32 for the transpose and restore after —
+    # downstream only ever sees maximum(ls, m), identical either way
+    lo = jnp.float32(np.finfo(np.float32).min)
+    rows1, rows2 = [], []
+    for k in range(nh):
+        rows1.append(jnp.maximum(
+            jnp.max(jnp.where(inc1 > 0, l1m[:, k:k + 1], neg),
+                    axis=0, keepdims=True), lo))         # [1, H]
+        rows2.append(jnp.maximum(
+            jnp.max(jnp.where(inc2 > 0, l2m[:, k:k + 1], neg),
+                    axis=0, keepdims=True), lo))
+    m1t = jnp.concatenate(rows1, axis=0)                 # [nh, H]
+    m2t = jnp.concatenate(rows2, axis=0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+           ).astype(jnp.float32)
+
+    def tr(m):                                           # [H, nh]
+        t = jax.lax.dot_general(eye, m, (((1,), (1,)), ((), ())),
+                                precision="highest",
+                                preferred_element_type=jnp.float32)
+        return jnp.where(t <= lo, neg, t)
+    return tr(m1t), tr(m2t)
+
+
 def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                      cfg: MatcherConfig, H: int):
     """The whole GAT stack on in-register/VMEM VALUES — shared by the
@@ -125,7 +162,10 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
     (ops/frame_kernel.py), so their scores are identical by construction.
 
     x: [H+E, Din]; pw: [E, 1]; inc1/inc2: [E, H]; inc1T/inc2T: [H, E];
-    ``layer_vals``: per layer (w1, b1, w2, b2, alf, arf, seg, rep) values.
+    ``layer_vals``: per layer (w1, b1, w2, b2, alf, arf, seg, rep) values,
+    OR a zero-arg callable returning that tuple — evaluated right before
+    the layer runs, so a caller can overlap weight DMAs with earlier
+    layers' compute and wait only at first use (ops/frame_kernel.py).
     Returns score logits [E, 1]."""
     dims = _layer_dims(cfg)
     alpha = cfg.alpha
@@ -139,7 +179,10 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
     neg = jnp.float32(-jnp.inf)
 
     for l, (d_in, d_out, nh) in enumerate(dims):
-        (w1, b1, w2, b2, alf, arf, seg, rep) = layer_vals[l]
+        lv = layer_vals[l]
+        if callable(lv):
+            lv = lv()
+        (w1, b1, w2, b2, alf, arf, seg, rep) = lv
         F = nh * d_out
 
         h1 = leaky(_mm(x, w1) + b1, alpha)
@@ -175,20 +218,20 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
 
 
         # head destinations: self + incident edge-nodes (exact
-        # per-destination max-shift).  Three forms, bit-identical (the
+        # per-destination max-shift).  Two forms, bit-identical (the
         # same element set is max-reduced; fp max is order-independent):
         #   * small buckets: ONE rank-3 masked max per incidence — the
         #     padded temporary is [H, E, 128] fp32 (nh lane-pads to 128);
-        #   * large buckets: a CHUNKED running max over E-blocks — each
-        #     step's rank-3 temporary is bounded at ~[H, B, 128] while
-        #     the carried max stays [H, nh].  This replaced the round-3
-        #     per-head unrolled loop (H×2 masked-max temporaries per
-        #     layer), whose dead-temp pile was the dominant term in the
-        #     S=10/16 scoped-VMEM blowups (142-195 MB measured,
-        #     check_frame_kernel_buckets.py round 3) — the chunked form
-        #     keeps O(1) temporaries live regardless of E (form choice
-        #     and the Mosaic dynamic_slice limitation: _chunked_head_max
-        #     docstring; probes: scripts/probe_big_buckets.py).
+        #   * large buckets: the lane-efficient PER-COMPONENT form
+        #     (_perlane_head_max) — [E, H] selects with H on the lane
+        #     axis, so no 128/nh lane waste and only [E, H]-sized
+        #     temporaries.  This replaced the round-3 per-head unrolled
+        #     loop (and a round-4 chunked-rank-3 interim), whose
+        #     dead-temporary pile was the dominant term in the S=10/16
+        #     scoped-VMEM blowups — Mosaic's register allocator gives
+        #     every large straight-line value its own spill slot
+        #     (142-202 MB measured; probes: scripts/probe_big_buckets
+        #     .py).
         ls = leaky(a1h + a2h, alpha)                 # [H, nh]
         l1h = leaky(a1e + a2h_e1, alpha)             # [E, nh]
         l2h = leaky(a1e + a2h_e2, alpha)
@@ -202,7 +245,7 @@ def gat_stack_values(x, pw, inc1, inc2, inc1T, inc2T, layer_vals,
                                    neg), axis=1)
             m = jnp.maximum(ls, jnp.maximum(m1, m2))  # [H, nh]
         else:
-            m1, m2 = _chunked_head_max(inc1, inc2, l1m, l2m, H, E, nh)
+            m1, m2 = _perlane_head_max(inc1, inc2, l1m, l2m, H, nh)
             m = jnp.maximum(ls, jnp.maximum(m1, m2))  # [H, nh]
         es = jnp.exp(ls - m)
         x1 = jnp.exp(l1m - _mm(inc1, m)) * pw        # [E, nh]

@@ -99,15 +99,18 @@ def _pallas_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
     return ok
 
 
-def _frame_kernel_probe_ok(pipe: "PoseEstimationPipeline", slots: int,
-                           p_max: int) -> bool:
+def _frame_kernel_variant(pipe: "PoseEstimationPipeline", slots: int,
+                          p_max: int):
     """AOT-compile the whole-frame kernel program (ops/frame_kernel.py)
     for one (slots, p_max) bucket before auto-enabling it — same rationale
     as the GAT megakernel probe above: the kernel pins a VMEM budget sized
     for v5e-class parts and its footprint scales with the bucket and the
-    lifter size, so rejection must fall back to the XLA path instead of
-    failing the default serving path.  Cached per process; the compile
-    lands in the persistent cache."""
+    lifter size, so rejection must fall back instead of failing the
+    default serving path.  Tries the "full" variant (GAT in-kernel)
+    first, then "split" (grid-tiled GAT outside + decode/pack/lift
+    kernel — the crowded-bucket form); returns the first variant that
+    compiles, or None (→ the two-stage XLA program).  Cached per
+    process; the compiles land in the persistent cache."""
     import jax.numpy as _jnp
 
     key = ("frame", jax.default_backend(), tuple(pipe.matcher_cfg.hidden),
@@ -120,34 +123,74 @@ def _frame_kernel_probe_ok(pipe: "PoseEstimationPipeline", slots: int,
            # gated on them (round-3 ADVICE)
            pipe.rig_config.min_number_of_views, pipe.threshold,
            pipe._decode_top_k_eff, pipe.lifter_cfg.residual_prior)
-    hit = _FRAME_KERNEL_PROBE.get(key)
+    hit = _FRAME_KERNEL_PROBE.get(key, "miss")
+    if hit != "miss":
+        return hit
+    from mpe3d_tpu.ops.frame_kernel import build_frame_program
+
+    C_all = pipe.rig_config.n_cameras
+    J = pipe.rig_config.n_joints
+    s = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)  # noqa: E731
+    struct = jax.tree_util.tree_map(
+        lambda x: s(jnp.shape(x), _jnp.asarray(x).dtype),
+        (pipe.matcher_params, pipe.lifter_params_frame))
+    variant = None
+    for cand, m in (("full", "inkernel"), ("split", "tiled")):
+        try:
+            prog = build_frame_program(pipe, slots, p_max,
+                                       interpret=False, matcher=m)
+            jax.jit(prog).lower(
+                *struct,
+                s((C_all, slots, J, 2), _jnp.float32),
+                s((C_all, slots, J), _jnp.float32),
+                s((C_all, slots, J), _jnp.float32),
+                s((C_all, slots, J), _jnp.bool_),
+                s((C_all, slots), _jnp.bool_)).compile()
+            variant = cand
+            break
+        except Exception as e:  # noqa: BLE001 — compile rejection → next
+            import sys
+            print(f"[mpe3d] whole-frame kernel ({cand}) failed to compile "
+                  f"for bucket S={slots}/P={p_max} ({type(e).__name__}: "
+                  f"{e}); trying the next serving form", file=sys.stderr)
+    _FRAME_KERNEL_PROBE[key] = variant
+    return variant
+
+
+_TILED_MATCHER_PROBE: Dict[tuple, bool] = {}
+
+
+def _tiled_matcher_probe_ok(matcher_params, matcher_cfg: MatcherConfig,
+                            rig_config: RigConfig, n_cameras: int,
+                            slots: int) -> bool:
+    """AOT-compile the grid-tiled GAT stack (ops/gat_tiled.py) before
+    auto-enabling it for a bucket the megakernel rejected — same
+    fallback contract as the other kernel probes (reject → XLA)."""
+    key = ("tiled", jax.default_backend(), tuple(matcher_cfg.hidden),
+           tuple(matcher_cfg.heads), rig_config.graph_alternative,
+           n_cameras, slots)
+    hit = _TILED_MATCHER_PROBE.get(key)
     if hit is not None:
         return hit
     try:
-        from mpe3d_tpu.ops.frame_kernel import build_frame_program
+        from mpe3d_tpu.ops.gat_tiled import apply_matcher_tiled
 
-        prog = build_frame_program(pipe, slots, p_max, interpret=False)
-        C_all = pipe.rig_config.n_cameras
-        J = pipe.rig_config.n_joints
-        s = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)  # noqa: E731
-        struct = jax.tree_util.tree_map(
-            lambda x: s(jnp.shape(x), _jnp.asarray(x).dtype),
-            (pipe.matcher_params, pipe.lifter_params_frame))
-        jax.jit(prog).lower(
-            *struct,
-            s((C_all, slots, J, 2), _jnp.float32),
-            s((C_all, slots, J), _jnp.float32),
-            s((C_all, slots, J), _jnp.float32),
-            s((C_all, slots, J), _jnp.bool_),
-            s((C_all, slots), _jnp.bool_)).compile()
+        topo = build_topology(n_cameras, slots)
+        d = rig_config.matcher_feature_dim_alt(rig_config.graph_alternative)
+        hf = jax.ShapeDtypeStruct((topo.n_heads, d), jnp.float32)
+        ef = jax.ShapeDtypeStruct((topo.n_pairs, d), jnp.float32)
+        pw = jax.ShapeDtypeStruct((topo.n_pairs,), jnp.float32)
+        jax.jit(lambda p, a, b, w: apply_matcher_tiled(
+            p, a, b, topo, w, matcher_cfg, interpret=False)
+        ).lower(matcher_params, hf, ef, pw).compile()
         ok = True
     except Exception as e:  # noqa: BLE001 — any compile rejection falls back
         import sys
-        print(f"[mpe3d] whole-frame kernel failed to compile for bucket "
-              f"S={slots}/P={p_max} ({type(e).__name__}: {e}); serving the "
-              f"two-stage XLA program instead", file=sys.stderr)
+        print(f"[mpe3d] tiled GAT stack failed to compile on this backend "
+              f"({type(e).__name__}: {e}); serving through the XLA matcher "
+              f"path instead", file=sys.stderr)
         ok = False
-    _FRAME_KERNEL_PROBE[key] = ok
+    _TILED_MATCHER_PROBE[key] = ok
     return ok
 
 
@@ -522,14 +565,22 @@ class PoseEstimationPipeline:
         efeats = edge_node_features(
             topo.n_pairs, self.rig_config.matcher_feature_dim_alt(alt))
         upm = self.use_pallas_matcher
+        tiled = False
         if upm == "auto":
             upm = _pallas_matcher_probe_ok(
                 self.matcher_params, self.matcher_cfg, self.rig_config,
                 len(self.match_idx), slots)
+            if not upm:
+                # crowded buckets: the single-body megakernel exceeds
+                # VMEM (register-spill slots scale with E) — the
+                # grid-tiled stack is the bounded-VMEM serving form
+                tiled = _tiled_matcher_probe_ok(
+                    self.matcher_params, self.matcher_cfg,
+                    self.rig_config, len(self.match_idx), slots)
         import dataclasses
         mcfg = dataclasses.replace(
             self.matcher_cfg, use_pallas_proj=self.use_pallas_proj,
-            use_pallas_matcher=upm)
+            use_pallas_matcher=upm, use_tiled_matcher=tiled)
 
         def core(params, kp, valid, prob, observed, present):
             hfeats, _ = head_features(kp, valid, prob, observed, present,
@@ -662,22 +713,26 @@ class PoseEstimationPipeline:
 
         return run
 
-    def _frame_kernel_on(self, slots: int, p_max: int) -> bool:
-        """Resolve whether THIS bucket serves through the whole-frame
-        pallas kernel.  Cheap (dict lookups after the first probe) and
-        re-evaluated on every `_fused_fn` call; together with `_knob_key`
-        in the program cache key, mutating a gating knob (e.g.
-        prior_gate_px) on a live pipeline compiles a fresh program with
-        the new value on the next dispatch."""
+    def _frame_kernel_on(self, slots: int, p_max: int):
+        """Resolve whether (and through WHICH variant) this bucket serves
+        the whole-frame pallas kernel: False, "full" (GAT in-kernel) or
+        "split" (tiled GAT + decode/pack/lift kernel — crowded buckets).
+        Cheap (dict lookups after the first probe) and re-evaluated on
+        every `_fused_fn` call; together with `_knob_key` in the program
+        cache key, mutating a gating knob (e.g. prior_gate_px) on a live
+        pipeline compiles a fresh program with the new value on the next
+        dispatch."""
         if self.use_frame_kernel is False or self.lifter_params_frame is None:
             return False
         from mpe3d_tpu.ops.frame_kernel import frame_kernel_supported
         if not frame_kernel_supported(self):
             return False
         if self.use_frame_kernel is True:       # forced: fail loudly
-            return True
-        return (jax.default_backend() == "tpu"
-                and _frame_kernel_probe_ok(self, slots, p_max))
+            return "full"
+        if jax.default_backend() != "tpu":
+            return False
+        v = _frame_kernel_variant(self, slots, p_max)
+        return v if v else False
 
     def _knob_key(self):
         """Baked statics NOT already covered by `_geo_key` (threshold,
@@ -709,7 +764,9 @@ class PoseEstimationPipeline:
         del knob_key
         if use_kernel:
             from mpe3d_tpu.ops.frame_kernel import build_frame_program
-            return jax.jit(build_frame_program(self, slots, p_max))
+            return jax.jit(build_frame_program(
+                self, slots, p_max,
+                matcher=("tiled" if use_kernel == "split" else "inkernel")))
 
         from mpe3d_tpu.matching.decode_device import decode_person_proposals_device
 

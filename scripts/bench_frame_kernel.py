@@ -35,6 +35,17 @@ def main():
     ap.add_argument("--gate", type=float, default=None,
                     help="prior_gate_px for the pipeline (recommended 8 "
                          "with prior-dropout-trained demo checkpoints)")
+    ap.add_argument("--slots", type=int, default=4,
+                    help="slot bucket to A/B (4 = the small-bucket "
+                         "default; 10/16 = the crowded buckets)")
+    ap.add_argument("--people", type=int, nargs=2, default=None,
+                    help="people per generated frame (default scales "
+                         "with --slots)")
+    ap.add_argument("--variant", default="auto",
+                    choices=["auto", "full", "split"],
+                    help="kernel form: 'full' = GAT in-kernel, 'split' = "
+                         "tiled-GAT + decode/pack/lift kernel; 'auto' = "
+                         "what the pipeline probe resolves for the bucket")
     args = ap.parse_args()
 
     import jax
@@ -114,33 +125,47 @@ def main():
             print(f"[ab] demo matcher load skipped: {e}")
         print(f"[ab] demo={args.demo} prior={lifter_prior} "
               f"residual={lcfg.residual_prior}")
+    S = args.slots
+    pmax_by_s = {4: 8, 10: 16, 16: 16}
+    P = pmax_by_s.get(S, min(16, S))
     pipe = PoseEstimationPipeline(
         rig_config, rig, mparams, mcfg, lparams_init, lcfg,
-        slot_buckets=(4,), person_buckets=(8,), serve_dtype=serve_dtype,
+        slot_buckets=(S,), person_buckets=(P,), serve_dtype=serve_dtype,
         lifter_prior=lifter_prior, prior_gate_px=args.gate)
     assert frame_kernel_supported(pipe), "config not kernel-supported"
 
-    print(f"[ab] backend={jax.default_backend()} dtype={args.dtype}")
+    variant = args.variant
+    if variant == "auto":
+        v = pipe._frame_kernel_on(S, pipe._p_max(S)) \
+            if jax.default_backend() == "tpu" else "full"
+        variant = v or "full"
+    matcher = "tiled" if variant == "split" else "inkernel"
+    print(f"[ab] backend={jax.default_backend()} dtype={args.dtype} "
+          f"S={S}/P={pipe._p_max(S)} variant={variant}")
+    P = pipe._p_max(S)
     lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
                                rig_config.n_joints)
     lflat = jax.device_put(lflat)
 
     t0 = time.time()
-    prog = build_frame_program(pipe, 4, 8, interpret=False)
+    prog = build_frame_program(pipe, S, P, interpret=False,
+                               matcher=matcher)
     # the explicit XLA variant: _fused_fn would auto-resolve to the kernel
     # on TPU now that the pipeline wiring is in
-    xla = pipe._fused_impl(4, 8, pipe._geo_key, False)
+    xla = pipe._fused_impl(S, P, pipe._geo_key, False)
 
     noise = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
                        spurious_rate=0.1, camera_dropout=0.05)
-    wire = generate_frames(rig_config, rig, 8, n_people=(2, 3), seed=11,
+    ppl = tuple(args.people) if args.people else (
+        (2, 3) if S <= 4 else (S - 2, S - 1))
+    wire = generate_frames(rig_config, rig, 8, n_people=ppl, seed=11,
                            noise=noise, with_gt=False)
-    frames = [parse_frame(f, rig_config, max_skeletons=4) for f in wire]
+    frames = [parse_frame(f, rig_config, max_skeletons=S) for f in wire]
 
     def fargs(fa):
         return tuple(jnp.asarray(a) for a in
-                     (fa.kp[:, :4], fa.valid[:, :4], fa.prob[:, :4],
-                      fa.in_view[:, :4], fa.present[:, :4]))
+                     (fa.kp[:, :S], fa.valid[:, :S], fa.prob[:, :S],
+                      fa.in_view[:, :S], fa.present[:, :S]))
 
     # ---- verify ---------------------------------------------------------
     def person_sets(persons, mask=None):
@@ -184,7 +209,8 @@ def main():
     if args.stages:
         prev = 0.0
         for st in ("gat", "decode", "pack", "full"):
-            p = build_frame_program(pipe, 4, 8, interpret=False, stage=st)
+            p = build_frame_program(pipe, S, P, interpret=False, stage=st,
+                                    matcher=matcher)
             us = chained_frame_us(p, (pipe.matcher_params, lflat),
                                   chain_args, k1, k2)
             print(f"[ab] stage {st:7s}: {us:8.1f} us   "

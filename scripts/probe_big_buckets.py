@@ -59,23 +59,48 @@ def main():
     print(f"[probe] backend={jax.default_backend()} "
           f"form={os.environ.get('GAT_HEAD_MAX_FORM', 'fori(default)')}")
 
+    import jax.numpy as jnp
+
+    from mpe3d_tpu.matching.features import build_topology
+    from mpe3d_tpu.ops.gat_tiled import apply_matcher_tiled
+
+    def probe_tiled(S):
+        topo = build_topology(rig_config.n_cameras, S)
+        d = rig_config.matcher_feature_dim
+        hf = jax.ShapeDtypeStruct((topo.n_heads, d), jnp.float32)
+        ef = jax.ShapeDtypeStruct((topo.n_pairs, d), jnp.float32)
+        pw = jax.ShapeDtypeStruct((topo.n_pairs,), jnp.float32)
+        try:
+            jax.jit(lambda p, a, b, w: apply_matcher_tiled(
+                p, a, b, topo, w, mcfg, interpret=False)
+            ).lower(mparams, hf, ef, pw).compile()
+            return True
+        except Exception as e:  # noqa: BLE001
+            print(f"[probe] tiled matcher S={S} compile failed: "
+                  f"{type(e).__name__}: {str(e)[:4000]}", flush=True)
+            return False
+
     buckets = [int(s) for s in args.buckets.split(",")]
     for S in buckets:
         P = pipe._p_max(S)
+        t0 = time.time()
+        ok_t = probe_tiled(S)
+        t_t = time.time() - t0
         # megakernel probe
         plmod._PALLAS_MATCHER_PROBE.clear()
         t0 = time.time()
         ok_m = plmod._pallas_matcher_probe_ok(
             mparams, mcfg, rig_config, rig_config.n_cameras, S)
         t_m = time.time() - t0
-        # frame kernel probe
+        # frame kernel probe (variant: full -> split -> None)
         plmod._FRAME_KERNEL_PROBE.clear()
         t0 = time.time()
-        ok_f = plmod._frame_kernel_probe_ok(pipe, S, P)
+        var = plmod._frame_kernel_variant(pipe, S, P)
         t_f = time.time() - t0
-        print(f"[probe] S={S:2d}/P={P:2d}: megakernel "
+        print(f"[probe] S={S:2d}/P={P:2d}: tiled "
+              f"{'OK' if ok_t else 'REJECT'} ({t_t:.1f}s)  megakernel "
               f"{'OK' if ok_m else 'REJECT'} ({t_m:.1f}s)  frame-kernel "
-              f"{'OK' if ok_f else 'REJECT'} ({t_f:.1f}s)", flush=True)
+              f"{var or 'REJECT'} ({t_f:.1f}s)", flush=True)
 
     if args.time:
         from mpe3d_tpu.data.frames import parse_frame

@@ -320,3 +320,32 @@ def test_frame_kernel_supported_gates(panoptic_rig):
         init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
         slot_buckets=(4,), person_buckets=(8,), serve_dtype=False)
     assert not frame_kernel_supported(fp32)
+
+
+def test_frame_kernel_split_variant_matches_fused(panoptic_rig):
+    """The SPLIT crowded-bucket variant (grid-tiled GAT outside the
+    kernel, decode+pack+lift inside — matcher="tiled") matches the fused
+    XLA pipeline: identical person sets, scores within the tiled
+    accumulation tolerance, poses within pose_atol."""
+    pipe = _mk_pipe(panoptic_rig)
+    lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
+                               PANOPTIC.n_joints)
+    prog = build_frame_program(pipe, 4, 8, interpret=True,
+                               matcher="tiled")
+    frames = _frames(panoptic_rig, n=3, seed=21)
+    checked = 0
+    for fa in frames:
+        ref = pipe.infer_fused(fa)
+        poses, persons, pmask, scores, quality = jax.device_get(
+            prog(pipe.matcher_params, lflat, *_args(fa)))
+        n = int(pmask.sum())
+        assert _person_sets(persons[:n]) == _person_sets(ref.persons)
+        np.testing.assert_allclose(scores, ref.scores, atol=2e-5)
+        s_map = {frozenset((c, int(s)) for c, s in enumerate(p)
+                           if s >= 0): i for i, p in enumerate(ref.persons)}
+        for i, p in enumerate(persons[:n]):
+            j = s_map[frozenset((c, int(s))
+                                for c, s in enumerate(p) if s >= 0)]
+            assert np.abs(poses[i] - ref.poses[j]).max() < 1e-3
+            checked += 1
+    assert checked > 0

@@ -182,3 +182,60 @@ def test_matcher_megakernel_matches_xla_large_bucket():
     s_x = np.asarray(apply_matcher(params, fh, fe, td, pm, cfg_x))
     s_p = np.asarray(apply_matcher(params, fh, fe, td, pm, cfg_p))
     assert np.allclose(s_x, s_p, atol=1e-4), np.abs(s_x - s_p).max()
+
+
+def test_matcher_tiled_matches_xla():
+    """Grid-tiled stack (ops/gat_tiled.py) == XLA path at a crowded
+    topology, through both the general and the constant-edge-projection
+    forms (the serving path passes the shared alt-3 one-hot as host
+    numpy, which triggers the project-once fast path)."""
+    from mpe3d_tpu.config import MatcherConfig
+    from mpe3d_tpu.matching.features import build_topology, edge_node_features
+    from mpe3d_tpu.models.gat import (TopologyArrays, apply_matcher,
+                                      init_matcher)
+    from mpe3d_tpu.ops.gat_tiled import apply_matcher_tiled
+
+    cfg = MatcherConfig(in_dim=20, hidden=(6, 6), heads=(2, 2))
+    topo = build_topology(5, 10)
+    params = init_matcher(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(9)
+    fh = jnp.asarray(rng.normal(size=(topo.n_heads, 20)).astype(np.float32))
+    pm = jnp.asarray((rng.random(topo.n_pairs) < 0.8).astype(np.float32))
+    td = TopologyArrays.from_topology(topo)
+
+    # general (traced, varying) edge features
+    fe_var = jnp.asarray(rng.normal(size=(topo.n_pairs, 20))
+                         .astype(np.float32))
+    s_x = np.asarray(apply_matcher(params, fh, fe_var, td, pm, cfg))
+    s_t = np.asarray(apply_matcher_tiled(params, fh, fe_var, topo, pm, cfg))
+    assert np.allclose(s_x, s_t, atol=2e-5), np.abs(s_x - s_t).max()
+
+    # constant-edge fast path (host numpy one-hot block)
+    fe_const = edge_node_features(topo.n_pairs, 20)
+    s_x = np.asarray(apply_matcher(params, fh, jnp.asarray(fe_const), td,
+                                   pm, cfg))
+    s_t = np.asarray(apply_matcher_tiled(params, fh, fe_const, topo, pm,
+                                         cfg))
+    assert np.allclose(s_x, s_t, atol=2e-5), np.abs(s_x - s_t).max()
+
+
+def test_perlane_head_max_matches_rank3():
+    """_perlane_head_max == the one-shot rank-3 masked max (exact)."""
+    from mpe3d_tpu.ops.gat_kernel import _perlane_head_max
+
+    H, E, nh = 50, 1000, 10
+    rng = np.random.default_rng(13)
+    inc1 = jnp.asarray((rng.random((E, H)) < 0.05).astype(np.float32))
+    inc2 = jnp.asarray((rng.random((E, H)) < 0.05).astype(np.float32))
+    neg = jnp.float32(-jnp.inf)
+    l1 = rng.normal(size=(E, nh)).astype(np.float32)
+    l2 = rng.normal(size=(E, nh)).astype(np.float32)
+    l1[rng.random(E) < 0.1] = -np.inf
+    l1m, l2m = jnp.asarray(l1), jnp.asarray(l2)
+    r1 = jnp.max(jnp.where(jnp.asarray(inc1).T[:, :, None] > 0,
+                           l1m[None, :, :], neg), axis=1)
+    r2 = jnp.max(jnp.where(jnp.asarray(inc2).T[:, :, None] > 0,
+                           l2m[None, :, :], neg), axis=1)
+    m1, m2 = _perlane_head_max(inc1, inc2, l1m, l2m, H, nh)
+    assert np.array_equal(np.asarray(r1), np.asarray(m1))
+    assert np.array_equal(np.asarray(r2), np.asarray(m2))
