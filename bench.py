@@ -283,6 +283,13 @@ def main() -> int:
     # the XLA program the layer tree (pipeline.submit_fused logic)
     ondevice_us_own, model_args = measure_ondevice_frame_us(pipe, frames,
                                                             smoke)
+    from mpe3d_tpu.benchutil import chained_frame_us
+    fa0 = frames[0]
+    chain_args = [jnp.asarray(fa0.kp[:, :4]), jnp.asarray(fa0.valid[:, :4]),
+                  jnp.asarray(fa0.prob[:, :4]),
+                  jnp.asarray(fa0.in_view[:, :4]),
+                  jnp.asarray(fa0.present[:, :4])]
+    K1, K2 = (2, 6) if smoke else (20, 120)
 
     # session-robust headline (round-3 VERDICT #5): the relay's effective
     # rate varies ±25 % across sessions, so the headline is the MEDIAN of
@@ -482,6 +489,93 @@ def main() -> int:
         m_sps_best, m_mfu_best = matcher_row(512, 8, "default")
         Bm, Bm_best = 60, 512
 
+    # ---- on-device scene synthesis epoch (round-3 VERDICT item 3) -------
+    # scenes/s of the matcher trainer when each batch is SYNTHESIZED ON
+    # DEVICE inside the epoch scan (train/matcher_synth.py) — the epoch
+    # wall includes composite synthesis, feature build, fwd+bwd, Adam.
+    synth_sps = -1.0
+    try:
+        from mpe3d_tpu.data.frames import parse_frame as _pf  # noqa: F401
+        from mpe3d_tpu.train.matcher_synth import (build_scene_bank,
+                                                   synth_scenes)
+
+        noise_s = SceneNoise(pixel_sigma=1.5, joint_dropout=0.05,
+                             spurious_rate=0.08, camera_dropout=0.05)
+        inputs_s = [generate_frames(rig_config, rig, 6 if smoke else 30,
+                                    n_people=(1, 1), seed=60 + i,
+                                    noise=noise_s, with_gt=False)
+                    for i in range(3)]
+        bank = build_scene_bank(inputs_s, rig_config)
+        bank_res = jax.device_put(bank.device_arrays())
+        segs, tops = bank.file_segments, bank.top_sets
+        mcfg_s = _dc.replace(mcfg, feat_drop=0.0, attn_drop=0.0,
+                             matmul_precision="default")
+        mstep, _, _, _, _ = make_matcher_step(pipe.match_rig, rig_config,
+                                              topo_m, mcfg_s, tx_m)
+        Bs, Ks = (8, 2) if smoke else (60, 16)
+
+        @jax.jit
+        def synth_epoch(mp, mo, key):
+            def body(carry, k):
+                p, o = carry
+                batch = synth_scenes(bank_res, k, Bs, topo_m, segs, tops)
+                p, o, loss = mstep(p, o, batch)
+                return (p, o), loss
+            keys = jax.random.split(key, Ks)
+            (mp, mo), losses = jax.lax.scan(body, (mp, mo), keys)
+            return mp, mo, losses
+
+        mp_s = init_matcher(jax.random.PRNGKey(7), mcfg_s)
+        mo_s = tx_m.init(mp_s)
+        mp_s, mo_s, ls = synth_epoch(mp_s, mo_s, jax.random.PRNGKey(11))
+        float(ls.sum())
+        reps_s = 1 if smoke else 4
+        ks = jax.random.PRNGKey(12)
+        t0 = time.perf_counter()
+        for _ in range(reps_s):
+            ks, k = jax.random.split(ks)
+            mp_s, mo_s, ls = synth_epoch(mp_s, mo_s, k)
+        float(ls.sum())
+        synth_sps = reps_s * Bs * Ks / (time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — auxiliary row must not kill
+        print(f"[bench] synth row skipped: {e}", file=sys.stderr)
+
+    # ---- crowded-bucket frame (S=16, the split frame kernel) ------------
+    # The regime the reference's eval cannot score at all
+    # (metrics_from_model.py:322-337); round 3 served it through the XLA
+    # fallback at 2.21 ms — round 4's tiled-GAT split kernel is the
+    # serving path (probe-resolved per bucket; falls back on rejection).
+    crowded_us, crowded_variant = -1.0, "n/a"
+    if not smoke and os.environ.get("MPE3D_BENCH_CROWDED", "1") != "0":
+        try:
+            from mpe3d_tpu.data.frames import parse_frame
+            from mpe3d_tpu.pipeline import PoseEstimationPipeline
+
+            pipe16 = PoseEstimationPipeline(
+                rig_config, rig, pipe.matcher_params, mcfg,
+                init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+                slot_buckets=(16,), person_buckets=(16,))
+            P16 = pipe16._p_max(16)
+            w16 = generate_frames(rig_config, rig, 1, n_people=(14, 14),
+                                  seed=77, noise=SceneNoise(
+                                      pixel_sigma=1.5, joint_dropout=0.05,
+                                      spurious_rate=0.05,
+                                      camera_dropout=0.03),
+                                  with_gt=False)
+            f16 = parse_frame(w16[0], rig_config, max_skeletons=16)
+            core16 = pipe16._fused_fn(16, P16)
+            v16 = pipe16._frame_kernel_on(16, P16)
+            crowded_variant = v16 if v16 else "xla"
+            lp16 = (pipe16.lifter_params_frame if v16
+                    else pipe16.lifter_params_serve)
+            ca16 = [jnp.asarray(a) for a in
+                    (f16.kp, f16.valid, f16.prob, f16.in_view,
+                     f16.present)]
+            crowded_us = chained_frame_us(
+                core16, (pipe16.matcher_params, lp16), ca16, 6, 24)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] crowded row skipped: {e}", file=sys.stderr)
+
     # Primary metric: steady-state streaming per-frame latency.  The
     # reference's 51.32 ms is the average over a continuous evaluation loop
     # (metrics_from_model.py:178-300), so the sustained number is the
@@ -518,6 +612,9 @@ def main() -> int:
         "matcher_train_best_scenes_per_s": round(m_sps_best, 1),
         "matcher_train_best_mfu_pct": round(m_mfu_best, 2),
         "matcher_train_best_config": f"batch{Bm_best}_bf16",
+        "matcher_synth_train_scenes_per_s": round(synth_sps, 1),
+        "crowded_frame_us": round(crowded_us, 1),
+        "crowded_frame_variant": crowded_variant,
     }))
     return 0
 
