@@ -546,7 +546,8 @@ def main() -> int:
     # fallback at 2.21 ms — round 4's tiled-GAT split kernel is the
     # serving path (probe-resolved per bucket; falls back on rejection).
     crowded_us, crowded_variant = -1.0, "n/a"
-    if not smoke and os.environ.get("MPE3D_BENCH_CROWDED", "1") != "0":
+    import os as _os_b   # `os` is a smoke-branch-local in main()
+    if not smoke and _os_b.environ.get("MPE3D_BENCH_CROWDED", "1") != "0":
         try:
             from mpe3d_tpu.data.frames import parse_frame
             from mpe3d_tpu.pipeline import PoseEstimationPipeline
