@@ -55,69 +55,6 @@ def _layer_dims(cfg: MatcherConfig):
     return dims
 
 
-def _chunked_head_max(inc1, inc2, l1m, l2m, H: int, E: int, nh: int):
-    """Per-head masked max over incident edges, chunked over E-blocks.
-
-    Returns (m1, m2) [H, nh] = max over edges e with inc{1,2}[e, h] > 0 of
-    l{1,2}m[e] — element-identical to the one-shot rank-3 form (fp max is
-    associative/commutative), but each step's padded rank-3 temporary is
-    bounded at [B, H, 128] fp32 instead of [H, E, 128].  Two forms,
-    selected by the GAT_HEAD_MAX_FORM env knob at trace time: ``unroll``
-    (default — static slices; few short-lived temporaries per chunk) and
-    ``fori`` (lax.fori_loop + dynamic row slices — provable buffer reuse,
-    but Mosaic on v5e does not lower dynamic_slice on values yet, so it
-    is only usable where that lands).
-    """
-    import os
-
-    # bound each [B, H(sublane-pad 8), 128(lane-pad)] fp32 temp at ~8 MB
-    B = 128
-    hp = ((H + 7) // 8) * 8
-    while B * 2 * hp * 128 * 4 <= 8 * 1024 * 1024 and B * 2 < E:
-        B *= 2
-    n_chunks = -(-E // B)
-    Ep = n_chunks * B
-    neg = jnp.float32(-jnp.inf)
-
-    def pad_rows(a, fill):
-        if Ep == E:
-            return a
-        tail = jnp.full((Ep - E, a.shape[1]), fill, a.dtype)
-        return jnp.concatenate([a, tail], axis=0)
-
-    i1, i2 = pad_rows(inc1, 0.0), pad_rows(inc2, 0.0)
-    p1, p2 = pad_rows(l1m, neg), pad_rows(l2m, neg)
-
-    def block_max(i1c, i2c, p1c, p2c):
-        t1 = jnp.max(jnp.where(i1c[:, :, None] > 0, p1c[:, None, :], neg),
-                     axis=0)[:, :nh]                 # [H, nh]
-        t2 = jnp.max(jnp.where(i2c[:, :, None] > 0, p2c[:, None, :], neg),
-                     axis=0)[:, :nh]
-        return t1, t2
-
-    # Mosaic (measured on v5e, round 4) does not lower dynamic_slice on
-    # values — the fori form is kept for backends that grow support, but
-    # the statically-unrolled chunk loop is the default
-    form = os.environ.get("GAT_HEAD_MAX_FORM", "unroll")
-    if form == "unroll" or n_chunks == 1:
-        m1 = m2 = None
-        for c in range(n_chunks):
-            sl = slice(c * B, (c + 1) * B)
-            t1, t2 = block_max(i1[sl], i2[sl], p1[sl], p2[sl])
-            m1 = t1 if m1 is None else jnp.maximum(m1, t1)
-            m2 = t2 if m2 is None else jnp.maximum(m2, t2)
-        return m1, m2
-
-    def body(c, carry):
-        m1, m2 = carry
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * B, B, 0)  # noqa: E731
-        t1, t2 = block_max(sl(i1), sl(i2), sl(p1), sl(p2))
-        return jnp.maximum(m1, t1), jnp.maximum(m2, t2)
-
-    init = (jnp.full((H, nh), neg), jnp.full((H, nh), neg))
-    return jax.lax.fori_loop(0, n_chunks, body, init)
-
-
 def _perlane_head_max(inc1, inc2, l1m, l2m, H: int, nh: int):
     """Per-head masked max via PER-COMPONENT [E, H] selects — the
     lane-efficient form: H rides the 128-lane axis at high occupancy,

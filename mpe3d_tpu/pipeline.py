@@ -135,7 +135,15 @@ def _frame_kernel_variant(pipe: "PoseEstimationPipeline", slots: int,
         lambda x: s(jnp.shape(x), _jnp.asarray(x).dtype),
         (pipe.matcher_params, pipe.lifter_params_frame))
     variant = None
-    for cand, m in (("full", "inkernel"), ("split", "tiled")):
+    order = (("full", "inkernel"), ("split", "tiled"))
+    if pipe.topology(slots).n_pairs >= 2000:
+        # measured boundary (v5e, round 4): the full variant compiles up
+        # to S=10 (E=1000) and is doomed at S=16 (E=2560) — probing it
+        # first there pays a multi-minute Mosaic compile whose FAILURE
+        # never lands in the persistent cache.  Split-first for the
+        # crowded end; split measured >= full wherever both compile.
+        order = (("split", "tiled"), ("full", "inkernel"))
+    for cand, m in order:
         try:
             prog = build_frame_program(pipe, slots, p_max,
                                        interpret=False, matcher=m)

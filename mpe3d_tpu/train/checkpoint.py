@@ -222,14 +222,19 @@ def _mp_barrier(tag: str) -> None:
 def _finalize_orbax(path: str) -> None:
     """Multi-process-aware wrapper around :func:`_finalize_orbax_local`:
     under ``jax.distributed`` the staging swap is a filesystem rename on
-    a directory every process reads, so only process 0 performs it and
-    everyone barriers before touching the result.  Collective — in
-    multiprocess runs ALL processes must call this (load_checkpoint and
-    the multiprocess save path do)."""
+    a directory every process reads, so only process 0 performs it.
+
+    Deliberately NOT a barrier: read_meta/load_checkpoint call this on
+    arbitrary (possibly rank-asymmetric) paths, and a barrier here would
+    deadlock any rank-0-only checkpoint inspection (round-4 review
+    finding).  The callers that NEED cross-process visibility of the
+    rename add their own explicit barrier (load_checkpoint before a
+    sharded restore; the multiprocess save path) — in multiprocess
+    workflows saves finalize eagerly at save time, so a pending staging
+    dir at load is already the exception."""
     if _nproc() > 1:
         if jax.process_index() == 0:
             _finalize_orbax_local(path)
-        _mp_barrier(f"mpe3d-ckpt-finalize:{path}")
         return
     _finalize_orbax_local(path)
 
@@ -333,7 +338,26 @@ def _save_orbax_multiprocess(abspath: str, flat: Dict[str, Any],
                 shutil.rmtree(staging)
     _mp_barrier(f"mpe3d-ckpt-mp-pre:{abspath}")
     ckptr = _orbax_checkpointer()
-    ckptr.save(staging, args=ocp.args.StandardSave(flat), force=True)
+    err: Optional[BaseException] = None
+    try:
+        ckptr.save(staging, args=ocp.args.StandardSave(flat), force=True)
+    except BaseException as e:  # noqa: BLE001 — must converge ranks first
+        err = e
+    # every rank must learn whether EVERY rank committed before anyone
+    # promotes: a clean exception on one rank (disk error, not a wedge)
+    # would otherwise leave the others promoting a half-written staging
+    # dir or hanging in the next barrier (round-4 review finding)
+    import numpy as _np
+
+    from jax.experimental import multihost_utils
+    ok_all = multihost_utils.process_allgather(
+        _np.asarray([0.0 if err is not None else 1.0]))
+    if float(ok_all.min()) < 0.5:
+        if err is not None:
+            raise err
+        raise RuntimeError(
+            f"collective orbax save of {abspath} failed on another "
+            f"process (per-rank ok flags: {ok_all.ravel().tolist()})")
     # ckptr.save returns on every process only once the primary committed
     # the directory (orbax's own barrier); fence anyway before the swap
     _mp_barrier(f"mpe3d-ckpt-mp-post:{abspath}")
@@ -693,6 +717,11 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
 
     wait_for_async_saves(path)        # an in-flight save of THIS path must
     _finalize_orbax(path)             # be visible; adopt committed staging
+    if _nproc() > 1:
+        # sharded multi-process loads are collective anyway (the restore
+        # runs cross-process); fence so no rank reads before process 0's
+        # finalize rename is visible
+        _mp_barrier(f"mpe3d-ckpt-load:{os.path.abspath(path)}")
     have_npz = os.path.exists(path + ".npz")
     have_orbax = os.path.isdir(path + ".orbax")
     if have_npz and have_orbax:

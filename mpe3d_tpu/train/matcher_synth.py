@@ -173,6 +173,14 @@ def build_scene_bank(inputs: List[List[dict]], rig_config: RigConfig,
                         m[cam_pos[c]] = 1.0
                 aug_frame.append(f)
                 aug_mask.append(m)
+        if len(aug_frame) == start:
+            # an empty segment would make the in-branch uniform draw
+            # silently index a NEIGHBOURING file's entries (randint over
+            # an empty range clamps) — same 2D evidence under two person
+            # ids is a contradictory training signal; fail loudly
+            raise ValueError(
+                f"input file {fi} contributed no parseable single-person "
+                f"frames — every file in the bank must have at least one")
         segs.append((start, len(aug_frame)))
 
     return SceneBank(
@@ -205,8 +213,8 @@ def synth_scenes(bank_arrays: Tuple[jnp.ndarray, ...], key,
     e2 = jnp.asarray(topo.e2, jnp.int32)
 
     def sample_person(p_key, seg):
-        a0, a1 = seg
-        idx = jax.random.randint(p_key, (), a0, max(a1, a0 + 1))
+        a0, a1 = seg                 # a1 > a0: build_scene_bank rejects
+        idx = jax.random.randint(p_key, (), a0, a1)   # empty segments
         return aug_frame[idx], aug_mask[idx]
 
     def branch_fn(n_people):

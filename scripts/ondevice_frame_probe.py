@@ -33,7 +33,11 @@ def main() -> int:
     frames = [parse_frame(f, rig_config, max_skeletons=4) for f in wire]
     smoke = jax.default_backend() != "tpu"
     us, _ = bench.measure_ondevice_frame_us(pipe, frames, smoke)
-    print(json.dumps({"ondevice_frame_us": round(float(us), 1)}))
+    # the backend travels with the number: if the relay dropped and jax
+    # fell back to CPU, the parent must NOT median a CPU measurement
+    # into the "on-device" headline (round-4 review finding)
+    print(json.dumps({"ondevice_frame_us": round(float(us), 1),
+                      "backend": jax.default_backend()}))
     return 0
 
 

@@ -1,15 +1,16 @@
 """On-chip compile probe for the S=10/16 big-bucket kernels.
 
 Round-3 measured (check_frame_kernel_buckets.py): the whole-frame kernel
-demands ~142 MB scoped VMEM at S=10 and the GAT megakernel ~195 MB — over
-the v5e's 128 MB — with the per-head unrolled max loop as the dominant
-dead-temporary pile.  Round 4 replaces that loop with a bounded chunked
-running max (ops/gat_kernel.py::_chunked_head_max); this script probes
-whether the kernels now compile at S=10 and S=16, under both chunk forms,
-and prints the Mosaic scoped-VMEM numbers from the rejection messages
-when they do not.
+demanded ~142 MB scoped VMEM at S=10 and the GAT megakernel ~195 MB —
+over the v5e's 128 MB; the on-chip compile diagnostics attribute the
+whole overflow to Mosaic register-allocator SPILL SLOTS (one per large
+straight-line value).  This script probes the round-4 serving forms per
+bucket — the grid-tiled stack (ops/gat_tiled.py), the megakernel, and
+the whole-frame kernel's variant chain — and prints the Mosaic
+scoped-VMEM numbers from the rejection messages when a form does not
+compile.
 
-    python scripts/probe_big_buckets.py [--form fori|unroll] [--time]
+    python scripts/probe_big_buckets.py [--buckets 10,16] [--time]
 """
 
 import argparse
@@ -22,14 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--form", default=None, choices=("fori", "unroll"))
     ap.add_argument("--time", action="store_true",
                     help="also run + time one frame through each compiled "
                          "bucket (forces a readback — run probes first)")
     ap.add_argument("--buckets", default="10,16")
     args = ap.parse_args()
-    if args.form:
-        os.environ["GAT_HEAD_MAX_FORM"] = args.form
 
     import jax
     import numpy as np
@@ -56,8 +54,7 @@ def main():
         rig_config, rig, mparams, mcfg, lparams, lcfg,
         slot_buckets=(4, 10, 16), person_buckets=(8, 16, 16),
         threshold=0.5)
-    print(f"[probe] backend={jax.default_backend()} "
-          f"form={os.environ.get('GAT_HEAD_MAX_FORM', 'fori(default)')}")
+    print(f"[probe] backend={jax.default_backend()}")
 
     import jax.numpy as jnp
 

@@ -127,39 +127,6 @@ def test_matcher_with_pallas_proj_matches():
         fused_proj.fused_linear_leaky_linear = orig
 
 
-def test_chunked_head_max_matches_rank3():
-    """_chunked_head_max (both forms) == the one-shot rank-3 masked max on
-    random incidence/logit data at an E large enough for several chunks."""
-    import os
-
-    from mpe3d_tpu.ops.gat_kernel import _chunked_head_max
-
-    H, E, nh = 50, 1000, 10
-    rng = np.random.default_rng(11)
-    inc1 = jnp.asarray((rng.random((E, H)) < 0.05).astype(np.float32))
-    inc2 = jnp.asarray((rng.random((E, H)) < 0.05).astype(np.float32))
-    neg = jnp.float32(-jnp.inf)
-    l1 = rng.normal(size=(E, nh)).astype(np.float32)
-    l2 = rng.normal(size=(E, nh)).astype(np.float32)
-    # some dead rows (masked to -inf like dead pairs)
-    l1[rng.random(E) < 0.1] = -np.inf
-    l1m, l2m = jnp.asarray(l1), jnp.asarray(l2)
-
-    r1 = jnp.max(jnp.where(jnp.asarray(inc1).T[:, :, None] > 0,
-                           l1m[None, :, :], neg), axis=1)
-    r2 = jnp.max(jnp.where(jnp.asarray(inc2).T[:, :, None] > 0,
-                           l2m[None, :, :], neg), axis=1)
-
-    for form in ("fori", "unroll"):
-        os.environ["GAT_HEAD_MAX_FORM"] = form
-        try:
-            m1, m2 = _chunked_head_max(inc1, inc2, l1m, l2m, H, E, nh)
-        finally:
-            del os.environ["GAT_HEAD_MAX_FORM"]
-        assert np.array_equal(np.asarray(r1), np.asarray(m1)), form
-        assert np.array_equal(np.asarray(r2), np.asarray(m2)), form
-
-
 def test_matcher_megakernel_matches_xla_large_bucket():
     """Megakernel == XLA at a crowded topology (C=5, S=10 -> E=1000) where
     gat_stack_values takes the chunked head-max branch."""
