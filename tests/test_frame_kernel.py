@@ -349,3 +349,43 @@ def test_frame_kernel_split_variant_matches_fused(panoptic_rig):
             assert np.abs(poses[i] - ref.poses[j]).max() < 1e-3
             checked += 1
     assert checked > 0
+
+
+def test_frame_kernel_split_arplab_topology():
+    """The SPLIT variant on the 6-camera ARP Lab rig — covers the
+    grid-tiled GAT's non-PANOPTIC topology (15 camera pairs) feeding the
+    decode+pack+lift kernel."""
+    from mpe3d_tpu.config import ARPLAB
+    from mpe3d_tpu.data.synthetic import synthetic_ring_rig
+
+    rig = synthetic_ring_rig(ARPLAB)
+    mcfg = MatcherConfig(in_dim=ARPLAB.matcher_feature_dim,
+                         hidden=(8, 8), heads=(2, 2))
+    lcfg = LifterConfig(in_dim=ARPLAB.lifter_input_dim,
+                        out_dim=ARPLAB.n_joints * 3, widths=(64, 64))
+    pipe = PoseEstimationPipeline(
+        ARPLAB, rig,
+        init_matcher(jax.random.PRNGKey(0), mcfg), mcfg,
+        init_lifter(jax.random.PRNGKey(1), lcfg), lcfg,
+        slot_buckets=(4,), person_buckets=(8,),
+        threshold=0.05, decode_top_k=0, serve_dtype=jnp.bfloat16)
+    lflat = pack_frame_serving(pipe.lifter_params, len(pipe.used_idx),
+                               ARPLAB.n_joints)
+    prog = build_frame_program(pipe, 4, 8, interpret=True,
+                               matcher="tiled")
+    noise = SceneNoise(pixel_sigma=1.0, joint_dropout=0.03,
+                       spurious_rate=0.1, camera_dropout=0.05)
+    frames = [parse_frame(f, ARPLAB, max_skeletons=4)
+              for f in generate_frames(ARPLAB, rig, 2, n_people=(2, 3),
+                                       seed=19, noise=noise,
+                                       with_gt=False)]
+    checked = 0
+    for fa in frames:
+        ref = pipe.infer_fused(fa)
+        poses, persons, pmask, scores, quality = jax.device_get(
+            prog(pipe.matcher_params, lflat, *_args(fa)))
+        n = int(pmask.sum())
+        assert _person_sets(persons[:n]) == _person_sets(ref.persons)
+        np.testing.assert_allclose(scores, ref.scores, atol=2e-5)
+        checked += n
+    assert checked > 0
