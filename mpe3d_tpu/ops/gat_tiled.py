@@ -60,8 +60,8 @@ from mpe3d_tpu.ops.gat_kernel import (_layer_dims, _static_tables)
 from mpe3d_tpu.ops.tiles import round_up as _round_up
 
 
-def _mm(a, b):
-    return jnp.dot(a, b, precision="highest",
+def _mm(a, b, prec: str = "highest"):
+    return jnp.dot(a, b, precision=prec,
                    preferred_element_type=jnp.float32)
 
 
@@ -82,11 +82,11 @@ def _leaky(v, a):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "alpha", "nh", "B", "interpret", "last", "const_proj"))
+    "alpha", "nh", "B", "interpret", "last", "const_proj", "prec"))
 def _k1_layer(xe, pw, inc1, inc2, zh, a1h, a2h, w1, b1, w2, b2, alf, arf,
               seg, rep, *, alpha: float, nh: int, B: int,
               interpret: bool = False, last: bool = False,
-              const_proj: bool = False):
+              const_proj: bool = False, prec: str = "highest"):
     """Pass 1 over edge blocks.  xe [Ep, Din]; returns (out_e [Ep, F],
     z_e [Ep, F], l1m/l2m [Ep, nh], m1/m2 [nh, H] — transposed so the
     per-component masked max rides full 128-lane [B, H] selects).  When
@@ -114,16 +114,17 @@ def _k1_layer(xe, pw, inc1, inc2, zh, a1h, a2h, w1, b1, w2, b2, alf, arf,
                rep_ref, oe_ref, ze_ref, l1_ref, l2_ref, m1_ref, m2_ref):
         c = pl.program_id(0)
         neg = jnp.float32(-jnp.inf)
-        h1 = _leaky(_mm(xe_ref[:], w1_ref[:]) + b1_ref[:], alpha)
-        ze = _mm(h1, w2_ref[:]) + b2_ref[:]        # [B, F] or [1, F]
-        a1e = _mm(ze * alf_ref[:], seg_ref[:])     # [B, nh] or [1, nh]
-        a2e = _mm(ze * arf_ref[:], seg_ref[:])
+        mm = lambda a, b: _mm(a, b, prec)                # noqa: E731
+        h1 = _leaky(mm(xe_ref[:], w1_ref[:]) + b1_ref[:], alpha)
+        ze = mm(h1, w2_ref[:]) + b2_ref[:]        # [B, F] or [1, F]
+        a1e = mm(ze * alf_ref[:], seg_ref[:])     # [B, nh] or [1, nh]
+        a2e = mm(ze * arf_ref[:], seg_ref[:])
         i1, i2 = i1_ref[:], i2_ref[:]                    # [B, H]
         pw = pw_ref[:]                                   # [B, 1]
 
         # edge destinations: softmax over {self, head1, head2}
-        zh_e1, zh_e2 = _mm(i1, zh_ref[:]), _mm(i2, zh_ref[:])
-        a1h_e1, a1h_e2 = _mm(i1, a1h_ref[:]), _mm(i2, a1h_ref[:])
+        zh_e1, zh_e2 = mm(i1, zh_ref[:]), mm(i2, zh_ref[:])
+        a1h_e1, a1h_e2 = mm(i1, a1h_ref[:]), mm(i2, a1h_ref[:])
         l0 = _leaky(a1e + a2e, alpha)
         l1 = _leaky(a1h_e1 + a2e, alpha)
         l2 = _leaky(a1h_e2 + a2e, alpha)
@@ -132,15 +133,15 @@ def _k1_layer(xe, pw, inc1, inc2, zh, a1h, a2h, w1, b1, w2, b2, alf, arf,
         e1 = jnp.exp(l1 - mx)
         e2 = jnp.exp(l2 - mx)
         s = e0 + e1 + e2
-        oe_ref[:] = (_mm(e0 / s, rep_ref[:]) * ze
-                     + _mm(e1 / s, rep_ref[:]) * zh_e1
-                     + _mm(e2 / s, rep_ref[:]) * zh_e2)
+        oe_ref[:] = (mm(e0 / s, rep_ref[:]) * ze
+                     + mm(e1 / s, rep_ref[:]) * zh_e1
+                     + mm(e2 / s, rep_ref[:]) * zh_e2)
         if last:
             return
 
         ze_ref[:] = ze                 # const_proj: the single row
         # head-destination logits for this block (masked)
-        a2h_e1, a2h_e2 = _mm(i1, a2h_ref[:]), _mm(i2, a2h_ref[:])
+        a2h_e1, a2h_e2 = mm(i1, a2h_ref[:]), mm(i2, a2h_ref[:])
         live = pw > 0
         l1m = jnp.where(live, _leaky(a1e + a2h_e1, alpha), neg)
         l2m = jnp.where(live, _leaky(a1e + a2h_e2, alpha), neg)
@@ -219,9 +220,11 @@ def _k1_layer(xe, pw, inc1, inc2, zh, a1h, a2h, w1, b1, w2, b2, alf, arf,
       rep)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "interpret", "const_ze"))
+@functools.partial(jax.jit, static_argnames=("B", "interpret", "const_ze",
+                                              "prec"))
 def _k2_layer(l1m, l2m, pw, inc1, inc2, inc1T, inc2T, z_e, m, rep,
-              *, B: int, interpret: bool = False, const_ze: bool = False):
+              *, B: int, interpret: bool = False, const_ze: bool = False,
+              prec: str = "highest"):
     """Pass 2 over edge blocks: head-destination denominators and
     numerators, accumulated across blocks.  Returns (den [H, nh],
     num [H, F]) — the edge contributions only (the head self terms are
@@ -238,22 +241,23 @@ def _k2_layer(l1m, l2m, pw, inc1, inc2, inc1T, inc2T, z_e, m, rep,
     def kernel(l1_ref, l2_ref, pw_ref, i1_ref, i2_ref, i1T_ref, i2T_ref,
                ze_ref, m_ref, rep_ref, den_ref, num_ref):
         c = pl.program_id(0)
+        mm = lambda a, b: _mm(a, b, prec)                # noqa: E731
         m = m_ref[:]                                     # [H, nh]
         pw = pw_ref[:]
-        x1 = jnp.exp(l1_ref[:] - _mm(i1_ref[:], m)) * pw   # [B, nh]
-        x2 = jnp.exp(l2_ref[:] - _mm(i2_ref[:], m)) * pw
+        x1 = jnp.exp(l1_ref[:] - mm(i1_ref[:], m)) * pw   # [B, nh]
+        x2 = jnp.exp(l2_ref[:] - mm(i2_ref[:], m)) * pw
         ze = ze_ref[:]
-        t1 = _mm(x1, rep_ref[:]) * ze                    # [B, F]
-        t2 = _mm(x2, rep_ref[:]) * ze
+        t1 = mm(x1, rep_ref[:]) * ze                    # [B, F]
+        t2 = mm(x2, rep_ref[:]) * ze
 
         @pl.when(c == 0)
         def _():
             den_ref[:] = jnp.zeros((H, nh), jnp.float32)
             num_ref[:] = jnp.zeros((H, F), jnp.float32)
-        den_ref[:] = (den_ref[:] + _mm(i1T_ref[:], x1)
-                      + _mm(i2T_ref[:], x2))
-        num_ref[:] = (num_ref[:] + _mm(i1T_ref[:], t1)
-                      + _mm(i2T_ref[:], t2))
+        den_ref[:] = (den_ref[:] + mm(i1T_ref[:], x1)
+                      + mm(i2T_ref[:], x2))
+        num_ref[:] = (num_ref[:] + mm(i1T_ref[:], t1)
+                      + mm(i2T_ref[:], t2))
 
     vm = {} if interpret else {"memory_space": pltpu.VMEM}
     kw = {} if interpret else {"compiler_params": pltpu.CompilerParams(
@@ -305,6 +309,9 @@ def gat_stack_tiled(x_all, pw_e, inc1, inc2, layer_arrays,
     B = _pick_block(E, H)
     Ep = _round_up(E, B)
     alpha, slope = cfg.alpha, cfg.hidden_slope
+    prec = cfg.matmul_precision      # "highest" = serving parity; see
+    # scripts/ab_match_precision.py for the measured relaxation ladder
+    mm = lambda a, b: _mm(a, b, prec)                    # noqa: E731
 
     pad_e = Ep - E
     def pad_rows(a, fill=0.0):
@@ -325,10 +332,10 @@ def gat_stack_tiled(x_all, pw_e, inc1, inc2, layer_arrays,
         last = l == len(dims) - 1
         const = edge_const and l == 0
         # head-side projection: [H, *] rows — tiny, stays in XLA
-        h1h = _leaky(_mm(xh, w1) + b1, alpha)
-        zh = _mm(h1h, w2) + b2                           # [H, F]
-        a1h = _mm(zh * alf, seg)                         # [H, nh]
-        a2h = _mm(zh * arf, seg)
+        h1h = _leaky(mm(xh, w1) + b1, alpha)
+        zh = mm(h1h, w2) + b2                            # [H, F]
+        a1h = mm(zh * alf, seg)                          # [H, nh]
+        a2h = mm(zh * arf, seg)
 
         out_e, z_e, l1m, l2m, m1, m2 = _k1_layer(
             xe[:1] if const else xe, pw, i1, i2, zh, a1h, a2h,
@@ -336,7 +343,7 @@ def gat_stack_tiled(x_all, pw_e, inc1, inc2, layer_arrays,
             jnp.asarray(b2), jnp.asarray(alf), jnp.asarray(arf),
             jnp.asarray(seg), jnp.asarray(rep),
             alpha=alpha, nh=nh, B=B, interpret=interpret, last=last,
-            const_proj=const)
+            const_proj=const, prec=prec)
         if last:
             return out_e[:E]                             # [E, 1] logits
 
@@ -344,10 +351,10 @@ def gat_stack_tiled(x_all, pw_e, inc1, inc2, layer_arrays,
         m = jnp.maximum(ls, jnp.maximum(m1.T, m2.T))     # K1 emits [nh, H]
         den, num = _k2_layer(l1m, l2m, pw, i1, i2, i1T, i2T, z_e, m,
                              jnp.asarray(rep), B=B, interpret=interpret,
-                             const_ze=const)
+                             const_ze=const, prec=prec)
         es = jnp.exp(ls - m)
-        out_h = ((_mm(es, rep) * zh + num)
-                 / _mm(es + den, rep))                   # [H, F]
+        out_h = ((mm(es, rep) * zh + num)
+                 / mm(es + den, rep))                    # [H, F]
 
         xh = _leaky(out_h, slope)
         xe = _leaky(out_e, slope)

@@ -101,12 +101,18 @@ def main():
         fa = parse_frame(frames[0], PANOPTIC, max_skeletons=16)
         p_max = pipe._p_max(16)
         core = pipe._fused_fn(16, p_max)
+        # the S=16 bucket can now resolve to the whole-frame kernel
+        # (round 4: the split variant), whose program takes the
+        # frame-packed serving list instead of the layer tree
+        lp_lat = (pipe.lifter_params_frame
+                  if pipe._frame_kernel_on(16, p_max)
+                  else pipe.lifter_params_serve)
         chain_args = [jnp.asarray(fa.kp), jnp.asarray(fa.valid),
                       jnp.asarray(fa.prob), jnp.asarray(fa.in_view),
                       jnp.asarray(fa.present)]
         k1, k2 = (2, 6) if jax.default_backend() != "tpu" else (20, 80)
         lat_us = chained_frame_us(
-            core, (pipe.matcher_params, pipe.lifter_params),
+            core, (pipe.matcher_params, lp_lat),
             chain_args, k1, k2)
         row = {"backend": name,
                "ari": round(sm["ari"], 4),
