@@ -91,7 +91,10 @@ def main():
                 for p in persons[mask]}
 
     results = {}
-    for prec in ("highest", "high", "default"):
+    # Mosaic lowers only DEFAULT and HIGHEST dot precision in-kernel
+    # (measured: NotImplementedError "Unsupported dot precision: HIGH"),
+    # so the ladder is two rungs
+    for prec in ("highest", "default"):
         mcfg_p = dataclasses.replace(mcfg, matmul_precision=prec)
         pipe = PoseEstimationPipeline(
             rig_config, rig, mparams, mcfg_p, lparams, lcfg,
@@ -123,7 +126,7 @@ def main():
               f" frame {us:8.1f} us", flush=True)
 
     ref_outs, ref_us = results["highest"]
-    for prec in ("high", "default"):
+    for prec in ("default",):
         outs, us = results[prec]
         drift, flips, mism = [], 0, 0
         for (rs, rp, rm), (s, p, m) in zip(ref_outs, outs):
